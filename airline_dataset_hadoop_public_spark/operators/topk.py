@@ -1,0 +1,81 @@
+"""Sort / limit / top-k operators (SURVEY.md §2.4, T1-T4, X1).
+
+The reference implements every ranking as a SECOND MapReduce job whose
+single reducer holds a globally sorted in-memory map
+(/root/reference/README.md:151,175,195) — a one-node bottleneck. Spark
+replaces:
+
+- global top-k (T1 Top10AirportsByArrivalsAndDepartures README.md:165,
+  T2 Top10AirlinesByDelay README.md:189) with `orderBy().limit(k)`,
+  which physically compiles to TakeOrderedAndProject: each partition
+  keeps its local k, the driver merges k*numPartitions rows — no global
+  sort, no single-reducer stage.
+- grouped top-k (T3 Top10ReducerByFloatV1 README.md:195, used by the
+  three Group-2 jobs) with a ranking window — one hash-shuffle on the
+  partition key, heap-free.
+- global full sort (T4 ArrivalsAndDeparturesPerAirportSortedByFrequency
+  README.md:381-398, with its DescendingIntegerComparator) with
+  `orderBy(desc)` — a range-partitioned distributed sort; the custom
+  comparator is just a `desc()` expression.
+
+Every function REQUIRES a deterministic total order: callers pass
+tie-break columns because the reference's sorted-map semantics leave
+tie order unspecified (SURVEY.md §2.4 note) and golden tests need
+stability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(order: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order]
+
+
+def global_top_k(df: DataFrame, order: Sequence[str | Column], k: int) -> DataFrame:
+    """T1/T2: distributed top-k. `order` must be a total order."""
+    return df.orderBy(*_cols(order)).limit(k)
+
+
+def global_sort(df: DataFrame, order: Sequence[str | Column]) -> DataFrame:
+    """T4: full distributed sort (range-partitioned exchange)."""
+    return df.orderBy(*_cols(order))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[str | Column],
+    k: int,
+    rn: str | None = None,
+) -> DataFrame:
+    """T3: keep the k first rows per group under `order`.
+
+    One shuffle on `partition`; rank computed with row_number (dense
+    per-group, no global coordination). Keeps the rank column iff `rn`
+    is given.
+    """
+    w = Window.partitionBy(*partition).orderBy(*_cols(order))
+    ranked = df.withColumn(rn or "__rn", F.row_number().over(w))
+    out = ranked.filter(F.col(rn or "__rn") <= k)
+    return out if rn else out.drop("__rn")
+
+
+def rank_table(
+    df: DataFrame, order: Sequence[str | Column], rank: str = "rank"
+) -> DataFrame:
+    """X1: global 1..N rank assignment (G3Q1 popularity ranks,
+    /root/reference/README.md:375-427).
+
+    A global row_number window is a single-partition sort — acceptable
+    ONLY because rank tables in this family are group-key-domain sized
+    (|airports|, |carriers| — thousands of rows), never fact-table
+    sized. For fact-scale ranking use `global_sort` + zipWithIndex-style
+    partition offsets instead.
+    """
+    w = Window.orderBy(*_cols(order))
+    return df.withColumn(rank, F.row_number().over(w))

@@ -1,0 +1,427 @@
+"""Reference-parity queries over the driver fixture tables.
+
+Every operator in SURVEY.md §2 expressed on the TPC-H-ish fixture
+corpus (FIXTURES.md §A gives the mapping rationale), each paired with a
+DuckDB oracle. The airline-shaped originals of the same plans live in
+``plans.airline`` and are exercised by tests on synthetic on-time data;
+here the SAME operator compositions run on the driver's tables so the
+correctness gate can hash-compare against ANSI SQL.
+
+Citations: /root/reference/README.md line numbers identify the
+reference job each query's shape is drawn from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import avg_by_key, distinct_union, explode_count
+from ..operators.argmin import argmin_by
+from ..operators.generators import date_series, permutation_triplets
+from ..operators.topk import global_sort, global_top_k, rank_table, top_k_per_group
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# G1Q1 — airport popularity top-10 (A1 + T1).
+# Reference: ArrivalsAndDeparturesPerAirport + Top10AirportsBy... jobs,
+# README.md:143-161. Fixture analog: a key is "popular" when it appears
+# in either lineitem.l_suppkey or l_partkey.
+# ---------------------------------------------------------------------------
+
+_G1Q1_ORACLE = """
+SELECT key, cnt FROM (
+  SELECT k AS key, COUNT(*) AS cnt
+  FROM (SELECT l_suppkey AS k FROM lineitem
+        UNION ALL SELECT l_partkey AS k FROM lineitem)
+  GROUP BY k
+) ORDER BY cnt DESC, key LIMIT 10
+"""
+
+
+def _popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return explode_count(li, ["l_suppkey", "l_partkey"], key="key", cnt="cnt")
+
+
+@register("g1q1_top10_popularity", _G1Q1_ORACLE)
+def g1q1_top10_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return global_top_k(
+        _popularity(spark, sf_dir), [F.desc("cnt"), F.asc("key")], 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1Q2 — carrier on-time performance, top-10 ascending mean delay
+# (A2 + T2). Reference: AvgDelayPerAirline + Top10AirlinesByDelay,
+# README.md:167-185. Fixture analog: carrier≈o_orderpriority,
+# delay≈o_totalprice.
+# ---------------------------------------------------------------------------
+
+_G1Q2_ORACLE = """
+SELECT o_orderpriority, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority
+ORDER BY avg_price ASC, o_orderpriority LIMIT 10
+"""
+
+
+@register("g1q2_top10_priority_by_avg_price", _G1Q2_ORACLE)
+def g1q2_top10_priority_by_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg = avg_by_key(orders, ["o_orderpriority"], "o_totalprice", "avg_price")
+    return global_top_k(avg, [F.asc("avg_price"), F.asc("o_orderpriority")], 10)
+
+
+# ---------------------------------------------------------------------------
+# G2Q1/G2Q2 — per-group top-10 of a 2-column-key average (A4 + T3).
+# Reference: AvgDepDelayPerAirportCarrier + Top10CarriersByDepDelayPer-
+# Airport, README.md:197-239 (and the Dest variant README.md:286-326).
+# Fixture analog: per market segment, the 10 customers with the lowest
+# average order price. The join side (customer) is dimension-sized →
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_G2Q1_ORACLE = """
+SELECT c_mktsegment, o_custkey, avg_price FROM (
+  SELECT c_mktsegment, o_custkey,
+         ROUND(AVG(o_totalprice), 4) AS avg_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+) QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY avg_price ASC, o_custkey) <= 10
+"""
+
+
+@register("g2q1_top10_customers_per_segment", _G2Q1_ORACLE)
+def g2q1_top10_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    avg = avg_by_key(joined, ["c_mktsegment", "o_custkey"], "o_totalprice", "avg_price")
+    return top_k_per_group(
+        avg, ["c_mktsegment"], [F.asc("avg_price"), F.asc("o_custkey")], 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2Q3 — per-(pair)-group top-10 of a 3-column-key average (A5 + T3).
+# Reference: AvgArrDelayPerAirportPairCarrier + Top10CarriersByArrDelay-
+# PerAirportPair, README.md:333-367. Fixture analog: per
+# (l_returnflag, l_linestatus), the 10 ship-months with lowest average
+# discount.
+# ---------------------------------------------------------------------------
+
+_G2Q3_ORACLE = """
+SELECT l_returnflag, l_linestatus, ship_month, avg_discount FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+         ROUND(AVG(l_discount), 4) AS avg_discount
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus, MONTH(l_shipdate)
+) QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY l_returnflag, l_linestatus
+    ORDER BY avg_discount ASC, ship_month) <= 10
+"""
+
+
+@register("g2q3_top10_months_per_flagstatus", _G2Q3_ORACLE)
+def g2q3_top10_months_per_flagstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate").cast("long")
+    )
+    avg = avg_by_key(
+        li, ["l_returnflag", "l_linestatus", "ship_month"], "l_discount", "avg_discount"
+    )
+    return top_k_per_group(
+        avg,
+        ["l_returnflag", "l_linestatus"],
+        [F.asc("avg_discount"), F.asc("ship_month")],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct over a two-column union-all (the Airports job,
+# README.md:447-454).
+# ---------------------------------------------------------------------------
+
+_A6_ORACLE = """
+SELECT DISTINCT k AS key FROM (
+  SELECT o_custkey AS k FROM orders
+  UNION ALL SELECT c_custkey AS k FROM customer)
+"""
+
+
+@register("a6_distinct_keys", _A6_ORACLE)
+def a6_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return distinct_union(
+        orders.unionByName(cust.withColumnRenamed("o_custkey", "o_custkey")),
+        ["o_custkey"],
+        "key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — global descending sort of the popularity counts (G3Q1 phase 1,
+# ArrivalsAndDeparturesPerAirportSortedByFrequency, README.md:381-398).
+# X1 — its rank table (zipf.py input, README.md:375-430).
+# ---------------------------------------------------------------------------
+
+_T4_ORACLE = """
+SELECT k AS key, COUNT(*) AS cnt
+FROM (SELECT l_suppkey AS k FROM lineitem
+      UNION ALL SELECT l_partkey AS k FROM lineitem)
+GROUP BY k ORDER BY cnt DESC, key
+"""
+
+
+@register("t4_popularity_sorted", _T4_ORACLE)
+def t4_popularity_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return global_sort(_popularity(spark, sf_dir), [F.desc("cnt"), F.asc("key")])
+
+
+_X1_ORACLE = """
+SELECT key, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+FROM (
+  SELECT k AS key, COUNT(*) AS cnt
+  FROM (SELECT l_suppkey AS k FROM lineitem
+        UNION ALL SELECT l_partkey AS k FROM lineitem)
+  GROUP BY k)
+"""
+
+
+@register("x1_popularity_rank", _X1_ORACLE)
+def x1_popularity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = rank_table(
+        _popularity(spark, sf_dir), [F.desc("cnt"), F.asc("key")], rank="rank"
+    )
+    return ranked.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# J3 — permutation triplets with ≠ constraints (OriginStopDest,
+# README.md:458-483), on nation names (25³ bounded).
+# ---------------------------------------------------------------------------
+
+_J3_ORACLE = """
+SELECT a.n_name AS origin, b.n_name AS stop, c.n_name AS dest
+FROM nation a CROSS JOIN nation b CROSS JOIN nation c
+WHERE b.n_name <> a.n_name AND b.n_name <> c.n_name
+"""
+
+
+@register("j3_permutation_triplets", _J3_ORACLE)
+def j3_permutation_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return permutation_triplets(nation, "n_name")
+
+
+# ---------------------------------------------------------------------------
+# J4 — cross join with a generated date series (Requests date expansion,
+# README.md:487-498): every region × every day of 2008-01.
+# ---------------------------------------------------------------------------
+
+_J4_ORACLE = """
+SELECT r_name, CAST(CAST(d AS DATE) AS VARCHAR) AS date_str
+FROM region CROSS JOIN (
+  SELECT UNNEST(GENERATE_SERIES(DATE '2008-01-01', DATE '2008-01-31',
+                                INTERVAL 1 DAY)) AS d)
+"""
+
+
+@register("j4_region_date_series", _J4_ORACLE)
+def j4_region_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    dates = date_series(spark, "2008-01-01", "2008-01-31", out="d")
+    return region.crossJoin(F.broadcast(dates)).select(
+        "r_name", F.col("d").cast("string").alias("date_str")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3/P5/P6/P7 — leg-candidate preparation on `events`:
+# row filters (year-scope analog: first week), time-of-day predicate
+# (noon rule, README.md:434-437,546), derived scheduled timestamp
+# (sched = actual − delay-minutes, README.md:514), output formatting
+# (HH:mm dd/MM/yyyy, README.md:507).
+# ---------------------------------------------------------------------------
+
+_LEGCAND_ORACLE = """
+SELECT event_id, user_id, event_type,
+       STRFTIME(ts - TO_MINUTES(CAST(FLOOR(value) AS BIGINT)),
+                '%H:%M %d/%m/%Y') AS sched_dep,
+       ROUND(value, 4) AS delay_min
+FROM events
+WHERE DATE_PART('day', ts) <= 7 AND DATE_PART('hour', ts) < 12
+"""
+
+
+@register("p_leg_candidates", _LEGCAND_ORACLE)
+def p_leg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.dayofmonth("ts") <= 7) & (F.hour("ts") < 12))
+        .withColumn("sched_ts", F.expr("ts - make_dt_interval(0, 0, floor(value), 0)"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("sched_ts", "HH:mm dd/MM/yyyy").alias("sched_dep"),
+            F.round("value", 4).alias("delay_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3Q2 — Tom's trip: equi-join requests↔legs + per-group argmin
+# (TomsLegs1/2 MultipleInputs join + ReduceJoinReducer,
+# README.md:537-549). Fixture analog (FIXTURES.md §A adapted):
+# requests = distinct (o_custkey, day-of-month of o_orderdate); legs =
+# events keyed (user_id, day-of-month of ts). Leg 1: morning legs
+# (hour < 12) on the request day; leg 2: afternoon legs (hour >= 12) on
+# request day + 2 (the −2d shifted join key, P8, README.md:542-543).
+# Argmin by (value, event_id) — deterministic tie-break (§2.11).
+# ---------------------------------------------------------------------------
+
+def _toms_oracle(shift: int, hour_pred: str) -> str:
+    return f"""
+SELECT user_id, req_day, event_id, event_type, value,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS leg_ts
+FROM (
+  SELECT r.user_id, r.req_day, l.event_id, l.event_type, l.value, l.ts,
+         ROW_NUMBER() OVER (PARTITION BY r.user_id, r.req_day
+                            ORDER BY l.value, l.event_id) AS rn
+  FROM (SELECT DISTINCT o_custkey AS user_id,
+               CAST(DATE_PART('day', o_orderdate) AS BIGINT) AS req_day
+        FROM orders) r
+  JOIN (SELECT user_id, CAST(DATE_PART('day', ts) AS BIGINT) AS leg_day,
+               event_id, event_type, value, ts
+        FROM events WHERE {hour_pred}) l
+    ON l.user_id = r.user_id AND l.leg_day = r.req_day + {shift}
+) WHERE rn = 1
+"""
+
+
+def _toms_leg(spark: SparkSession, sf_dir: str, shift: int, morning: bool) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    requests = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.dayofmonth("o_orderdate").cast("long").alias("req_day"),
+    ).distinct()
+    hour_filter = F.hour("ts") < 12 if morning else F.hour("ts") >= 12
+    legs = events.filter(hour_filter).select(
+        F.col("user_id").alias("leg_user"),
+        F.dayofmonth("ts").cast("long").alias("leg_day"),
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+    )
+    joined = requests.join(
+        legs,
+        (legs.leg_user == requests.user_id)
+        & (legs.leg_day == requests.req_day + F.lit(shift)),
+    )
+    best = argmin_by(
+        joined,
+        group=["user_id", "req_day"],
+        order=["value", "event_id"],
+        payload=["event_type", "ts"],
+    )
+    return best.select(
+        "user_id",
+        "req_day",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("leg_ts"),
+    )
+
+
+@register("g3q2_toms_leg1", _toms_oracle(0, "DATE_PART('hour', ts) < 12"))
+def g3q2_toms_leg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toms_leg(spark, sf_dir, shift=0, morning=True)
+
+
+@register("g3q2_toms_leg2", _toms_oracle(2, "DATE_PART('hour', ts) >= 12"))
+def g3q2_toms_leg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toms_leg(spark, sf_dir, shift=2, morning=False)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — the generalized A-family aggregate
+# (multi-agg groupBy) used as a bench headline; exercises sum/avg/count
+# in one pass (the reference's AvgReducer family generalized).
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing", _Q1_ORACLE)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events.props JSON extraction (FIXTURES.md §A extensions row):
+# semi-structured column handling via get_json_object.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       COUNT(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_json_extract", _JSON_ORACLE)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("double")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
