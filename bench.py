@@ -1,0 +1,98 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full execution to completion (collect of an
+already-aggregated/limited result — driver-sized outputs only; large
+outputs are drained via count to avoid driver materialization skew).
+A warmup query runs first so JVM/codegen startup isn't attributed to
+the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries whose result is fact-table-sized get drained with .count()
+# instead of .collect() so we measure engine time, not driver transfer.
+_DRAIN_WITH_COUNT = {
+    "t4_popularity_sorted",
+    "x1_popularity_rank",
+    "j3_permutation_triplets",
+    "a6_distinct_keys",
+    "p_leg_candidates",
+}
+
+HEADLINE = [
+    "g1q1_top10_popularity",
+    "g1q2_top10_priority_by_avg_price",
+    "g2q1_top10_customers_per_segment",
+    "g2q3_top10_months_per_flagstatus",
+    "t4_popularity_sorted",
+    "x1_popularity_rank",
+    "g3q2_toms_leg1",
+    "g3q2_toms_leg2",
+    "tpch_q1_pricing",
+    "events_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from airline_dataset_hadoop_public_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cpus=cpus, driver_memory="48g")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # include any registered extension headliners tagged via registry order
+    for extra in (
+        "dedup_minhash_neardup",
+        "dedup_ngram_jaccard",
+        "similarity_bruteforce_topk",
+        "similarity_ivf_topk",
+        "text_quality_scores",
+        "streaming_tumbling_counts",
+    ):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    # warmup: touch every input table + JIT the common plan shapes
+    qs["g1q1_top10_popularity"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name in _DRAIN_WITH_COUNT:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
