@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (SURVEY.md §7.4).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k: probes (a small frame)
+  broadcast against the full embedding table; cosine is a pure
+  higher-order-function expression in float64 (no UDF), top-k via the
+  grouped-top-k operator (one shuffle on probe id). At 100 TB the
+  pattern holds: the probe set is broadcast-sized by construction and
+  the scan is embarrassingly parallel.
+- ``ivf_topk`` — IVF-style pruned search: vectors are assigned to
+  their nearest centroid once (the "index build" — a scan × small
+  broadcast); a probe searches only its `nprobe` nearest centroids'
+  partitions. Deterministic centroid choice (caller supplies them) so
+  results are reproducible and oracle-checkable. Recall < 1 by
+  design; the oracle replicates the same pruning, so the gate checks
+  the ALGORITHM, not approximation error.
+
+`embedding_cosine_pairs` is the near-dup variant (all pairs ≥
+threshold) — quadratic; use it on bounded/bucketed inputs only, which
+is why it takes a pre-bucketed frame rather than bucketing internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import pandas as pd
+
+from ..functions.scalar import cosine_similarity
+from .topk import top_k_per_group
+
+
+def _rename_vec(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"id_{suffix}"), F.col(vec_col).alias(f"vec_{suffix}")
+    )
+
+
+def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataFrame:
+    """Scale vectors to unit L2 norm (float64). After this, cosine is a
+    plain dot product — precomputing norms once per vector instead of
+    per pair cuts the pairwise similarity cost to a third."""
+    out = out or vec_col
+    norm = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return df.withColumn(
+        out, F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE) / {norm})")
+    )
+
+
+_DOT_ARROW = None
+
+
+def _dot_arrow():
+    """Arrow-vectorized dot product UDF (numpy einsum per batch).
+
+    The HOF-expression dot (functions.scalar.cosine_similarity) stays
+    JVM-side but evaluates element-wise per row; for dense pairwise
+    scoring numpy's fused multiply-add over Arrow batches is ~5-10×
+    faster. Created lazily: pandas_udf needs an active SparkSession.
+    """
+    global _DOT_ARROW
+    if _DOT_ARROW is None:
+
+        @F.pandas_udf("double")
+        def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+
+            va = np.stack(a.values)
+            vb = np.stack(b.values)
+            return pd.Series(np.einsum("ij,ij->i", va, vb))
+
+        _DOT_ARROW = dot
+    return _DOT_ARROW
+
+
+def dot_product(a_col: str, b_col: str, arrow: bool = True):
+    """Dot product of two (pre-normalized) vector columns."""
+    if arrow:
+        return _dot_arrow()(F.col(a_col), F.col(b_col))
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, "
+        f"(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (self excluded).
+
+    Output: (probe_id, neighbor_id, cosine). Ranking uses unrounded
+    cosine with neighbor_id tie-break; the emitted value is rounded.
+    """
+    p = _rename_vec(unit_normalize(probes, vec_col), id_col, vec_col, "probe")
+    v = _rename_vec(unit_normalize(vectors, vec_col), id_col, vec_col, "n")
+    scored = (
+        v.crossJoin(F.broadcast(p))
+        .filter(F.col("id_n") != F.col("id_probe"))
+        .withColumn("__cos", dot_product("vec_probe", "vec_n"))
+    )
+    top = top_k_per_group(
+        scored, ["id_probe"], [F.desc("__cos"), F.asc("id_n")], k
+    )
+    return top.select(
+        F.col("id_probe").alias("probe_id"),
+        F.col("id_n").alias("neighbor_id"),
+        F.round("__cos", ndigits).alias("cosine"),
+    )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment — the IVF index build.
+
+    Ties break on ascending centroid id. Output: vectors + centroid_id.
+    """
+    c = _rename_vec(unit_normalize(centroids, vec_col), id_col, vec_col, "c")
+    scored = (
+        unit_normalize(vectors, vec_col, "__nvec")
+        .crossJoin(F.broadcast(c))
+        .withColumn("__cos", dot_product("__nvec", "vec_c"))
+    )
+    best = top_k_per_group(scored, [id_col], [F.desc("__cos"), F.asc("id_c")], 1)
+    return best.select(id_col, vec_col, F.col("id_c").alias(centroid_id))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    ndigits: int = 4,
+) -> DataFrame:
+    """IVF-pruned cosine top-k: search only the `nprobe` centroids
+    nearest each probe. Output: (probe_id, neighbor_id, cosine)."""
+    assigned = unit_normalize(
+        assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
+    )
+    c = _rename_vec(unit_normalize(centroids, vec_col), id_col, vec_col, "c")
+    p = _rename_vec(unit_normalize(probes, vec_col), id_col, vec_col, "probe")
+    probe_cells = top_k_per_group(
+        p.crossJoin(F.broadcast(c)).withColumn(
+            "__pcos", dot_product("vec_probe", "vec_c")
+        ),
+        ["id_probe"],
+        [F.desc("__pcos"), F.asc("id_c")],
+        nprobe,
+    ).select("id_probe", "vec_probe", F.col("id_c").alias("centroid_id"))
+    cand = assigned.join(
+        F.broadcast(probe_cells), "centroid_id"
+    ).filter(F.col(id_col) != F.col("id_probe"))
+    scored = cand.withColumn("__cos", dot_product("vec_probe", vec_col))
+    top = top_k_per_group(scored, ["id_probe"], [F.desc("__cos"), F.asc(id_col)], k)
+    return top.select(
+        F.col("id_probe").alias("probe_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round("__cos", ndigits).alias("cosine"),
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    ndigits: int = 4,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — embedding
+    near-dup detection. Quadratic self-join: bound/bucket the input
+    first at scale (e.g. via `assign_to_centroids` and pairing within
+    cells)."""
+    normed = unit_normalize(vectors, vec_col)
+    a = _rename_vec(normed, id_col, vec_col, "a")
+    b = _rename_vec(normed, id_col, vec_col, "b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", dot_product("vec_a", "vec_b"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
+    )

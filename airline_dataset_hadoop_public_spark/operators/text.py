@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §7.4): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything is built-in-function expressions (split / regexp /
+higher-order array functions) — zero Python in the row path, so the
+whole stage codegens. Each op keeps the exact formulation its DuckDB
+oracle mirrors (see plans/fixtures_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import normalize_text, tokens
+
+# Small public stop/marker word lists (standard high-frequency words).
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "for")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "fr": ("le", "les", "des", "et", "du", "une", "est", "dans"),
+}
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({lst})"
+
+
+def with_tokens(df: DataFrame, text_col: str, out: str = "toks") -> DataFrame:
+    return df.withColumn(out, tokens(text_col))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens) — whitespace tokenization."""
+    return with_tokens(df, text_col).select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, ndigits: int = 4
+) -> DataFrame:
+    """Per-document quality features: length, token stats, average
+    token length, stopword ratio, type-token ratio."""
+    d = with_tokens(df, text_col).withColumn(
+        "__charsum",
+        F.expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"),
+    )
+    n_tok = F.size("toks")
+    stop_hits = F.expr(
+        f"size(filter(toks, t -> {_in_list('t', STOPWORDS_EN)}))"
+    )
+    return d.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars_obs"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.col("__charsum") / n_tok, ndigits).alias("avg_token_len"),
+        F.round(stop_hits / n_tok, ndigits).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("toks")) / n_tok, ndigits).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language scores + argmax prediction.
+
+    Deterministic precedence on ties: en > es > de > fr (fixed CASE
+    cascade, mirrored exactly in the oracle SQL).
+    """
+    d = with_tokens(df, text_col)
+    hits: dict[str, Column] = {
+        lang: F.expr(f"size(filter(toks, t -> {_in_list('t', words)}))").cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+    d = d.select(
+        id_col, *[c.alias(f"{lang}_hits") for lang, c in hits.items()]
+    )
+    en, es, de, fr = (F.col(f"{x}_hits") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.withColumn("pred_lang", pred)
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint) — md5 of the whitespace-normalized text.
+    Stable across engines (DuckDB md5 produces the same hex)."""
+    return df.select(
+        id_col, F.md5(normalize_text(text_col)).alias("fingerprint")
+    )

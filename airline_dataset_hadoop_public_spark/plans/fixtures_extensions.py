@@ -1,0 +1,309 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §7.4) over the
+driver fixtures, each with a DuckDB oracle where SQL-expressible.
+
+Oracle-design notes:
+- Tokenization/normalization is pinned to regex semantics both engines
+  share (`\\s+` split over lower(trim(text))).
+- The near-dup operators (prefix-filter ngram join, MinHash LSH)
+  VERIFY candidates with exact Jaccard, so their output equals the
+  all-pairs ground truth the oracle computes — the oracle checks
+  results, the Spark plan supplies the scalable candidate generation.
+- SimHash output depends on xxhash64 (not available in DuckDB) →
+  rows-only check; its machinery is covered by unit/property tests.
+- Cosine is computed in float64 on both sides (Spark higher-order
+  aggregate vs DuckDB list_cosine_similarity on DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import normalize_text
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..operators.aggregates import avg_by_key
+from ..sources.catalog import load_table
+from ..sources.serving import point_read, write_serving
+from .registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+# DuckDB fragments shared by the text oracles.
+_W = "string_split_regex(lower(trim(text)), '\\s+')"
+_TRIGRAMS = (
+    "list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] "
+    "for i in range(1, len(w) - 1)])"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY norm
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", normalize_text("text")
+    )
+    return D.exact_dedup(docs, "norm", "doc_id").select("doc_id", "n_copies")
+
+
+_NGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, {_TRIGRAMS} AS s FROM t WHERE len(w) >= 3),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+FROM pairs WHERE u > 0 AND CAST(i AS DOUBLE) / u >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (SELECT doc_id, list_distinct({_W}) AS s FROM documents
+            WHERE len({_W}) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+FROM pairs WHERE u > 0 AND CAST(i AS DOUBLE) / u >= 0.9
+"""
+
+
+@register("dedup_minhash_neardup", _MINHASH_ORACLE)
+def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall at t=0.9 with 32 bands × 4 rows is 1-(1-t⁴)³² ≈
+    1-1e-15 — the oracle equality holds with near-certainty; a planted
+    borderline-pair test covers the recall math separately."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=128, bands=32
+    )
+
+
+@register("dedup_simhash", None)  # xxhash64-dependent → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", n=1, max_distance=3)
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_BRUTE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(p.v, e.v) AS c
+  FROM p JOIN e ON e.vec_id <> p.vec_id)
+SELECT probe_id, neighbor_id, ROUND(c, 4) AS cosine FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY c DESC, neighbor_id) <= 10
+"""
+
+
+@register("similarity_bruteforce_topk", _BRUTE_ORACLE)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, probes, k=10)
+
+
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+pcells AS (
+  SELECT probe_id, pv, cid FROM (
+    SELECT p.probe_id, p.pv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+             ORDER BY list_cosine_similarity(p.pv, c.cv) DESC, c.cid) AS rn
+    FROM p CROSS JOIN c) WHERE rn <= 2),
+cand AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(pc.pv, a.v) AS cos
+  FROM pcells pc JOIN assign a
+    ON a.cid = pc.cid AND a.vec_id <> pc.probe_id)
+SELECT probe_id, neighbor_id, ROUND(cos, 4) AS cosine FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY cos DESC, neighbor_id) <= 5
+"""
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, centroids, probes, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = f"""
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
+FROM (SELECT doc_id, {_W} AS w FROM documents)
+"""
+
+
+@register("text_token_counts", _TOKCOUNT_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / len(w), 4) AS avg_token_len,
+       ROUND(CAST(len(list_filter(w, x -> x IN ({_STOPLIST}))) AS DOUBLE)
+             / len(w), 4) AS stopword_ratio,
+       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+         AS type_token_ratio
+FROM (SELECT doc_id, text, {_W} AS w FROM documents)
+"""
+
+
+@register("text_quality_scores", _QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(w, x -> x IN ({lst}))) AS BIGINT) AS {lang}_hits"
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+                 AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM (SELECT doc_id, {_lang_hits_sql('en')}, {_lang_hits_sql('es')},
+             {_lang_hits_sql('de')}, {_lang_hits_sql('fr')}
+      FROM (SELECT doc_id, {_W} AS w FROM documents))
+"""
+
+
+@register("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.langid_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload → Arrow-batched feature extraction)
+# ---------------------------------------------------------------------------
+
+_MM_ORACLE = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+       CAST((octet_length(encode(text)) * 31 +
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE ascii(substr(text, 1, 1)) END) % 1000 AS BIGINT)
+         AS checksum
+FROM documents
+"""
+
+
+@register("multimodal_byte_features", _MM_ORACLE)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = M.with_binary_payload(docs, "text")
+    return M.extract_byte_features(payload, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Serving layer round-trip (S6 + X2): write partitioned, point-read.
+# ---------------------------------------------------------------------------
+
+_SERVING_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+@register("serving_point_read", _SERVING_ORACLE)
+def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    result = avg_by_key(
+        joined, ["c_mktsegment", "o_orderpriority"], "o_totalprice", "avg_price"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, "serving", tag, "seg_priority_avg")
+    write_serving(result, path, ["c_mktsegment"])
+    return point_read(spark, path, c_mktsegment="BUILDING").select(
+        "c_mktsegment", "o_orderpriority", "avg_price"
+    )

@@ -1,0 +1,54 @@
+"""Streaming queries for the driver gate (SURVEY.md §2.10).
+
+Each runs a real Structured Streaming query (file source → windowed
+agg → memory sink) drained synchronously; complete output mode makes
+the final table equal the equivalent batch aggregation, which is what
+the DuckDB oracle computes. The watermark is declared (state-retention
+semantics) but cannot withhold windows under complete mode — append-
+mode watermark behavior is covered in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table
+from ..streaming.windows import run_file_stream_batch, windowed_agg
+from .registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Materialize timestamp-normalized events once per sf as a
+    parquet dir (file streams need micros timestamps + a directory)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, "stream_src", tag, "events")
+    marker = os.path.join(path, "_SUCCESS")
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").parquet(path)
+    return path, ev.schema
+
+
+_TUMBLING_ORACLE = """
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("streaming_tumbling_counts", _TUMBLING_ORACLE)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+    return run_file_stream_batch(
+        spark,
+        src,
+        schema,
+        lambda s: windowed_agg(
+            s, "ts", "1 day", ["event_type"], watermark="1 hour"
+        ),
+    )

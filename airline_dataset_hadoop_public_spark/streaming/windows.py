@@ -1,0 +1,78 @@
+"""Structured Streaming surface (SURVEY.md §2.10 / §7.4).
+
+The reference is batch-only; this module exposes its aggregation
+semantics over unbounded input: tumbling/sliding event-time windows
+with watermarked late-data handling, reusing the same built-in
+aggregates as the batch operators (one logical plan family for both).
+
+``run_file_stream_batch`` drives a file-source stream to completion
+synchronously (memory sink + processAllAvailable) so batch tests and
+the driver's oracle gate can treat a streaming computation as a
+DataFrame-producing query. In production the same `windowed_agg` plan
+runs against kafka/files with a real trigger; only the source/sink
+bindings change.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    watermark: str | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time window
+    counts+sums per key. Watermark bounds state retention — required
+    for append-mode sinks; harmless under complete mode."""
+    src = stream.withWatermark(ts_col, watermark) if watermark else stream
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        src.groupBy(win.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_file_stream_batch(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    build_plan,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Read a parquet directory as a stream, apply `build_plan(stream)`,
+    drain it into a memory sink, and return the final result table.
+
+    Complete output mode emits every window regardless of watermark
+    position, which makes the result equal to the equivalent batch
+    aggregation — that equivalence is exactly what the oracle checks.
+    """
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        build_plan(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
