@@ -43,13 +43,19 @@ def word_ngrams(tokens_col: str, n: int) -> Column:
     """
     if n == 1:
         return F.col(tokens_col)
-    # Spark SQL array indexing is 0-based: element i..i+n-1 per shingle.
-    joined = ", ".join(f"{tokens_col}[i + {j}]" for j in range(n))
+    # Let-binding via transform(array(x), t -> ...)[0]: Catalyst's
+    # CollapseProject happily inlines the tokens-producing expression
+    # (e.g. split()) into every element access inside a lambda, turning
+    # shingle construction quadratic (re-tokenize per shingle per
+    # position). Binding the array to a lambda variable forces exactly
+    # one evaluation. Spark SQL array indexing is 0-based.
+    joined = ", ".join(f"__tk[i + {j}]" for j in range(n))
     return F.expr(
-        f"CASE WHEN size({tokens_col}) >= {n} THEN "
-        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"transform(array({tokens_col}), __tk -> "
+        f"CASE WHEN size(__tk) >= {n} THEN "
+        f"transform(sequence(0, size(__tk) - {n}), "
         f"i -> concat_ws(' ', {joined})) "
-        f"ELSE array() END"
+        f"ELSE array() END)[0]"
     )
 
 

@@ -36,7 +36,6 @@ the returned metrics if exactness matters).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -62,11 +61,89 @@ def exact_dedup(
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """id → distinct n-gram shingle array (sorted for determinism)."""
+    """id → distinct n-gram shingle array (sorted for determinism).
+
+    Shingle construction is CPU-bound; a small-file source (one parquet
+    row-group → one partition) would serialize it, so fan out to the
+    session's parallelism first. The shuffle moves only (id, text).
+    """
+    narrow = df.select(id_col, text_col)
+    par = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
     return (
-        df.select(id_col, tokens(text_col).alias("__toks"))
+        narrow.select(id_col, tokens(text_col).alias("__toks"))
         .withColumn("__sh", F.array_sort(F.array_distinct(word_ngrams("__toks", n))))
         .select(id_col, "__sh")
+    )
+
+
+def _collapse_identical(
+    sh: DataFrame, id_col: str, key: str = "__sh", fingerprint: bool = False
+) -> DataFrame:
+    """Collapse docs whose `key` column (shingle set / signature) is
+    identical into one group: (key, __rep, __members).
+
+    Near-dup corpora are dominated by exact-duplicate clusters; running
+    candidate generation per *distinct* set instead of per doc turns a
+    c-sized duplicate cluster from O(c²·bands) join rows into 1 row.
+    This is the make-or-break step at 100 TB — without it a viral
+    document (millions of copies) alone produces a quadratic shuffle.
+
+    With ``fingerprint=True`` (for array-of-string keys) the group key
+    is md5 of a canonical serialization — tokens contain no whitespace
+    (they come from a ``\\s+`` split), so `concat_ws('\\n')` is
+    injective and the 128-bit digest makes accidental group merges a
+    2⁻¹²⁸ event. Grouping on a 32-char digest avoids deep array
+    hashing/comparison in the aggregate, which dominates otherwise.
+    """
+    if fingerprint:
+        return (
+            sh.withColumn("__fp", F.md5(F.concat_ws("\n", key)))
+            .groupBy("__fp")
+            .agg(
+                F.min(id_col).alias("__rep"),
+                F.collect_list(id_col).alias("__members"),
+                F.first(key).alias(key),
+            )
+            .drop("__fp")
+        )
+    return sh.groupBy(key).agg(
+        F.min(id_col).alias("__rep"),
+        F.collect_list(id_col).alias("__members"),
+    )
+
+
+def _intra_group_pairs(grp: DataFrame, out_col: str, value) -> DataFrame:
+    """All (id_a < id_b) pairs within each duplicate group, with the
+    known similarity `value` (identical sets → Jaccard exactly 1.0,
+    identical signatures → distance 0). Pure expansion, no verification."""
+    return (
+        grp.filter(F.size("__members") > 1)
+        .select(F.explode("__members").alias("id_a"), "__members")
+        .select("id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(out_col, F.lit(value))
+    )
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, grp: DataFrame, val_cols: list[str]) -> DataFrame:
+    """Expand verified representative pairs (id_a=repA, id_b=repB, vals)
+    to every cross-group member combination. Every member of a group has
+    the identical set/signature as its representative, so the similarity
+    value carries over exactly."""
+    ma = grp.select(F.col("__rep").alias("id_a"), F.col("__members").alias("__ma"))
+    mb = grp.select(F.col("__rep").alias("id_b"), F.col("__members").alias("__mb"))
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(*val_cols, F.explode("__ma").alias("__a"), "__mb")
+        .select(*val_cols, "__a", F.explode("__mb").alias("__b"))
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            *val_cols,
+        )
     )
 
 
@@ -113,18 +190,27 @@ def ngram_jaccard_pairs(
     drops prefix tokens whose posting list exceeds the cap — a scale
     guard; at the default it never triggers on test corpora.
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
-    posting = sh.select(id_col, F.explode("__sh").alias("__t"))
+    all_sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    grp = _collapse_identical(all_sh, id_col, fingerprint=True).cache()
+    intra = _intra_group_pairs(grp, "jaccard", 1.0)
+    # Work on 64-bit hashed shingles from here on: prefix filtering only
+    # needs SOME consistent global token order, and Jaccard over hashed
+    # sets equals Jaccard over the shingles (2⁻⁶⁴ within-pair collision
+    # odds). Int posting lists and int array_intersect are far cheaper
+    # than their string equivalents.
+    sh = (
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn("__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))")))
+        .select(id_col, "__hs")
+        .cache()
+    )
+    posting = sh.select(id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t"))
     # global df-order: rarest tokens first → shortest posting lists in
-    # the prefix join. Window over token domain (small) — broadcast-agg.
+    # the prefix join.
     tok_df = posting.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = posting.join(tok_df, "__t").withColumn(
-        "__ord", F.struct(F.col("__df"), F.col("__t"))
-    )
-    w = Window.partitionBy(id_col).orderBy("__ord")
-    with_pos = ranked.withColumn("__pos", F.row_number().over(w)).withColumn(
-        "__len", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
+    ranked = posting.join(tok_df, "__t")
+    w = Window.partitionBy(id_col).orderBy("__df", "__t")
+    with_pos = ranked.withColumn("__pos", F.row_number().over(w))
     # prefix length: |x| - ceil(t*|x|) + 1
     prefix = with_pos.filter(
         F.col("__pos")
@@ -152,7 +238,21 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(cands, sh, id_col, threshold)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
+    rep_pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    cross = _expand_rep_pairs(rep_pairs, grp, ["jaccard"])
+    return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
 def minhash_neardup_pairs(
@@ -177,16 +277,33 @@ def minhash_neardup_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0).cache()
-    sig = sh.withColumn(
+    sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    grp = _collapse_identical(sh, id_col, fingerprint=True).cache()
+    intra = _intra_group_pairs(grp, "jaccard", 1.0)
+    # LSH over distinct shingle sets only, keyed by group representative.
+    # Signature: hash each shingle to int64 once, then derive the H
+    # MinHash functions as xxhash64(seed, base) int permutations — one
+    # string hash per shingle instead of H. The same int-hash array
+    # also backs verification: Jaccard over 64-bit hashed shingles
+    # equals Jaccard over the shingles themselves up to a ~2⁻⁶⁴
+    # within-pair collision probability, and int array_intersect is
+    # far cheaper than string array_intersect.
+    reps = (
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn("__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))")))
+        .select(id_col, "__hs")
+        .cache()
+    )
+    sig = reps.withColumn(
         "__sig",
         F.expr(
             f"transform(sequence(0, {num_hashes - 1}), "
-            f"s -> array_min(transform(__sh, t -> xxhash64(s, t))))"
+            f"s -> array_min(transform(__hs, h -> xxhash64(s, h))))"
         ),
     )
     banded = sig.select(
         id_col,
+        F.size("__hs").alias("__len"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -195,7 +312,7 @@ def minhash_neardup_pairs(
                 f"{rows_per_band})) AS bkey))"
             )
         ).alias("__band"),
-    ).select(id_col, "__band.band", "__band.bkey")
+    ).select(id_col, "__len", "__band.band", "__band.bkey")
     big = (
         banded.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -203,15 +320,36 @@ def minhash_neardup_pairs(
         .select("band", "bkey")
     )
     banded = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    ba = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    bb = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    ba = banded.select(F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey")
+    bb = banded.select(F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey")
+    # size filter: J(x,y) ≥ t ⇒ t·|x| ≤ |y| — prunes size-incompatible
+    # collisions before the distinct (no recall loss), which is most of
+    # the candidate volume on self-similar corpora.
     cands = (
         ba.join(bb, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
+            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(cands, sh, id_col, threshold)
+    a = reps.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
+    b = reps.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
+    rep_pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    cross = _expand_rep_pairs(rep_pairs, grp, ["jaccard"])
+    return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
@@ -253,8 +391,16 @@ def simhash_pairs(
     """
     chunks = max_distance + 1
     width = 64 // chunks
-    sigs = simhash_signature(df, id_col, text_col, n).cache()
-    chunked = sigs.select(
+    sigs = simhash_signature(df, id_col, text_col, n)
+    # Collapse identical signatures: distance is a pure function of the
+    # signature, so candidate generation runs once per distinct value
+    # (intra-group pairs have distance 0 by construction).
+    grp = _collapse_identical(sigs, id_col, key="simhash").cache()
+    intra = _intra_group_pairs(grp, "distance", 0).withColumn(
+        "distance", F.col("distance").cast("long")
+    )
+    reps = grp.select(F.col("__rep").alias(id_col), "simhash")
+    chunked = reps.select(
         id_col,
         "simhash",
         F.explode(
@@ -279,7 +425,7 @@ def simhash_pairs(
     cb = chunked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "chunk", "ckey"
     )
-    return (
+    rep_pairs = (
         ca.join(cb, ["chunk", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__ha", "__hb")
@@ -288,3 +434,5 @@ def simhash_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
     )
+    cross = _expand_rep_pairs(rep_pairs, grp, ["distance"])
+    return intra.select("id_a", "id_b", "distance").unionByName(cross)
