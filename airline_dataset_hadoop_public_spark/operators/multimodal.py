@@ -64,6 +64,48 @@ def extract_byte_features(
     )
 
 
+FRAME_SCHEMA = "id bigint, frame_idx bigint, byte_val bigint"
+
+
+def _frame_batch(
+    batches: Iterator[pd.DataFrame], id_name: str, stride: int, max_frames: int
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, vals = [], [], []
+        for rid, payload in zip(pdf[id_name], pdf["payload"]):
+            for i in range(max_frames):
+                pos = i * stride
+                if pos >= len(payload):
+                    break
+                ids.append(rid)
+                idxs.append(i)
+                vals.append(payload[pos])
+        yield pd.DataFrame({"id": ids, "frame_idx": idxs, "byte_val": vals})
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    stride: int = 16,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit every
+    `stride`-th byte (up to `max_frames`) as one row per "frame".
+
+    In a real pipeline the body of `_frame_batch` seeks keyframes with
+    an av/ffmpeg decoder; here the deterministic byte sampler stands in
+    so the row-explosion shape, Arrow batching, and output schema —
+    the parts Spark cares about — are real and oracle-checked. One
+    narrow mapInPandas pass, no shuffle, no driver involvement.
+    """
+    narrow = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    return narrow.mapInPandas(
+        lambda it: _frame_batch(it, id_col, stride, max_frames),
+        schema=FRAME_SCHEMA,
+    )
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload"):
     """Real media decode — requires image/audio libs absent from this
     environment. The Spark plumbing above is the tested surface."""

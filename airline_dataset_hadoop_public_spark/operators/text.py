@@ -98,3 +98,48 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         id_col, F.md5(normalize_text(text_col)).alias("fingerprint")
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style split shape, restricted to a regex subset
+# that Java regex and RE2 (DuckDB) interpret identically.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens) — count of BPE-style pre-tokens. A proxy for
+    LLM token budgeting; the regex runs JVM-side (codegen)."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def rolling_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """(id, rhash) — polynomial rolling hash of the normalized text's
+    byte codes: fold (acc·base + code) mod `mod` left-to-right. Pure
+    higher-order expression; `mod` < 2³¹ keeps acc·base + code inside
+    int64. Mirrored in DuckDB via list_reduce with a prepended 0 seed.
+    """
+    codes = (
+        "transform(sequence(1, length(__norm)), "
+        "i -> CAST(ascii(substr(__norm, i, 1)) AS BIGINT))"
+    )
+    return (
+        df.withColumn("__norm", normalize_text(text_col))
+        .select(
+            id_col,
+            F.expr(
+                f"aggregate({codes}, CAST(0 AS BIGINT), "
+                f"(a, c) -> (a * {base} + c) % {mod})"
+            ).alias("rhash"),
+        )
+    )

@@ -256,6 +256,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{X.BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("text_bpe_token_counts", _BPE_ORACLE)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_token_counts(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# Rolling hash: DuckDB list_reduce has no init accumulator, so seed it
+# by prepending 0 — identical fold to Spark's aggregate(…, 0, …).
+_RHASH_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(norm) + 1),
+                          i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+         (a, c) -> (a * 31 + c) % 1000000007) AS rhash
+FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+"""
+
+
+@register("text_rolling_hash", _RHASH_ORACLE)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.rolling_hash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payload → Arrow-batched feature extraction)
 # ---------------------------------------------------------------------------
@@ -278,6 +312,25 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = M.with_binary_payload(docs, "text")
     return M.extract_byte_features(payload, "doc_id")
+
+
+# Frame sampling over a video-like payload: every 16th byte, up to 8
+# "frames", one output row each. The documents corpus is pure ASCII so
+# DuckDB's ascii(substr(..)) equals the UTF-8 byte the Spark side reads.
+_FRAME_ORACLE = """
+SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(ascii(substr(text, CAST(i * 16 + 1 AS INT), 1)) AS BIGINT)
+         AS byte_val
+FROM documents CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) g
+WHERE i * 16 < length(text)
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = M.with_binary_payload(docs, "text")
+    return M.sample_frames(payload, "doc_id", stride=16, max_frames=8)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,36 @@ def g2q1_top10_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# G2Q2 — the destination variant of the same A4 + T3 family.
+# Reference: AvgDepDelayPerAirportDest + Top10DestByDepDelayPerAirport,
+# README.md:286-326. Fixture analog: per part brand, the 10 parts with
+# the lowest average extended price (lineitem ⋈ part on partkey —
+# part is the dimension side → broadcast).
+# ---------------------------------------------------------------------------
+
+_G2Q2_ORACLE = """
+SELECT p_brand, l_partkey, avg_price FROM (
+  SELECT p_brand, l_partkey,
+         ROUND(AVG(l_extendedprice), 4) AS avg_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+) QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY p_brand ORDER BY avg_price ASC, l_partkey) <= 10
+"""
+
+
+@register("g2q2_top10_parts_per_brand", _G2Q2_ORACLE)
+def g2q2_top10_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg = avg_by_key(joined, ["p_brand", "l_partkey"], "l_extendedprice", "avg_price")
+    return top_k_per_group(
+        avg, ["p_brand"], [F.asc("avg_price"), F.asc("l_partkey")], 10
+    )
+
+
+# ---------------------------------------------------------------------------
 # G2Q3 — per-(pair)-group top-10 of a 3-column-key average (A5 + T3).
 # Reference: AvgArrDelayPerAirportPairCarrier + Top10CarriersByArrDelay-
 # PerAirportPair, README.md:333-367. Fixture analog: per

@@ -15,7 +15,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.catalog import load_table
-from ..streaming.windows import run_file_stream_batch, windowed_agg
+from ..streaming.windows import (
+    run_file_stream_batch,
+    session_window_agg,
+    windowed_agg,
+)
 from .registry import register
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -50,5 +54,72 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
         lambda s: windowed_agg(
             s, "ts", "1 day", ["event_type"], watermark="1 hour"
+        ),
+    )
+
+
+# Sliding window: 1-day windows every 12 hours — each event lands in
+# two windows. Oracle enumerates both epoch-aligned starts per event
+# (Spark aligns window starts to the unix epoch; make_timestamp
+# rebuilds the naive UTC timestamp from epoch seconds).
+_SLIDING_ORACLE = """
+SELECT STRFTIME(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type, value,
+         UNNEST([
+           make_timestamp((CAST(floor(epoch(ts) / 43200) AS BIGINT) - 1)
+                          * 43200 * 1000000),
+           make_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT)
+                          * 43200 * 1000000)
+         ]) AS s
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_sliding_counts", _SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+    return run_file_stream_batch(
+        spark,
+        src,
+        schema,
+        lambda s: windowed_agg(
+            s, "ts", "1 day", ["event_type"], watermark="1 hour", slide="12 hours"
+        ),
+    )
+
+
+# Session windows (gap 6h) per user over the same stream. Oracle:
+# classic lag + cumulative-sum sessionization — a new session starts
+# exactly when the gap to the previous event is >= the 6h gap, which
+# matches Spark session_window's strict [ts, ts+gap) merge rule.
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o)
+SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("streaming_session_windows", _SESSION_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+    return run_file_stream_batch(
+        spark,
+        src,
+        schema,
+        lambda s: session_window_agg(
+            s, "ts", "6 hours", ["user_id"], watermark="1 hour"
         ),
     )

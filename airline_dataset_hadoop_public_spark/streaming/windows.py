@@ -48,6 +48,32 @@ def windowed_agg(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows per key (count + sum), via Spark's
+    native ``session_window``: events whose [ts, ts+gap) windows chain
+    transitively merge into one session; a new session starts exactly
+    when the gap to the previous event is ≥ `gap`. Works identically
+    on batch and streaming input (watermark required for streaming
+    state eviction)."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            *keys,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_file_stream_batch(
     spark: SparkSession,
     src_dir: str,

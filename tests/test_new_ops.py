@@ -1,0 +1,154 @@
+"""Tests for the round-1 widening: BPE token counts, rolling hash,
+frame sampling, session windows, stateful streaming, power-law fit."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_bpe_token_counts_known_string(spark):
+    from airline_dataset_hadoop_public_spark.operators.text import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello, world 42!"), Row(doc_id=2, text="")]
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(df, "doc_id", "text").collect()}
+    # Hello | , | world | 42 | !  → 5 pre-tokens
+    assert got == {1: 5, 2: 0}
+
+
+def test_rolling_hash_matches_python(spark):
+    from airline_dataset_hadoop_public_spark.operators.text import rolling_hash
+
+    text = "The  Quick\tBrown fox"
+    norm = "the quick brown fox"
+    expect = 0
+    for ch in norm:
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    df = spark.createDataFrame([Row(doc_id=7, text=text)])
+    [row] = rolling_hash(df, "doc_id", "text").collect()
+    assert (row["doc_id"], row["rhash"]) == (7, expect)
+
+
+def test_sample_frames_shape_and_values(spark):
+    from airline_dataset_hadoop_public_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    long = "a" * 200  # 8 frames at stride 16 (bounded by max_frames)
+    short = "xyz"  # 1 frame
+    df = with_binary_payload(
+        spark.createDataFrame([Row(doc_id=1, text=long), Row(doc_id=2, text=short)]),
+        "text",
+    )
+    rows = sample_frames(df, "doc_id", stride=16, max_frames=8).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["byte_val"]))
+    assert len(by_id[1]) == 8 and all(v == ord("a") for _, v in by_id[1])
+    assert by_id[2] == [(0, ord("x"))]
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=ts, value=float(v)) for u, ts, v in rows]
+    )
+
+
+def test_session_window_gap_semantics(spark):
+    from airline_dataset_hadoop_public_spark.streaming.windows import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + 2 * h, 2.0),  # gap 2h < 6h → same session
+        (1, t0 + 9 * h, 3.0),  # gap 7h ≥ 6h → new session
+        (2, t0 + 6 * h, 4.0),  # lone session for user 2
+    ]
+    got = {
+        (r["user_id"], r["session_start"]): (r["n"], r["sum_value"])
+        for r in session_window_agg(
+            _mk_events(spark, rows), "ts", "6 hours", ["user_id"]
+        ).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (2, 3.0),
+        (1, "2024-01-01 09:00:00"): (1, 3.0),
+        (2, "2024-01-01 06:00:00"): (1, 4.0),
+    }
+
+
+def test_stateful_running_count_applyInPandasWithState(spark, tmp_path):
+    """Custom stateful streaming operator: per-key running event count
+    via applyInPandasWithState (the §2.10 extension's escape hatch for
+    semantics window aggs can't express)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    events = _mk_events(
+        spark,
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            (1, dt.datetime(2024, 1, 1, 1, 0, 0), 1.0),
+            (2, dt.datetime(2024, 1, 1, 2, 0, 0), 1.0),
+        ],
+    )
+    events.write.mode("overwrite").parquet(src)
+
+    def running_count(key, pdfs, state: GroupState):
+        (uid,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [uid], "n_events": [n]})
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            running_count,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM running_counts GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_fit_rank_distribution_shape():
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.analytics import fit_rank_distribution
+
+    rng = range(1, 101)
+    pdf = pd.DataFrame({"rank": list(rng), "cnt": [1000.0 / r for r in rng]})
+    out = fit_rank_distribution(pdf)
+    assert set(out) == {"zipf", "poisson", "lognormal", "pareto", "best"}
+    assert out["best"] in ("zipf", "pareto")  # 1/r data is zipf-shaped
+    assert out["zipf"]["sse"] >= 0.0 and np.isfinite(out["zipf"]["sse"])
+    # exact recovery on perfectly zipfian data: a ≈ 1
+    assert abs(out["zipf"]["params"][0] - 1.0) < 1e-6
