@@ -27,6 +27,11 @@ _DRAIN_WITH_COUNT = {
     "j3_permutation_triplets",
     "a6_distinct_keys",
     "p_leg_candidates",
+    # all-pairs outputs are quadratic in duplicate-cluster size —
+    # measure the engine, not a ~1M-row driver transfer
+    "dedup_minhash_neardup",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
 }
 
 HEADLINE = [
@@ -61,6 +66,7 @@ def main() -> None:
         "similarity_ivf_topk",
         "text_quality_scores",
         "streaming_tumbling_counts",
+        "streaming_session_windows",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
