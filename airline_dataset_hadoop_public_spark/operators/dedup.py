@@ -354,14 +354,20 @@ def minhash_neardup_pairs(
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
     """id → 64-bit SimHash of the document's n-gram shingle set."""
-    sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    sh = (
+        _shingled(df, id_col, text_col, n)
+        .filter(F.size("__sh") > 0)
+        # hash shingles once up front: referencing xxhash64(t) inside
+        # the per-bit transform below would hash every shingle 64×
+        .withColumn("__hs", F.expr("transform(__sh, t -> xxhash64(t))"))
+    )
     # votes[j] = sum over shingles of ±1 per bit j; bit j set iff > 0.
     votes = (
-        "aggregate(__sh, "
+        "aggregate(__hs, "
         "array_repeat(CAST(0 AS BIGINT), 64), "
-        "(acc, t) -> zip_with(acc, "
+        "(acc, h) -> zip_with(acc, "
         "  transform(sequence(0, 63), "
-        "    j -> CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 "
+        "    j -> CASE WHEN (shiftright(h, j) & 1) = 1 "
         "         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), "
         "  (a, b) -> a + b))"
     )

@@ -47,8 +47,16 @@ def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataF
         f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
+    # let-bind the norm via transform(array(x), nm -> …)[0]: placed
+    # directly inside the division lambda it would be re-evaluated per
+    # vector element (O(d²) per row — see functions.scalar.word_ngrams
+    # for the same Catalyst inlining pitfall).
     return df.withColumn(
-        out, F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE) / {norm})")
+        out,
+        F.expr(
+            f"transform(array({norm}), __nm -> "
+            f"transform({vec_col}, v -> CAST(v AS DOUBLE) / __nm))[0]"
+        ),
     )
 
 
