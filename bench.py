@@ -44,6 +44,8 @@ HEADLINE = [
     "g3q2_toms_leg1",
     "g3q2_toms_leg2",
     "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
     "events_json_extract",
 ]
 

@@ -1,0 +1,89 @@
+"""End-to-end pipeline: what a reference user's full workflow becomes
+on this engine — raw monthly CSVs → canonical parquet → all seven
+query families → serving layer → point lookups.
+
+Mirrors the reference's gradle-task-per-job flow
+(/root/reference/README.md:86,133-139) as ONE lazy-plan pipeline with
+two explicit materializations (the canonical store and the serving
+write), per SURVEY.md §3.
+"""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def canonical(spark, tmp_path_factory):
+    """CSV tree → canonical year-partitioned parquet, once."""
+    from airline_dataset_hadoop_public_spark.sources.ingest import (
+        canonicalize,
+        read_canonical,
+        read_ontime_csv,
+    )
+    from airline_dataset_hadoop_public_spark.testing.ontime import generate_ontime_rows
+
+    tmp = tmp_path_factory.mktemp("e2e")
+    rows = generate_ontime_rows(12_000, seed=11)
+    header = [
+        "FlightDate", "UniqueCarrier", "FlightNum", "Origin", "Dest",
+        "DepTime", "DepDelay", "ArrDelay",
+    ]
+    per_file = 3000
+    for i in range(0, len(rows), per_file):
+        d = tmp / "csv" / f"month_{i // per_file}"
+        d.mkdir(parents=True)
+        with open(d / "data.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            for r in rows[i : i + per_file]:
+                w.writerow([r[c] if r[c] is not None else "" for c in header])
+    canonicalize(read_ontime_csv(spark, str(tmp / "csv")), str(tmp / "parquet"))
+    return read_canonical(spark, str(tmp / "parquet")).cache()
+
+
+def test_all_seven_query_families_run(spark, canonical):
+    from airline_dataset_hadoop_public_spark.plans import airline as A
+
+    assert canonical.count() == 12_000
+    top_airports = A.g1q1_airport_popularity(canonical).collect()
+    assert len(top_airports) == 10
+    assert A.g1q2_carrier_on_time(canonical).count() == 10
+    assert A.g2q1_carriers_per_airport(canonical).count() > 0
+    assert A.g2q2_dests_per_airport(canonical).count() > 0
+    assert A.g2q3_carriers_per_route(canonical).count() > 0
+    ranked = A.g3q1_popularity_ranked(canonical)
+    pdf = ranked.toPandas()
+    from airline_dataset_hadoop_public_spark.analytics import fit_rank_distribution
+
+    fit = fit_rank_distribution(pdf.rename(columns={"flights": "cnt"}))
+    assert fit["best"] is not None  # G3Q1 tail runs on engine output
+    legs = A.leg_candidates(canonical, year=2008)
+    reqs = A.requests(spark, A.airports(canonical), limit=2000)
+    assert A.toms_leg(reqs, legs, 1).columns[0] == "origin"
+
+
+def test_serving_roundtrip_with_partition_pruning(spark, canonical, tmp_path):
+    from airline_dataset_hadoop_public_spark.plans import airline as A
+    from airline_dataset_hadoop_public_spark.sources.serving import (
+        point_read,
+        write_serving,
+    )
+
+    g2q1 = A.g2q1_carriers_per_airport(canonical)
+    path = str(tmp_path / "serving" / "g2q1")
+    write_serving(g2q1, path, ["Origin"])
+    got = point_read(spark, path, Origin="ORD")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruned like a Cassandra partition read
+    expect = {
+        (r["UniqueCarrier"], r["avg_dep_delay"])
+        for r in g2q1.filter(F.col("Origin") == "ORD").collect()
+    }
+    assert {
+        (r["UniqueCarrier"], r["avg_dep_delay"]) for r in got.collect()
+    } == expect
