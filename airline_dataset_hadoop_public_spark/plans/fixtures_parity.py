@@ -526,3 +526,23 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# from_json with an explicit schema — the typed-struct flattening path
+# (vs get_json_object's per-path string extraction above). Catalyst's
+# OptimizeJsonExprs collapses the struct access into a single parse.
+_JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+       json_extract_string(props, '$.tag') AS tag
+FROM events
+"""
+
+
+@register("events_json_struct", _JSON_STRUCT_ORACLE)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "__p", F.from_json("props", "k double, tag string")
+    )
+    return parsed.select("event_id", F.col("__p.k").alias("k"), F.col("__p.tag").alias("tag"))

@@ -123,3 +123,27 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             s, "ts", "6 hours", ["user_id"], watermark="1 hour"
         ),
     )
+
+
+# Custom stateful operator (applyInPandasWithState): per-user running
+# (count, sum). The final emission per key equals the batch aggregate,
+# so even arbitrary cross-batch Python state is oracle-checkable.
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_running_counts", _STATEFUL_ORACLE)
+def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import final_state, running_count_sum
+
+    src, schema = _events_stream_dir(spark, sf_dir)
+    return run_file_stream_batch(
+        spark,
+        src,
+        schema,
+        lambda s: running_count_sum(s, "user_id", "value"),
+        output_mode="update",
+        finalize=lambda df: final_state(df, "user_id"),
+    )

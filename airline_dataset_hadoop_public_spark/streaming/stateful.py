@@ -1,0 +1,65 @@
+"""Custom stateful streaming operators (SURVEY.md §2.10 extension):
+per-key state maintained across micro-batches via
+``applyInPandasWithState`` — the escape hatch for semantics the
+built-in windowed aggregations can't express (running aggregates,
+custom session logic, cross-batch decay models).
+
+The reference is batch-only; this is the Structured Streaming analog
+of its AvgReducer-style per-key accumulation, kept deliberately small:
+state is one tuple per key, updates are Arrow-batched, and the
+operator emits its state every batch (update mode), so the *final*
+emission per key equals the batch ground truth — which is what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def running_count_sum(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, sum) over an unbounded stream.
+
+    Output per batch: one row per key seen in the batch with the
+    cumulative count and sum so far. NoTimeout: state lives for the
+    stream's lifetime (bound it with a timeout in production if the
+    key domain is unbounded).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (k,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [k], "n_events": [n], "sum_value": [round(s, 4)]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_state(df: DataFrame, key_col: str) -> DataFrame:
+    """Reduce an update-mode sink to each key's LAST emission (running
+    aggregates are monotone in count, so the max-count row per key is
+    the final state — which equals the batch ground truth)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(key_col)
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("__last"))
+        .select(key_col, "__last.n_events", "__last.sum_value")
+    )

@@ -80,6 +80,7 @@ def run_file_stream_batch(
     schema,
     build_plan,
     output_mode: str = "complete",
+    finalize=None,
 ) -> DataFrame:
     """Read a parquet directory as a stream, apply `build_plan(stream)`,
     drain it into a memory sink, and return the final result table.
@@ -87,6 +88,8 @@ def run_file_stream_batch(
     Complete output mode emits every window regardless of watermark
     position, which makes the result equal to the equivalent batch
     aggregation — that equivalence is exactly what the oracle checks.
+    `finalize(df)` post-processes the sink table (e.g. reduce an
+    update-mode sink to each key's last emission).
     """
     name = f"stream_{uuid.uuid4().hex[:12]}"
     stream = spark.readStream.schema(schema).parquet(src_dir)
@@ -101,4 +104,5 @@ def run_file_stream_batch(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    out = spark.table(name)
+    return finalize(out) if finalize else out
