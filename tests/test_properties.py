@@ -145,3 +145,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """90%-hot-key corpus: the salted join must return exactly the
+    plain join's multiset of rows."""
+    from airline_dataset_hadoop_public_spark.operators.skew import salted_join
+
+    rows = [Row(k=(0 if i % 10 else i % 7), v=i) for i in range(2000)]
+    skewed = spark.createDataFrame(rows)
+    small = spark.createDataFrame([Row(k=k, name=f"dim_{k}") for k in range(7)])
+    got = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(skewed, small, ["k"], n_salt=4).collect()
+    )
+    expect = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in skewed.join(small, ["k"]).collect()
+    )
+    assert got == expect
