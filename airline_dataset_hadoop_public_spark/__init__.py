@@ -17,8 +17,11 @@ re-expresses every capability Spark-first:
 - ``plans``     — the seven reference queries (G1Q1..G3Q2) over an
                   airline `ontime` frame, and the driver-contract
                   fixture queries with their DuckDB oracle SQL.
-- ``streaming`` — Structured Streaming surface (tumbling windows,
-                  watermarks) over the same aggregation operators.
+- ``streaming`` — Structured Streaming surface: tumbling/sliding/
+                  session event-time windows with watermarks, plus
+                  custom cross-batch state via applyInPandasWithState.
+- ``analytics`` — the G3Q1 offline tail (rank-distribution fitting).
+- ``testing``   — deterministic synthetic BTS-shaped data generator.
 
 Everything is DataFrame-declarative so Catalyst handles column pruning,
 predicate pushdown, partial aggregation, and AQE picks physical join

@@ -1,6 +1,29 @@
 from .aggregates import avg_by_key, distinct_union, explode_count, union_all_column
 from .argmin import argmin_by
+from .dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signature,
+)
 from .generators import date_series, permutation_triplets
+from .multimodal import extract_byte_features, sample_frames, with_binary_payload
+from .similarity import (
+    brute_force_topk,
+    embedding_cosine_pairs,
+    ivf_topk,
+    unit_normalize,
+)
+from .skew import salted_join
+from .text import (
+    bpe_token_counts,
+    fingerprints,
+    langid_scores,
+    quality_scores,
+    rolling_hash,
+    token_counts,
+)
 from .topk import global_sort, global_top_k, rank_table, top_k_per_group
 
 __all__ = [
@@ -9,8 +32,27 @@ __all__ = [
     "explode_count",
     "union_all_column",
     "argmin_by",
+    "exact_dedup",
+    "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "simhash_signature",
     "date_series",
     "permutation_triplets",
+    "extract_byte_features",
+    "sample_frames",
+    "with_binary_payload",
+    "brute_force_topk",
+    "embedding_cosine_pairs",
+    "ivf_topk",
+    "unit_normalize",
+    "salted_join",
+    "bpe_token_counts",
+    "fingerprints",
+    "langid_scores",
+    "quality_scores",
+    "rolling_hash",
+    "token_counts",
     "global_sort",
     "global_top_k",
     "rank_table",
