@@ -80,7 +80,15 @@ def _frame_batch(
                 ids.append(rid)
                 idxs.append(i)
                 vals.append(payload[pos])
-        yield pd.DataFrame({"id": ids, "frame_idx": idxs, "byte_val": vals})
+        # explicit dtypes: an empty batch would otherwise infer object
+        # columns and trip pandas' all-NA concat deprecation
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "byte_val": pd.Series(vals, dtype="int64"),
+            }
+        )
 
 
 def sample_frames(

@@ -42,6 +42,28 @@ def create_database(spark: SparkSession, name: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
 
 
+def write_text_report(
+    df: DataFrame,
+    path: str,
+    sep: str = " ",
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """S4: the reference's part-r-00000 text sink
+    (README.md:133-139) — space-delimited lines of the stringified
+    columns. `single_file=True` reproduces the one-file layout via
+    coalesce(1); leave False at scale (a single writer serializes the
+    job — the reference's own bottleneck)."""
+    out = df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias(
+            "value"
+        )
+    )
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode(mode).text(path)
+
+
 def save_bucketed(
     df: DataFrame, table: str, bucket_cols: list[str], num_buckets: int = 16
 ) -> None:

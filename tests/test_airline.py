@@ -180,3 +180,41 @@ def test_csv_ingest_and_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "Year" in plan
     assert pruned.count() == canon.filter(F.year("FlightDate") == 2008).count()
+
+
+def test_golden_report_layout_g2q1(spark, ontime, tmp_path):
+    """Reference README-style report: per named airport, up to 10
+    'ORIGIN CARRIER avg' lines, best (lowest) first — the G2Q1 sample
+    layout (README.md:204-239) — written through the S4 text sink."""
+    from airline_dataset_hadoop_public_spark.functions.scalar import composite_key
+    from airline_dataset_hadoop_public_spark.plans.airline import (
+        g2q1_carriers_per_airport,
+    )
+    from airline_dataset_hadoop_public_spark.sources.serving import write_text_report
+
+    focus = ["CMI", "BWI", "MIA", "LAX", "IAH", "SFO"]
+    out = (
+        g2q1_carriers_per_airport(ontime)
+        .filter(F.col("Origin").isin(focus))
+        .orderBy("Origin", "avg_dep_delay", "UniqueCarrier")
+    )
+    report = out.select(
+        composite_key(["Origin", "UniqueCarrier", "avg_dep_delay"]).alias("line")
+    )
+    path = str(tmp_path / "report")
+    write_text_report(out, path, single_file=True)
+    import glob
+    import re
+
+    [part] = glob.glob(f"{path}/part-*")
+    lines = open(part).read().splitlines()
+    assert lines == [r["line"] for r in report.collect()]
+    pat = re.compile(r"^[A-Z]{3} [A-Z0-9()]{2,5} -?\d+(\.\d+)?$")
+    assert lines and all(pat.match(ln) for ln in lines)
+    # per airport: ≤10 lines, ascending delays
+    per = {}
+    for ln in lines:
+        o, _, v = ln.split(" ")
+        per.setdefault(o, []).append(float(v))
+    for o, vs in per.items():
+        assert len(vs) <= 10 and vs == sorted(vs), o
