@@ -185,6 +185,46 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_within_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    ndigits: int = 4,
+) -> DataFrame:
+    """The scale path for embedding near-dup: pair vectors only within
+    their IVF cell (nearest-centroid partition) instead of all-pairs.
+
+    Near-duplicates land in the same cell with high probability (their
+    cosine to every centroid is nearly equal), so the quadratic blowup
+    is bounded per cell — the same partition-then-pair layout the text
+    near-dup operators use. Recall < 1 by design (cell-boundary pairs
+    are missed); the oracle replicates the identical assignment +
+    in-cell pairing, so the gate checks the algorithm.
+    """
+    assigned = unit_normalize(
+        assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
+    )
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", dot_product("vec_a", "vec_b"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
+    )
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

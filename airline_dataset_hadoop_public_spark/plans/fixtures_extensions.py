@@ -126,6 +126,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_pairs(emb, threshold=0.4)
 
 
+# IVF-bucketed near-dup — the 100 TB path: pairs only within nearest-
+# centroid cells. The oracle replicates the identical assignment
+# (argmax cosine, centroid-id tie-break) and in-cell pairing.
+_EMB_IVF_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine_ivf", _EMB_IVF_NEARDUP_ORACLE)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return S.cosine_pairs_within_cells(emb, centroids, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

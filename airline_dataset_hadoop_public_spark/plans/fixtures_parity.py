@@ -430,6 +430,61 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window-frame running aggregate (§2.7 — absent from the reference's
+# surface, exposed as an engine extension): per-user cumulative sum of
+# event values in time order. Frame: rows unbounded preceding.
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+"""
+
+
+@register("events_running_sum", _RUNNING_ORACLE)
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count aggregate (extension; reference has plain distinct A6
+# but no count-distinct): active users + value total per event type.
+# ---------------------------------------------------------------------------
+
+_CNTD_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_distinct_users", _CNTD_ORACLE)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q3/Q6-shaped bench classics: 3-way join + agg + top-k, and a
 # pure filter-aggregate — the canonical join-order / pushdown shapes.
 # ---------------------------------------------------------------------------

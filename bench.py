@@ -32,6 +32,7 @@ _DRAIN_WITH_COUNT = {
     "dedup_minhash_neardup",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "streaming_session_windows",
 }
 
 HEADLINE = [
