@@ -10,7 +10,7 @@ oracle mirrors (see plans/fixtures_extensions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import normalize_text, tokens
@@ -47,24 +47,29 @@ def quality_scores(
     df: DataFrame, id_col: str, text_col: str, ndigits: int = 4
 ) -> DataFrame:
     """Per-document quality features: length, token stats, average
-    token length, stopword ratio, type-token ratio."""
-    d = with_tokens(df, text_col).withColumn(
-        "__charsum",
-        F.expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"),
-    )
-    n_tok = F.size("toks")
-    stop_hits = F.expr(
-        f"size(filter(toks, t -> {_in_list('t', STOPWORDS_EN)}))"
-    )
+    token length, stopword ratio, type-token ratio.
+
+    All token-derived features are computed inside ONE let-bound
+    struct, so the text is tokenized exactly once per row — separate
+    top-level expressions would each get the split() inlined by
+    CollapseProject (5× tokenization at scale).
+    """
+    feat = (
+        "transform(array(split(lower(trim({t})), '\\\\s+')), toks -> struct("
+        "CAST(size(toks) AS BIGINT) AS n_tokens, "
+        "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS charsum, "
+        f"size(filter(toks, t -> {_in_list('t', STOPWORDS_EN)})) AS stop_hits, "
+        "size(array_distinct(toks)) AS n_distinct))[0]"
+    ).format(t=text_col)
+    d = df.withColumn("__f", F.expr(feat))
+    n_tok = F.col("__f.n_tokens")
     return d.select(
         id_col,
         F.length(text_col).cast("long").alias("n_chars_obs"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(F.col("__charsum") / n_tok, ndigits).alias("avg_token_len"),
-        F.round(stop_hits / n_tok, ndigits).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct("toks")) / n_tok, ndigits).alias(
-            "type_token_ratio"
-        ),
+        n_tok.alias("n_tokens"),
+        F.round(F.col("__f.charsum") / n_tok, ndigits).alias("avg_token_len"),
+        F.round(F.col("__f.stop_hits") / n_tok, ndigits).alias("stopword_ratio"),
+        F.round(F.col("__f.n_distinct") / n_tok, ndigits).alias("type_token_ratio"),
     )
 
 
@@ -74,13 +79,19 @@ def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Deterministic precedence on ties: en > es > de > fr (fixed CASE
     cascade, mirrored exactly in the oracle SQL).
     """
-    d = with_tokens(df, text_col)
-    hits: dict[str, Column] = {
-        lang: F.expr(f"size(filter(toks, t -> {_in_list('t', words)}))").cast("long")
+    hit_fields = ", ".join(
+        f"CAST(size(filter(toks, t -> {_in_list('t', words)})) AS BIGINT) "
+        f"AS {lang}_hits"
         for lang, words in LANG_MARKERS.items()
-    }
-    d = d.select(
-        id_col, *[c.alias(f"{lang}_hits") for lang, c in hits.items()]
+    )
+    # single let-bound struct → one tokenization per row (see
+    # quality_scores for the CollapseProject rationale)
+    feat = (
+        f"transform(array(split(lower(trim({text_col})), '\\\\s+')), "
+        f"toks -> struct({hit_fields}))[0]"
+    )
+    d = df.withColumn("__f", F.expr(feat)).select(
+        id_col, *[F.col(f"__f.{lang}_hits").alias(f"{lang}_hits") for lang in LANG_MARKERS]
     )
     en, es, de, fr = (F.col(f"{x}_hits") for x in ("en", "es", "de", "fr"))
     pred = (
