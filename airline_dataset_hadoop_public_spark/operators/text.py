@@ -140,17 +140,20 @@ def rolling_hash(
     higher-order expression; `mod` < 2³¹ keeps acc·base + code inside
     int64. Mirrored in DuckDB via list_reduce with a prepended 0 seed.
     """
-    codes = (
-        "transform(sequence(1, length(__norm)), "
-        "i -> CAST(ascii(substr(__norm, i, 1)) AS BIGINT))"
+    # let-bind the normalized text: referenced per character, the
+    # normalize regexp would otherwise be inlined into the lambda and
+    # re-run for every position (O(n²) per doc)
+    norm = (
+        f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     )
-    return (
-        df.withColumn("__norm", normalize_text(text_col))
-        .select(
-            id_col,
-            F.expr(
-                f"aggregate({codes}, CAST(0 AS BIGINT), "
-                f"(a, c) -> (a * {base} + c) % {mod})"
-            ).alias("rhash"),
-        )
+    return df.select(
+        id_col,
+        F.expr(
+            f"transform(array({norm}), nm -> "
+            f"aggregate("
+            f"transform(sequence(1, length(nm)), "
+            f"i -> CAST(ascii(substr(nm, i, 1)) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), "
+            f"(a, c) -> (a * {base} + c) % {mod}))[0]"
+        ).alias("rhash"),
     )
