@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 import pandas as pd
 
-from ..functions.scalar import cosine_similarity
 from .topk import top_k_per_group
 
 

@@ -87,3 +87,38 @@ def test_serving_roundtrip_with_partition_pruning(spark, canonical, tmp_path):
     assert {
         (r["UniqueCarrier"], r["avg_dep_delay"]) for r in got.collect()
     } == expect
+
+
+def test_serving_four_key_request_lookup(spark, canonical, tmp_path):
+    """X2's second access path (requestlegsbyrequest,
+    /root/reference/README.md:597-615): point lookup by the 4-column
+    composite request key over the Tom's-leg serving table."""
+    from airline_dataset_hadoop_public_spark.plans import airline as A
+    from airline_dataset_hadoop_public_spark.sources.serving import (
+        point_read,
+        write_serving,
+    )
+
+    legs = A.leg_candidates(canonical, year=2008)
+    reqs = A.requests(spark, A.airports(canonical), limit=None).filter(
+        F.col("origin").isin("ORD", "ATL") & F.col("dest").isin("ORD", "ATL")
+    )
+    leg1 = A.toms_leg(reqs, legs, 1)
+    path = str(tmp_path / "serving" / "toms1")
+    # partition only by the leading request columns (origin, stop):
+    # date has too-high cardinality for a partition dir per value —
+    # residual key equality is an in-file pushed filter
+    write_serving(leg1, path, ["origin", "stop"])
+    sample = leg1.limit(1).collect()
+    if not sample:  # synthetic corpus may lack a matching leg
+        return
+    s = sample[0]
+    got = point_read(
+        spark,
+        path,
+        origin=s["origin"],
+        stop=s["stop"],
+        dest=s["dest"],
+        request_date=s["request_date"],
+    ).collect()
+    assert len(got) == 1 and got[0]["carrier"] == s["carrier"]
