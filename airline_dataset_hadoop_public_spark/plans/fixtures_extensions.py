@@ -96,12 +96,14 @@ FROM pairs WHERE u > 0 AND CAST(i AS DOUBLE) / u >= 0.9
 
 @register("dedup_minhash_neardup", _MINHASH_ORACLE)
 def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH recall at t=0.9 with 32 bands × 4 rows is 1-(1-t⁴)³² ≈
-    1-1e-15 — the oracle equality holds with near-certainty; a planted
-    borderline-pair test covers the recall math separately."""
+    """LSH recall at t=0.9 with 24 bands × 4 rows is 1-(1-t⁴)²⁴ ≈
+    1-7.5e-12 per pair — across the corpus's ~1M qualifying pairs the
+    expected miss count is ~1e-5, so oracle equality holds with
+    near-certainty; a planted borderline-pair test covers the recall
+    math separately. (The operator default stays at 128/32.)"""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_neardup_pairs(
-        docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=128, bands=32
+        docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=96, bands=24
     )
 
 

@@ -74,8 +74,19 @@ def main() -> None:
         if extra in qs and extra not in names:
             names.append(extra)
 
-    # warmup: touch every input table + JIT the common plan shapes
-    qs["g1q1_top10_popularity"](spark, sf_dir).collect()
+    # warmup: run every headline query once at the smallest sf so
+    # JIT/codegen of each plan shape isn't attributed to the measured
+    # run (the docstring's stated intent — the HOF-heavy dedup
+    # pipelines pay ~8-12s of first-run compile otherwise)
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            qs[name](spark, warm_sf).count()
+        except Exception:
+            pass  # a warmup failure must not break the measured run
+    # drop warmup cache entries (the dedup operators cache their
+    # collapsed-group frames) so the measured run starts clean
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
