@@ -352,6 +352,56 @@ def minhash_neardup_pairs(
     return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) — min-id label propagation over an undirected
+    edge set. The dedup ACTION step: near-dup pairs → duplicate
+    clusters → one canonical id per cluster (min id).
+
+    Iterative join/agg rounds (the standard distributed CC layout):
+    each round every node takes the min of its own label and its
+    neighbors' labels; converged when no label changes. Near-dup
+    graphs are clique-heavy, so convergence is typically 2-3 rounds;
+    `max_iter` bounds pathological chains. Per-round lineage is
+    truncated with localCheckpoint — without it the plan doubles each
+    iteration. The convergence check is a driver-side count (one
+    scalar), not a data collect.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("lbl").alias("old")), "node"
+            )
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
 def simhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
     """id → 64-bit SimHash of the document's n-gram shingle set."""
     sh = (

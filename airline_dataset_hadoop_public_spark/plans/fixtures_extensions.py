@@ -107,6 +107,43 @@ def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dedup ACTION: near-dup pairs → connected components → canonical doc
+# per duplicate cluster. Iterative label propagation on the Spark side;
+# the oracle computes the same fixpoint with a recursive CTE.
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, list_distinct({_W}) AS s FROM documents
+       WHERE len({_W}) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_canonical", _CANONICAL_ORACLE)
+def dedup_connected_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=96, bands=24
+    )
+    comp = D.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 @register("dedup_simhash", None)  # xxhash64-dependent → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -152,3 +152,22 @@ def test_fit_rank_distribution_shape():
     assert out["zipf"]["sse"] >= 0.0 and np.isfinite(out["zipf"]["sse"])
     # exact recovery on perfectly zipfian data: a ≈ 1
     assert abs(out["zipf"]["params"][0] - 1.0) < 1e-6
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "node long")
+    # chain 0-1-2-3 (worst case: diameter propagation), clique {5,6,7},
+    # isolated 4, 8, 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
