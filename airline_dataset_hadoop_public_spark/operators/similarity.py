@@ -77,6 +77,8 @@ def _dot_arrow():
         def dot(a: pd.Series, b: pd.Series) -> pd.Series:
             import numpy as np
 
+            if len(a) == 0:  # np.stack rejects an empty batch
+                return pd.Series([], dtype="float64")
             va = np.stack(a.values)
             vb = np.stack(b.values)
             return pd.Series(np.einsum("ij,ij->i", va, vb))
