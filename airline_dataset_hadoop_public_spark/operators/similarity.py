@@ -23,7 +23,7 @@ is why it takes a pre-bucketed frame rather than bucketing internally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 import pandas as pd
@@ -183,6 +183,70 @@ def ivf_topk(
         F.col("id_probe").alias("probe_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round("__cos", ndigits).alias("cosine"),
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd, cosine assignment):
+    returns (centroid_id, centroid) after `iters` rounds.
+
+    Init = the unit-normalized vectors of the k smallest ids (stable
+    across runs — no RNG). Each round: nearest-centroid assignment
+    (reusing the IVF assignment op) then an elementwise mean per
+    cluster, computed declaratively: posexplode the vectors, average
+    per (cluster, position), fold back into an ordered array. Both
+    steps are shuffle-bounded DataFrame ops; the driver loop holds
+    only the iteration counter. Empty clusters keep their previous
+    centroid (standard Lloyd fallback).
+    """
+    normed = unit_normalize(vectors, vec_col)
+    centroids = (
+        normed.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col))
+            .cast("long").alias("__cid"),
+            F.col(vec_col),
+        )
+        .select(F.col("__cid").alias(id_col), vec_col)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(normed, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("__pm")
+            )
+            .select(
+                "centroid_id",
+                F.expr("transform(__pm, s -> s.m)").alias(vec_col),
+            )
+        )
+        # empty clusters: keep previous centroid
+        kept = centroids.join(
+            means.select(F.col("centroid_id").alias(id_col)), id_col, "left_anti"
+        )
+        centroids = (
+            means.select(F.col("centroid_id").alias(id_col), vec_col)
+            .unionByName(kept)
+            .localCheckpoint(eager=True)
+        )
+    return centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
     )
 
 

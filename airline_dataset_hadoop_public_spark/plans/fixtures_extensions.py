@@ -250,6 +250,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, centroids, probes, k=5, nprobe=2)
 
 
+@register("similarity_kmeans_ivf_topk", None)  # iterative float means →
+# no practical SQL oracle; rows-only check + cluster-separation unit test
+def similarity_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-contained ANN path: train IVF centroids with
+    deterministic spherical k-means, then pruned top-k search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = S.kmeans_fit(emb, k=8, iters=3).select(
+        F.col("centroid_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, trained, probes, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

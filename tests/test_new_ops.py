@@ -171,3 +171,31 @@ def test_connected_components_chain_and_cliques(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+
+def test_kmeans_fit_separates_planted_clusters(spark):
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        base = np.zeros(8)
+        base[0 if i % 2 == 0 else 4] = 1.0  # two orthogonal clusters
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=4)
+    assert cents.count() == 2
+    assigned = assign_to_centroids(
+        df, cents.select(F.col("centroid_id").alias("vec_id"),
+                         F.col("centroid").alias("embedding"))
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    even = {got[i] for i in range(0, 60, 2)}
+    odd = {got[i] for i in range(1, 60, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
