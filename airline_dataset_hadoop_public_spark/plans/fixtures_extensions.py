@@ -412,6 +412,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The composed pre-training cleanup pipeline: exact-dedup (keep the
+# canonical = min doc_id per normalized text), token-length band,
+# language filter — one declarative plan, each stage individually
+# oracle-checked elsewhere, here verified end-to-end in composition.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm,
+         {_W} AS w, text
+  FROM documents),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nrm),
+kept AS (
+  SELECT n.doc_id, n.w AS w
+  FROM norm n JOIN canon c ON n.doc_id = c.doc_id),
+feat AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         {_lang_hits_sql('en')}, {_lang_hits_sql('es')},
+         {_lang_hits_sql('de')}, {_lang_hits_sql('fr')}
+  FROM kept)
+SELECT doc_id, n_tokens FROM feat
+WHERE n_tokens BETWEEN 20 AND 90
+  AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits
+"""
+
+
+@register("corpus_clean_pipeline", _PIPELINE_ORACLE)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = D.exact_dedup(
+        docs.withColumn("norm", normalize_text("text")), "norm", "doc_id"
+    ).select("doc_id")
+    kept = docs.join(canonical, "doc_id")
+    counts = X.token_counts(kept, "doc_id", "text").filter(
+        F.col("n_tokens").between(20, 90)
+    )
+    lang = X.langid_scores(kept, "doc_id", "text").filter(
+        F.col("pred_lang") == "en"
+    )
+    return (
+        counts.join(lang.select("doc_id"), "doc_id")
+        .select("doc_id", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Serving layer round-trip (S6 + X2): write partitioned, point-read.
 # ---------------------------------------------------------------------------
 
