@@ -1,6 +1,7 @@
 from .aggregates import avg_by_key, distinct_union, explode_count, union_all_column
 from .argmin import argmin_by
 from .dedup import (
+    connected_components,
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -10,9 +11,12 @@ from .dedup import (
 from .generators import date_series, permutation_triplets
 from .multimodal import extract_byte_features, sample_frames, with_binary_payload
 from .similarity import (
+    assign_to_centroids,
     brute_force_topk,
+    cosine_pairs_within_cells,
     embedding_cosine_pairs,
     ivf_topk,
+    kmeans_fit,
     unit_normalize,
 )
 from .skew import salted_join
@@ -32,6 +36,7 @@ __all__ = [
     "explode_count",
     "union_all_column",
     "argmin_by",
+    "connected_components",
     "exact_dedup",
     "minhash_neardup_pairs",
     "ngram_jaccard_pairs",
@@ -42,9 +47,12 @@ __all__ = [
     "extract_byte_features",
     "sample_frames",
     "with_binary_payload",
+    "assign_to_centroids",
     "brute_force_topk",
+    "cosine_pairs_within_cells",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "kmeans_fit",
     "unit_normalize",
     "salted_join",
     "bpe_token_counts",
