@@ -1,0 +1,119 @@
+"""Physical-plan contracts (SURVEY.md §4): the plans that make these
+queries scale are asserted, not assumed — a refactor that silently
+loses a pushdown, a broadcast, or the distributed top-k fails here.
+
+Also: empty-input robustness for the operator surface (planet-scale
+partitions are routinely empty)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_g1q1_uses_distributed_topk(spark, qs):
+    plan = _plan(qs["g1q1_top10_popularity"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # not a global Sort + limit
+    assert plan.count("Exchange") == 1  # single agg shuffle
+
+
+def test_tpch_q1_pushes_filter_and_prunes_columns(spark, qs):
+    plan = _plan(qs["tpch_q1_pricing"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_g2q1_broadcasts_dimension(spark, qs):
+    plan = _plan(qs["g2q1_top10_customers_per_segment"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_toms_join_broadcasts_requests(spark, qs):
+    plan = _plan(qs["g3q2_toms_leg1"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_argmin_is_partial_aggregate_not_window(spark, qs):
+    plan = _plan(qs["g3q2_toms_leg1"](spark, SF))
+    # the per-request argmin must compile to hash aggregation with a
+    # map-side partial (min-of-struct), not a ranking window sort
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_serving_point_read_prunes_partitions(spark, qs):
+    plan = _plan(qs["serving_point_read"](spark, SF))
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+
+
+# ---------------------------------------------------------------------------
+# Empty-input robustness
+# ---------------------------------------------------------------------------
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+
+
+def test_dedup_ops_on_empty_input(spark):
+    from airline_dataset_hadoop_public_spark.operators import dedup as D
+
+    docs = _empty_docs(spark)
+    assert D.exact_dedup(docs, "text", "doc_id").count() == 0
+    assert D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3).count() == 0
+    assert D.minhash_neardup_pairs(docs, "doc_id", "text").count() == 0
+    assert D.simhash_pairs(docs, "doc_id", "text").count() == 0
+
+
+def test_text_ops_on_empty_input(spark):
+    from airline_dataset_hadoop_public_spark.operators import text as X
+
+    docs = _empty_docs(spark)
+    assert X.token_counts(docs, "doc_id", "text").count() == 0
+    assert X.quality_scores(docs, "doc_id", "text").count() == 0
+    assert X.langid_scores(docs, "doc_id", "text").count() == 0
+    assert X.rolling_hash(docs, "doc_id", "text").count() == 0
+
+
+def test_similarity_ops_on_empty_probes(spark):
+    from airline_dataset_hadoop_public_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = vecs.filter(F.lit(False))
+    assert S.brute_force_topk(vecs, empty).count() == 0
+    assert S.embedding_cosine_pairs(empty).count() == 0
+
+
+def test_connected_components_no_edges(spark):
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 2}
