@@ -28,7 +28,13 @@ from .text import (
     rolling_hash,
     token_counts,
 )
-from .topk import global_sort, global_top_k, rank_table, top_k_per_group
+from .topk import (
+    global_sort,
+    global_top_k,
+    rank_table,
+    rank_table_distributed,
+    top_k_per_group,
+)
 
 __all__ = [
     "avg_by_key",
@@ -64,5 +70,6 @@ __all__ = [
     "global_sort",
     "global_top_k",
     "rank_table",
+    "rank_table_distributed",
     "top_k_per_group",
 ]

@@ -74,8 +74,44 @@ def rank_table(
     A global row_number window is a single-partition sort — acceptable
     ONLY because rank tables in this family are group-key-domain sized
     (|airports|, |carriers| — thousands of rows), never fact-table
-    sized. For fact-scale ranking use `global_sort` + zipWithIndex-style
-    partition offsets instead.
+    sized. For fact-scale ranking use `rank_table_distributed`.
     """
     w = Window.orderBy(*_cols(order))
     return df.withColumn(rank, F.row_number().over(w))
+
+
+def rank_table_distributed(
+    df: DataFrame, order: Sequence[str | Column], rank: str = "rank"
+) -> DataFrame:
+    """Fact-scale global 1..N ranking without a single-partition window.
+
+    Two passes over a range-partitioned sort: (1) count rows per sorted
+    partition and broadcast the cumulative offsets (numPartitions rows
+    through the driver — a scalar per task, not data); (2) per-partition
+    row_number + offset. Every stage is partition-parallel; `order`
+    must be a total order so ranks are deterministic.
+    """
+    # pin the range partitioning: both passes must see the SAME
+    # partition assignment (a recompute could re-sample boundaries)
+    ordered = (
+        df.orderBy(*_cols(order))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # cumulative offset per sorted partition (partitions are emitted in
+    # range order, so pid order == global sort order)
+    sizes = ordered.groupBy("__pid").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(sizes, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*_cols(order))
+    return (
+        ordered.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )

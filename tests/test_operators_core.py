@@ -90,3 +90,19 @@ def test_date_series_inclusive(spark):
     assert len(rows) == 5  # 2008 is a leap year → Feb 29 exists
     assert str(rows[0]["date"]) == "2008-02-27"
     assert str(rows[-1]["date"]) == "2008-03-02"
+
+
+def test_rank_table_distributed_equals_window_rank(spark):
+    from airline_dataset_hadoop_public_spark.operators.topk import (
+        rank_table,
+        rank_table_distributed,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 37 % 1009).alias("v")
+    ).repartition(16)
+    order = [F.desc("v"), F.asc("id")]
+    small = {(r["id"], r["rank"]) for r in rank_table(df, order).collect()}
+    big = {(r["id"], r["rank"]) for r in rank_table_distributed(df, order).collect()}
+    assert small == big
