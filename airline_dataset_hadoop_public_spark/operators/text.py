@@ -103,6 +103,63 @@ def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return d.withColumn("pred_lang", pred)
 
 
+def _char_trigram_profile(words: tuple[str, ...]) -> list[str]:
+    """Distinct boundary-padded character trigrams of a word list —
+    a tiny Cavnar-Trenkle-style language profile built from the same
+    public marker words as the word-level scorer. Deterministic, so
+    the DuckDB oracle can inline the identical list."""
+    grams = set()
+    for w in words:
+        padded = f" {w} "
+        for i in range(len(padded) - 2):
+            grams.add(padded[i : i + 3])
+    return sorted(grams)
+
+
+CHAR_PROFILES: dict[str, list[str]] = {
+    lang: _char_trigram_profile(words) for lang, words in LANG_MARKERS.items()
+}
+
+
+def langid_char_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-n-gram language ID: score = |doc's char-trigram set ∩
+    language profile| over boundary-padded normalized text; argmax with
+    the same en > es > de > fr tie precedence as the word-level scorer.
+
+    One let-bound expression computes the padded text, its distinct
+    trigram set, and all four profile intersections — a single
+    normalization + trigram pass per row.
+    """
+    def lit_arr(grams: list[str]) -> str:
+        inner = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        return f"array({inner})"
+
+    hit_fields = ", ".join(
+        f"CAST(size(array_intersect(tg, {lit_arr(CHAR_PROFILES[lang])})) AS BIGINT)"
+        f" AS {lang}_hits"
+        for lang in LANG_MARKERS
+    )
+    norm = f"concat(' ', regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    feat = (
+        f"transform(array({norm}), nm -> "
+        f"transform(array(array_distinct(transform("
+        f"sequence(1, greatest(length(nm) - 2, 0)), i -> substr(nm, i, 3)))), "
+        f"tg -> struct({hit_fields}))[0])[0]"
+    )
+    d = df.withColumn("__f", F.expr(feat)).select(
+        id_col,
+        *[F.col(f"__f.{lang}_hits").alias(f"{lang}_hits") for lang in LANG_MARKERS],
+    )
+    en, es, de, fr = (F.col(f"{x}_hits") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.withColumn("pred_lang", pred)
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint) — md5 of the whitespace-normalized text.
     Stable across engines (DuckDB md5 produces the same hex)."""

@@ -322,6 +322,42 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.langid_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _char_profile_sql(lang: str) -> str:
+    lst = ", ".join("'" + g.replace("'", "''") + "'" for g in X.CHAR_PROFILES[lang])
+    return (
+        f"CAST(len(list_intersect(tg, [{lst}])) AS BIGINT) AS {lang}_hits"
+    )
+
+
+_LANGID_NGRAM_ORACLE = f"""
+WITH nrm AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS nm
+  FROM documents),
+tg AS (
+  SELECT doc_id,
+         list_distinct([substr(nm, CAST(i AS INT), 3)
+                        for i in range(1, greatest(length(nm) - 2, 0) + 1)]) AS tg
+  FROM nrm)
+SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+                 AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM (SELECT doc_id, {_char_profile_sql('en')}, {_char_profile_sql('es')},
+             {_char_profile_sql('de')}, {_char_profile_sql('fr')}
+      FROM tg)
+"""
+
+
+@register("text_langid_char_ngram", _LANGID_NGRAM_ORACLE)
+def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.langid_char_ngram(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _FP_ORACLE = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

@@ -199,3 +199,17 @@ def test_kmeans_fit_separates_planted_clusters(spark):
     even = {got[i] for i in range(0, 60, 2)}
     odd = {got[i] for i in range(1, 60, 2)}
     assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_langid_char_ngram_detects_obvious_language(spark):
+    from airline_dataset_hadoop_public_spark.operators.text import langid_char_ngram
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick fox is in the barn and a dog"),
+            Row(doc_id=2, text="el perro y la casa de los vecinos en madrid"),
+            Row(doc_id=3, text="der hund und die katze von dem haus"),
+        ]
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in langid_char_ngram(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "es", 3: "de"}
