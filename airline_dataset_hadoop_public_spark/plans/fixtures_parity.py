@@ -463,6 +463,65 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lag/lead window (§2.7 — absent from the reference, engine extension):
+# per-user delta between consecutive event values in time order.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), 4) AS delta
+FROM events
+"""
+
+
+@register("events_lag_delta", _LAG_ORACLE)
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup aggregation (§2.3 extension — the reference has no grouping
+# sets): revenue at (returnflag, linestatus), (returnflag), and total.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_rollup_revenue", _ROLLUP_ORACLE)
+def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distinct-count aggregate (extension; reference has plain distinct A6
 # but no count-distinct): active users + value total per event type.
 # ---------------------------------------------------------------------------
