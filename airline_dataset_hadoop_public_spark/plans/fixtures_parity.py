@@ -615,6 +615,50 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed range join (extension — SURVEY.md §2.5 notes the reference
+# has no range joins): each user's events inside their first-48h
+# activity window. The oracle runs the plain theta join; the Spark
+# side runs the time-bucketed equi-join + residual-filter layout.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+WITH win AS (
+  SELECT user_id, MIN(ts) AS w_start,
+         MIN(ts) + INTERVAL 48 HOUR AS w_end
+  FROM events GROUP BY user_id)
+SELECT e.user_id, COUNT(*) AS n_in_window,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN win w
+  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY e.user_id
+"""
+
+
+@register("events_first48h_window_join", _RANGE_JOIN_ORACLE)
+def events_first48h_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = ev.groupBy("user_id").agg(
+        F.min("ts").alias("w_start"),
+        (F.min("ts") + F.expr("INTERVAL 48 HOURS")).alias("w_end"),
+    )
+    joined = point_in_interval_join(
+        ev.select("user_id", "ts", "value"),
+        win,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        equi_keys=["user_id"],
+        bucket_seconds=86_400,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # events.props JSON extraction (FIXTURES.md §A extensions row):
 # semi-structured column handling via get_json_object.
 # ---------------------------------------------------------------------------

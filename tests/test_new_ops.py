@@ -213,3 +213,28 @@ def test_langid_char_ngram_detects_obvious_language(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in langid_char_ngram(df, "doc_id", "text").collect()}
     assert got == {1: "en", 2: "es", 3: "de"}
+
+
+def test_point_in_interval_join_boundaries(spark):
+    from airline_dataset_hadoop_public_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pts = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=47, minutes=59)),
+         (3, t0 + dt.timedelta(hours=48)), (4, t0 + dt.timedelta(hours=48, seconds=1)),
+         (5, t0 - dt.timedelta(seconds=1))],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(t0, t0 + dt.timedelta(hours=48))], "w_start timestamp, w_end timestamp"
+    )
+    # intervals crossing many buckets, inclusive bounds on both ends
+    got = sorted(
+        r["pid"]
+        for r in point_in_interval_join(
+            pts, iv, "ts", "w_start", "w_end", bucket_seconds=3600
+        ).collect()
+    )
+    assert got == [1, 2, 3]
