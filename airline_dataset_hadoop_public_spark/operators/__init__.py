@@ -9,7 +9,7 @@ from .dedup import (
     simhash_signature,
 )
 from .generators import date_series, permutation_triplets
-from .range_join import point_in_interval_join
+from .range_join import asof_join, point_in_interval_join
 from .multimodal import extract_byte_features, sample_frames, with_binary_payload
 from .similarity import (
     assign_to_centroids,
@@ -54,6 +54,7 @@ __all__ = [
     "extract_byte_features",
     "sample_frames",
     "with_binary_payload",
+    "asof_join",
     "point_in_interval_join",
     "assign_to_centroids",
     "brute_force_topk",

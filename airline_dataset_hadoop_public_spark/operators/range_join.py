@@ -1,7 +1,8 @@
-"""Bucketed range join (point-in-interval) — absent from the reference
-(SURVEY.md §2.5 "not present: range/as-of/interval joins"), exposed as
-an engine extension because validity-window enrichment is a staple of
-event pipelines.
+"""Temporal joins — bucketed range join and as-of join. Both are absent
+from the reference (SURVEY.md §2.5 "not present: range/as-of/interval
+joins") and exposed as engine extensions because validity-window
+enrichment and latest-preceding-state lookup are staples of event
+pipelines.
 
 A naive `ts BETWEEN start AND end` join compiles to a nested-loop
 (every point × every interval). The scalable layout discretizes time
@@ -54,3 +55,69 @@ def point_in_interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
     return joined.drop("__b")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Inner as-of join: each left row gains the `payload` of the
+    LATEST right row with equal `keys` and right_ts <= left_ts
+    (equality matches; left rows with no preceding right row drop).
+
+    Shuffle-once layout: union both sides tagged, one window per key in
+    time order (right rows sort before left at equal timestamps),
+    `last(payload, ignorenulls)` carries the most recent right state
+    forward, then keep the left rows. No join explosion, no per-row
+    probing — the standard distributed as-of pattern. Right rows must
+    be unique per (keys, right_ts); pre-aggregate otherwise.
+
+    Output: all left columns + payload columns.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+    )
+    r = right.select(
+        F.lit(None).cast(left.schema[id_col].dataType).alias("__id"),
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r)
+        .select(
+            "__id",
+            "__side",
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
+                for c in payload
+            ],
+        )
+        .filter(F.col("__side") == 1)
+        # inner semantics: left rows before any right row have no state
+        .filter(F.col(f"__p_{payload[0]}").isNotNull())
+        .select("__id", *[F.col(f"__p_{c}").alias(c) for c in payload])
+    )
+    return left.join(
+        filled.withColumnRenamed("__id", id_col), id_col, "inner"
+    )

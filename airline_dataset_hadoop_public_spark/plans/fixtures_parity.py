@@ -659,6 +659,50 @@ def events_first48h_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (extension): each click event annotated with the user's
+# most recent preceding purchase. Spark side: single-shuffle
+# union+window carry-forward; oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT a.event_id, a.user_id,
+       ROUND(b.value, 4) AS last_purchase_value,
+       STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+@register("events_asof_last_purchase", _ASOF_ORACLE)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks.select("event_id", "user_id", "ts"),
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        payload=["p_value", "p_ts"],
+        id_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("p_value", 4).alias("last_purchase_value"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # events.props JSON extraction (FIXTURES.md §A extensions row):
 # semi-structured column handling via get_json_object.
 # ---------------------------------------------------------------------------

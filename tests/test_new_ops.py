@@ -238,3 +238,26 @@ def test_point_in_interval_join_boundaries(spark):
         ).collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_asof_join_semantics(spark):
+    from airline_dataset_hadoop_public_spark.operators.range_join import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t(0)), (2, 7, t(5)), (3, 7, t(10)), (4, 8, t(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, t(5), 50.0), (7, t(9), 90.0)],
+        "user_id long, p_ts timestamp, p_value double",
+    )
+    got = {
+        r["event_id"]: r["p_value"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "p_ts", ["p_value", "p_ts"], "event_id"
+        ).collect()
+    }
+    # id1: before any purchase → dropped; id2: equal-ts match; id3:
+    # latest preceding (t9); id4: other user, no purchases → dropped
+    assert got == {2: 50.0, 3: 90.0}
