@@ -489,6 +489,63 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (§2.3 extension — absent
+# from the reference's aggregate set). Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition.
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_value_percentiles", _PCTL_ORACLE)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning: explicit width-bucket arithmetic (10 bins over
+# [0, 100), underflow → 0, overflow → 11) written identically in both
+# engines — DuckDB has no width_bucket builtin.
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = (
+    "CASE WHEN value < 0 THEN 0 "
+    "WHEN value >= 100 THEN 11 "
+    "ELSE CAST(FLOOR(value / 10) AS BIGINT) + 1 END"
+)
+
+_HIST_ORACLE = f"""
+SELECT CAST({_HIST_BUCKET} AS BIGINT) AS bucket,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+@register("events_value_histogram", _HIST_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr(_HIST_BUCKET).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rollup aggregation (§2.3 extension — the reference has no grouping
 # sets): revenue at (returnflag, linestatus), (returnflag), and total.
 # ---------------------------------------------------------------------------
