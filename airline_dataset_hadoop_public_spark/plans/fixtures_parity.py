@@ -463,6 +463,68 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-type matrix beyond the reference's inner equi-joins (§2.5 notes
+# outer/semi/anti are absent there): semi (customers with orders),
+# anti (customers without), left outer with null-aware aggregation.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+@register("customers_with_orders_semi", _SEMI_ORACLE)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@register("customers_without_urgent_orders_anti", _ANTI_ORACLE)
+def customers_without_urgent_orders_anti(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_OUTER_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@register("customer_order_stats_outer", _OUTER_ORACLE)
+def customer_order_stats_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+            "total_spend"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # lag/lead window (§2.7 — absent from the reference, engine extension):
 # per-user delta between consecutive event values in time order.
 # ---------------------------------------------------------------------------
