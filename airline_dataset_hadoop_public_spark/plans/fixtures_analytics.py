@@ -1,0 +1,338 @@
+"""Analytic-surface queries beyond the reference's operator set.
+
+The reference (see /root/reference/README.md:148,450 for its implicit
+union-all; §2.6 of SURVEY.md notes "no intersect/except anywhere", and
+§2.3/§2.7 note the absent grouping-set / frame-window / approximate
+aggregates) stops at avg-by-key + top-k. A drop-in engine replacement
+still needs the standard relational analytics surface, so this module
+adds it — each query DataFrame-native with a DuckDB oracle:
+
+- set operations (INTERSECT / EXCEPT distinct semantics)
+- pivot (wide-format conditional aggregation)
+- CUBE grouping sets with grouping_id
+- approximate aggregates (HLL distinct, t-digest-ish percentile) as
+  *self-checking* queries: the Spark side emits a within-tolerance
+  flag next to the exact value, the oracle asserts the flag is 1 —
+  the hash gate then verifies both the exact value and the bound
+- deterministic systematic sampling (key-mod predicate — pushed into
+  the parquet scan, the 100 TB-safe way to sample before a shuffle)
+- time-range window frames (RANGE BETWEEN 1h PRECEDING) and NTILE
+  decile summaries
+- an explicit broadcast-hash-join aggregation (plan shape pinned in
+  tests/test_plan_shapes.py)
+
+Scale notes (local[32] tests, 1000-executor design): every query here
+is a single shuffle on its natural key except the set ops (hash
+distinct = one exchange each side) and the frame window (one exchange
+on user_id — bounded peers per frame, no unbounded state). NTILE is
+partitioned by event_type, never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (distinct semantics both sides).
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("setop_urgent_and_final_custkeys", _INTERSECT_ORACLE)
+def setop_urgent_and_final_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    final = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(final)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("setop_customers_never_urgent", _EXCEPT_ORACLE)
+def setop_customers_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return customer.select(F.col("c_custkey").alias("custkey")).subtract(urgent)
+
+
+# ---------------------------------------------------------------------------
+# Pivot — priority × status count matrix. Spark `pivot` with an
+# explicit value list (no extra distinct-scan job; at 100 TB the value
+# list must always be declared). Missing cells coalesced to 0 to match
+# COUNT(*) FILTER semantics.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_priority_by_status", _PIVOT_ORACLE)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping sets over (returnflag, linestatus) with a
+# grouping_id discriminator. Complements the ROLLUP query in
+# fixtures_parity; Spark expands the cube in ONE pass (Expand node),
+# not 4 scans.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_revenue_by_flag_status", _CUBE_ORACLE)
+def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates, self-checking. The oracle cannot recompute
+# an HLL sketch, so the Spark side computes BOTH the exact value and
+# the approximation and emits a within-tolerance flag; the oracle
+# recomputes the exact value and asserts flag=1. The hash gate then
+# pins the exact value AND the approximation bound.
+# approx_count_distinct: HLL++ with rsd=2% → |approx-exact| well
+# under 5% of exact. At 100 TB the sketch is the only option — it is
+# a fixed-size mergeable state, no shuffle of distinct keys.
+# ---------------------------------------------------------------------------
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok FROM events
+"""
+
+
+@register("approx_distinct_users_check", _APPROX_DISTINCT_ORACLE)
+def approx_distinct_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "exact_users",
+        F.when(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+            1,
+        )
+        .otherwise(0)
+        .alias("approx_ok"),
+    )
+
+
+# percentile_approx (GK/t-digest-style sketch) vs the exact
+# interpolated percentile, per event_type; 2% relative tolerance.
+_APPROX_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       1 AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+@register("approx_percentile_check", _APPROX_PCTL_ORACLE)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p_exact"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p_approx"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("p_exact", 4).alias("p50_exact"),
+        F.when(
+            F.abs(F.col("p_approx") - F.col("p_exact"))
+            <= 0.02 * F.abs(F.col("p_exact")) + 1e-9,
+            1,
+        )
+        .otherwise(0)
+        .alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic systematic sampling: key-mod predicate (every 97th
+# order). Unlike TABLESAMPLE/rand(), this is reproducible across
+# engines AND pushes into the parquet scan as a filter — at 100 TB a
+# sample must prune before it shuffles. ~1/97 of rows feed the agg.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem WHERE l_orderkey % 97 = 0
+GROUP BY l_returnflag
+"""
+
+
+@register("sample_systematic_revenue", _SAMPLE_ORACLE)
+def sample_systematic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame: per-user trailing-1-hour moving average
+# (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds).
+# Event timestamps carry microseconds; both sides order/frame on the
+# second-truncated epoch so frame membership is identical. State per
+# frame is bounded by the 1h span — no unbounded accumulation.
+# ---------------------------------------------------------------------------
+
+_MOVING_AVG_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS mavg_1h
+FROM events
+"""
+
+
+@register("events_moving_avg_1h", _MOVING_AVG_ORACLE)
+def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE decile summary per event_type: deterministic total order
+# (value, event_id) then equal-frequency buckets; summarized to
+# per-decile count / bounds. Partitioned by event_type — NEVER a
+# global single-partition window.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+SELECT event_type, decile, COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+FROM (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events)
+GROUP BY event_type, decile
+"""
+
+
+@register("events_value_deciles", _DECILE_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit broadcast-hash-join aggregation: fact × dimension with the
+# dim side broadcast (no shuffle of the 6e5-row fact side; at 100 TB
+# the fact side never moves). Plan shape (BroadcastHashJoin, no
+# SortMergeJoin) is pinned in tests/test_plan_shapes.py.
+# ---------------------------------------------------------------------------
+
+_BROADCAST_ORACLE = """
+SELECT p_brand, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register("broadcast_brand_revenue", _BROADCAST_ORACLE)
+def broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Behavior + plan-shape tests for the analytic-surface queries
+(plans/fixtures_analytics.py): set ops, pivot, cube, approximate
+aggregates, systematic sampling, frame windows, ntile, broadcast agg.
+Oracle equivalence is covered by the correctness gate; here we pin the
+semantics that the hash compare can't see (flag truthiness, bucket
+balance, frame bounds) and the physical plans that make them scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_broadcast_agg_plan(spark, qs):
+    plan = _plan(qs["broadcast_brand_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # single shuffle: the final groupBy(p_brand) exchange only
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sample_filter_pushes_to_scan(spark, qs):
+    plan = _plan(qs["sample_systematic_revenue"](spark, SF))
+    # the mod predicate is a catalyst Filter directly over the scan —
+    # evaluated before the aggregation shuffle, never after
+    scan_part = plan.split("Exchange")[-1]
+    assert "l_orderkey" in scan_part and "Filter" in scan_part
+
+
+def test_cube_single_expand_pass(spark, qs):
+    plan = _plan(qs["cube_revenue_by_flag_status"](spark, SF))
+    assert plan.count("Expand") == 1  # one pass, not 4 scans
+    rows = qs["cube_revenue_by_flag_status"](spark, SF).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1  # grand total row
+
+
+def test_approx_checks_within_tolerance(spark, qs):
+    row = qs["approx_distinct_users_check"](spark, SF).collect()[0]
+    assert row["approx_ok"] == 1
+    for r in qs["approx_percentile_check"](spark, SF).collect():
+        assert r["approx_ok"] == 1
+
+
+def test_ntile_buckets_balanced(spark, qs):
+    rows = qs["events_value_deciles"](spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for etype, buckets in by_type.items():
+        counts = [b["n"] for b in buckets]
+        assert max(counts) - min(counts) <= 1, etype  # NTILE balance
+        ordered = sorted(buckets, key=lambda b: b["decile"])
+        for lo_b, hi_b in zip(ordered, ordered[1:]):
+            assert lo_b["hi"] <= hi_b["lo"] + 1e-9  # monotone bounds
+
+
+def test_moving_avg_frame_is_trailing(spark, qs):
+    # a user's first event has no history → mavg equals its own value
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    first = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", "ts").alias("event_id"),
+             F.min_by("value", "ts").alias("value"))
+    )
+    got = qs["events_moving_avg_1h"](spark, SF).join(first, ["user_id", "event_id"])
+    for r in got.collect():
+        assert abs(r["mavg_1h"] - round(r["value"], 4)) <= 1e-3
+
+
+def test_setops_disjoint_and_subset(spark, qs):
+    inter = {r["custkey"] for r in qs["setop_urgent_and_final_custkeys"](spark, SF).collect()}
+    never = {r["custkey"] for r in qs["setop_customers_never_urgent"](spark, SF).collect()}
+    # a customer with an urgent order cannot be in the EXCEPT result
+    assert not (inter & never)
+
+
+def test_pivot_row_sums_match_total(spark, qs):
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    rows = qs["pivot_priority_by_status"](spark, SF).collect()
+    total = sum(r["cnt_f"] + r["cnt_o"] + r["cnt_p"] for r in rows)
+    assert total == load_table(spark, SF, "orders").count()
