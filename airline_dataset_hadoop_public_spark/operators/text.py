@@ -214,3 +214,55 @@ def rolling_hash(
             f"(a, c) -> (a * {base} + c) % {mod}))[0]"
         ).alias("rhash"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """(id, term, tfidf) — per-document top-k terms by tf·idf.
+
+    tf = raw term count in the document; idf = ln(N / df) with N the
+    TOTAL document count and df the number of documents containing the
+    term. Scored terms are ranked per document on the ROUNDED score
+    (desc) with the term string as deterministic tie-break, so the
+    ranking is reproducible in any engine.
+
+    Scale shape: one explode + two hash aggregations (doc-term counts,
+    then per-term document frequency over the already-aggregated
+    doc-term frame — strictly smaller than the token stream), a
+    broadcast join of the term→df side, and a per-document ranking
+    window. N is a broadcast scalar, not a driver collect. No token
+    list ever materializes per row beyond the explode.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scalar import tokens
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

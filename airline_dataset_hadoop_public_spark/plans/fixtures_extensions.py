@@ -404,6 +404,29 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rolling_hash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# TF-IDF top-3 terms per document. Ranking is on the ROUNDED score
+# with the term as tie-break, so Spark and DuckDB rank identically
+# even when float idf products differ in the last ulp.
+_TFIDF_ORACLE = f"""
+WITH t AS (SELECT doc_id, UNNEST({_W}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 4) AS tfidf
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payload → Arrow-batched feature extraction)
 # ---------------------------------------------------------------------------

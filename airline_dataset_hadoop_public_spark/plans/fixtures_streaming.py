@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from ..streaming.windows import (
@@ -132,6 +133,36 @@ _STATEFUL_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY user_id
 """
+
+
+# Stream-static enrichment join: the unbounded event stream joined to
+# a broadcast dimension (nation via user_id % 25) BEFORE the windowless
+# aggregation. Stream-static inner joins are stateless in Structured
+# Streaming — the static side is broadcast to every micro-batch, no
+# join state accumulates; only the downstream agg keeps state. That is
+# the 100 TB/day enrichment pattern. Oracle: the equivalent batch join.
+_STREAM_STATIC_ORACLE = """
+SELECT n_name, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("streaming_stream_static_join", _STREAM_STATIC_ORACLE)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+
+    def plan(s: DataFrame) -> DataFrame:
+        enriched = s.withColumn(
+            "nk", (F.col("user_id") % 25).cast("int")
+        ).join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        return enriched.groupBy("n_name").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    return run_file_stream_batch(spark, src, schema, plan)
 
 
 @register("streaming_stateful_running_counts", _STATEFUL_ORACLE)

@@ -99,3 +99,36 @@ def test_pivot_row_sums_match_total(spark, qs):
     rows = qs["pivot_priority_by_status"](spark, SF).collect()
     total = sum(r["cnt_f"] + r["cnt_o"] + r["cnt_p"] for r in rows)
     assert total == load_table(spark, SF, "orders").count()
+
+
+def test_tfidf_topk_invariants(spark, qs):
+    rows = qs["text_tfidf_top_terms"](spark, SF).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, terms in per_doc.items():
+        assert len(terms) <= 3, doc_id
+        assert len({t["term"] for t in terms}) == len(terms)  # distinct
+        for t in terms:
+            assert t["tfidf"] >= 0.0  # df <= N → idf >= 0
+
+
+def test_stream_static_join_matches_batch(spark, qs):
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    got = {
+        r["n_name"]: (r["n"], r["sum_value"])
+        for r in qs["streaming_stream_static_join"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    nation = load_table(spark, SF, "nation")
+    want = {
+        r["n_name"]: (r["n"], r["sum_value"])
+        for r in ev.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+        .join(nation, F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
