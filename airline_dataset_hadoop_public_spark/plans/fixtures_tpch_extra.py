@@ -1,0 +1,403 @@
+"""Decision-support query shapes beyond the reference's fixed set.
+
+The reference (/root/reference/README.md) stops at avg-by-key, top-k
+and one tagged equi-join (SURVEY.md §2.3/§2.5 "not present" notes:
+no outer joins, no subqueries, no conditional aggregation). A
+drop-in engine replacement needs the standard warehouse query
+shapes, so this module adds the classic TPC-H-derived forms the
+fixture schema can express — multi-way join reordering, conditional
+aggregation, correlated scalar subqueries (decorrelated to
+aggregate-joins), HAVING-driven semi-joins, disjunctive join
+predicates, and scalar-subquery + anti-join composition.
+
+Scale notes (the 100 TB shape of each):
+- q5: fact table shuffles once per join key; region/nation are
+  broadcast so the dim chain never moves the fact side.
+- q17/q18: the correlated subquery decorrelates into a partial
+  aggregate on the FACT's own join key — one extra shuffle on a key
+  the join already needs, no per-row subquery execution.
+- q19: the disjunction is a single scan + one join; each conjunct
+  contains a part-side predicate Catalyst pushes to the broadcast
+  side build, and a lineitem-side range kept in the stream filter.
+- q22: the scalar average is a one-row broadcast, the NOT EXISTS is
+  a left-anti hash join — nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Q5 — local-supplier revenue per nation in one region/year. The
+# c_nationkey = s_nationkey equality rides on the joined row (not a
+# join key), so the plan is three fact shuffles + broadcast dims.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_supplier_revenue", _Q5_ORACLE)
+def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item report: top 20 customers by revenue lost to
+# returned lineitems. Global top-k over a fact join; ordering on the
+# ROUNDED revenue with custkey tie-break so both engines rank
+# identically at the limit boundary.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_item_report", _Q10_ORACLE)
+def tpch_q10_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — conditional aggregation over a join: per linestatus, how many
+# late-shipped lines came from high- vs low-priority orders. The
+# CASE WHEN lives inside the aggregate (one pass, map-side partials).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_linestatus
+"""
+
+
+@register("tpch_q12_priority_late_shipping", _Q12_ORACLE)
+def tpch_q12_priority_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue share: ratio of two conditional sums over one
+# month of shipments. Single scan, broadcast part side, one-row out.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@register("tpch_q14_promo_revenue_pct", _Q14_ORACLE)
+def tpch_q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue for one brand: lineitems below 20% of
+# their part's average quantity. The correlated scalar subquery
+# decorrelates into a per-partkey aggregate joined back on the same
+# key — and the brand filter is applied BEFORE the threshold agg
+# (partkey determines brand, so the per-part average is unchanged
+# while the aggregated stream shrinks 25×).
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("tpch_q17_small_quantity_avg_revenue", _Q17_ORACLE)
+def tpch_q17_small_quantity_avg_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li_brand = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li_brand.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_brand.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: orders whose total quantity exceeds a
+# threshold, with customer attribution. The HAVING subquery is a
+# semi-join against an aggregate of the SAME fact table — Spark
+# computes the per-order sums once and semi-joins on the key the
+# outer aggregation already shuffles on.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       ROUND(SUM(l_quantity), 4) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+"""
+
+
+@register("tpch_q18_large_volume_customers", _Q18_ORACLE)
+def tpch_q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            big_orders.withColumnRenamed("l_orderkey", "big_orderkey"),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive join predicates: three brand/size/quantity
+# conjunctions OR-ed together. One scan, one broadcast join; the OR
+# evaluates post-join in the streamed filter (Catalyst additionally
+# derives the p_size <= 15 / l_quantity <= 30 envelope bounds).
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_disjunctive_brand_revenue", _Q19_ORACLE)
+def tpch_q19_disjunctive_brand_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & size.between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & size.between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & size.between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — above-average-balance customers with no urgent orders, per
+# nation: scalar-subquery threshold (one-row broadcast) + left-anti
+# join + aggregation. (The fixture corpus has no order-less
+# customers, so the anti-join side is "has no URGENT order" — same
+# plan shape, non-trivial result.)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_dormant_rich_customers", _Q22_ORACLE)
+def tpch_q22_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -117,3 +117,24 @@ def test_connected_components_no_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_q17_decorrelated_subquery_stays_broadcast(spark, qs):
+    # the per-part threshold aggregate must come back as a broadcast
+    # join on l_partkey, never a sort-merge shuffle of the fact side
+    plan = _plan(qs["tpch_q17_small_quantity_avg_revenue"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_part_predicates_reach_broadcast_build(spark, qs):
+    # each disjunct's part-side envelope must prune the broadcast
+    # build side at the scan (p_size upper bound pushed)
+    plan = _plan(qs["tpch_q19_disjunctive_brand_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "p_size" in plan.split("PushedFilters")[-1].splitlines()[0]
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, qs):
+    plan = _plan(qs["tpch_q22_dormant_rich_customers"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
