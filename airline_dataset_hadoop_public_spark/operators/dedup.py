@@ -430,14 +430,33 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
-def simhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
-    """id → 64-bit SimHash of the document's n-gram shingle set."""
+def simhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """id → 64-bit SimHash of the document's n-gram shingle set.
+
+    ``portable_hash=True`` swaps the per-shingle hash from xxhash64
+    (fast, JVM codegen — the production default) to a 60-bit integer
+    derived from md5's first 15 hex digits. MD5 is bit-identical in
+    every engine, which makes the whole signature reproducible in the
+    DuckDB oracle; the top 4 signature bits are then constant-zero on
+    both sides, so Hamming distances are unaffected.
+    """
+    shingle_hash = (
+        "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        if portable_hash
+        else "t -> xxhash64(t)"
+    )
     sh = (
         _shingled(df, id_col, text_col, n)
         .filter(F.size("__sh") > 0)
-        # hash shingles once up front: referencing xxhash64(t) inside
+        # hash shingles once up front: referencing the hash inside
         # the per-bit transform below would hash every shingle 64×
-        .withColumn("__hs", F.expr("transform(__sh, t -> xxhash64(t))"))
+        .withColumn("__hs", F.expr(f"transform(__sh, {shingle_hash})"))
     )
     # votes[j] = sum over shingles of ±1 per bit j; bit j set iff > 0.
     votes = (
@@ -465,6 +484,7 @@ def simhash_pairs(
     n: int = 1,
     max_distance: int = 3,
     max_bucket: int = 20_000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id_a < id_b, distance) pairs with SimHash Hamming distance ≤ k.
 
@@ -475,7 +495,7 @@ def simhash_pairs(
     """
     chunks = max_distance + 1
     width = 64 // chunks
-    sigs = simhash_signature(df, id_col, text_col, n)
+    sigs = simhash_signature(df, id_col, text_col, n, portable_hash=portable_hash)
     # Collapse identical signatures: distance is a pure function of the
     # signature, so candidate generation runs once per distinct value
     # (intra-group pairs have distance 0 by construction).

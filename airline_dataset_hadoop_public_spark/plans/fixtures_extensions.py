@@ -144,10 +144,44 @@ def dedup_connected_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)  # xxhash64-dependent → rows-only check
+# Full-value oracle: the registered query runs with portable_hash=True
+# (md5-derived 60-bit shingle hashes — bit-identical in DuckDB), so
+# the oracle recomputes the ENTIRE simhash pipeline: per-bit majority
+# vote → signature → all-pairs Hamming ≤ 3. The production operator
+# default stays xxhash64 (the fast JVM path); only the shingle-hash
+# function differs. Oracle pairs come from the all-pairs ground truth,
+# which the pigeonhole candidate generation must reproduce exactly.
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct({_W})) AS tok
+  FROM documents WHERE len({_W}) > 0),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS distance
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", n=1, max_distance=3)
+    return D.simhash_pairs(
+        docs, "doc_id", "text", n=1, max_distance=3, portable_hash=True
+    )
 
 
 _EMB_NEARDUP_ORACLE = """

@@ -178,3 +178,32 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
         output_mode="update",
         finalize=lambda df: final_state(df, "user_id"),
     )
+
+
+# Streaming deduplication: watermarked dropDuplicates on the business
+# key — THE ingestion-dedup primitive for an at-least-once event feed.
+# State holds one entry per key and the watermark bounds its lifetime
+# (keys older than the delay are evicted; a 100 TB/day feed cannot
+# keep unbounded key state). Append mode emits each key's first
+# occurrence; the key projection makes the emitted set deterministic,
+# and the oracle is the batch DISTINCT over the same columns.
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("streaming_dedup_keys", _STREAM_DEDUP_ORACLE)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+
+    def plan(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "7 days")
+            .select("user_id", "event_type", "ts")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return run_file_stream_batch(
+        spark, src, schema, plan, output_mode="append"
+    )
