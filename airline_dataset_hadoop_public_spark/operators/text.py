@@ -216,6 +216,69 @@ def rolling_hash(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """(id, pos, khash) — winnowing document fingerprints (Schleimer/
+    Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD'03 — the MOSS scheme).
+
+    Per position i of the whitespace-normalized text, the k-gram
+    polynomial rolling hash; per length-`window` window of those
+    hashes, select the minimum (rightmost on ties — the winnowing
+    rule); the distinct selected (position, hash) pairs are the
+    fingerprint set. Guarantees: any shared substring of length
+    ≥ window + k − 1 between two documents yields a shared
+    fingerprint, so plagiarism/overlap detection joins on `khash`.
+
+    Implementation is one pure higher-order expression (JVM codegen,
+    no UDF): the rightmost-min-on-tie rule rides on a single
+    `array_min` by packing each hash with its position into one int64
+    — combined = hash·2²⁰ + (2²⁰−1−i) — so ordering by combined value
+    IS the (hash asc, position desc) order. Valid while hash < 2³⁰
+    (mod bounds it) and position < 2²⁰; chunk longer documents
+    upstream. Every `transform` input is let-bound (Catalyst's
+    CollapseProject would otherwise inline the normalization into
+    each lambda body, making the kernel O(n²) per row).
+    """
+    pos_bits = 1 << 20
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    khash = (
+        f"aggregate(transform(sequence(i, i + {k - 1}), "
+        f"j -> CAST(ascii(substr(nm, j, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (a, c) -> (a * {base} + c) % {mod})"
+    )
+    combined_grams = (
+        f"CASE WHEN length(nm) >= {k} THEN "
+        f"transform(sequence(1, length(nm) - {k} + 1), "
+        f"i -> {khash} * {pos_bits} + ({pos_bits - 1} - i)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    window_mins = (
+        f"CASE WHEN size(ch) >= {window} THEN "
+        f"array_distinct(transform(sequence(1, size(ch) - {window} + 1), "
+        f"p -> array_min(slice(ch, p, {window})))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    fps = (
+        f"transform(array({norm}), nm -> "
+        f"transform(array({combined_grams}), ch -> {window_mins})[0])[0]"
+    )
+    return df.select(
+        id_col, F.explode(F.expr(fps)).alias("__c")
+    ).select(
+        id_col,
+        (F.lit(pos_bits - 1) - F.col("__c") % pos_bits).alias("pos"),
+        F.expr(f"__c div {pos_bits}").alias("khash"),  # exact int64 division
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -438,6 +438,45 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rolling_hash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Winnowing fingerprints (k=5, window=4): the oracle recomputes the
+# whole scheme — per-position k-gram rolling hashes, the packed
+# (hash·2²⁰ + (2²⁰−1−i)) combined key, min per window, decode — with
+# the same integer arithmetic, so the value hash pins every selected
+# (pos, khash) pair exactly.
+_WINNOW_ORACLE = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nm) - 5 + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(i, i + 5),
+                      j -> CAST(ascii(substr(nm, CAST(j AS INT), 1)) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007)
+                * 1048576 + (1048575 - i)) AS ch
+  FROM n),
+w AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(ch) - 4 + 1, 0) + 1),
+             p -> list_min(list_slice(ch, CAST(p AS INT), CAST(p + 3 AS INT))))) AS fps
+  FROM g)
+SELECT doc_id,
+       1048575 - (fp % 1048576) AS pos,
+       fp // 1048576 AS khash
+FROM (SELECT doc_id, UNNEST(fps) AS fp FROM w)
+"""
+
+
+@register("text_winnowing_fingerprints", _WINNOW_ORACLE)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
+    )
+
+
 # TF-IDF top-3 terms per document. Ranking is on the ROUNDED score
 # with the term as tie-break, so Spark and DuckDB rank identically
 # even when float idf products differ in the last ulp.

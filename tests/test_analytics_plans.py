@@ -132,3 +132,30 @@ def test_stream_static_join_matches_batch(spark, qs):
         .collect()
     }
     assert got == want
+
+
+def test_winnowing_guarantee_and_empty_input(spark):
+    from airline_dataset_hadoop_public_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    # two docs sharing a substring of length >= window + k - 1 = 8
+    # must share at least one fingerprint hash (the winnowing
+    # guarantee); an unrelated doc must not match either
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa sharedchunk bbb"),
+            (2, "zzz sharedchunk qqq"),
+            (3, "completely different xyzw"),
+            (4, ""),  # shorter than k -> zero fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["khash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
