@@ -8,8 +8,9 @@ Oracle-design notes:
   VERIFY candidates with exact Jaccard, so their output equals the
   all-pairs ground truth the oracle computes — the oracle checks
   results, the Spark plan supplies the scalable candidate generation.
-- SimHash output depends on xxhash64 (not available in DuckDB) →
-  rows-only check; its machinery is covered by unit/property tests.
+- SimHash runs with portable md5-derived shingle hashes (bit-identical
+  in DuckDB), so its full signature pipeline is value-oracle-checked;
+  the operator's production default stays xxhash64.
 - Cosine is computed in float64 on both sides (Spark higher-order
   aggregate vs DuckDB list_cosine_similarity on DOUBLE[]).
 """
@@ -474,6 +475,65 @@ FROM (SELECT doc_id, UNNEST(fps) AS fp FROM w)
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnowing_fingerprints(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
+    )
+
+
+# Document-overlap report on top of winnowing: doc pairs ranked by
+# the number of DISTINCT shared fingerprint hashes (the MOSS overlap
+# score). The fingerprint self-join is the scale path — fingerprints
+# are a ~2/(window+1) density sample of each document's k-grams, so
+# the pairwise comparison joins sampled sets, never full texts; the
+# per-hash posting-list cap bounds degenerate boilerplate hashes.
+_WINNOW_OVERLAP_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nm) - 5 + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(i, i + 5),
+                      j -> CAST(ascii(substr(nm, CAST(j AS INT), 1)) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007)
+                * 1048576 + (1048575 - i)) AS ch
+  FROM n),
+w AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(ch) - 4 + 1, 0) + 1),
+             p -> list_min(list_slice(ch, CAST(p AS INT), CAST(p + 3 AS INT)))
+                  // 1048576)) AS hs
+  FROM g),
+fp AS (SELECT doc_id, UNNEST(hs) AS khash FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.khash = b.khash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 20
+"""
+
+
+@register("text_winnowing_overlap", _WINNOW_OVERLAP_ORACLE)
+def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing >= 20 distinct winnowing fingerprints.
+
+    One fingerprint pass (exploded), distinct per doc, self-join on
+    khash, count per pair. Scale: the join key is the fingerprint
+    hash — postings per hash are short for natural text; a stop-gram
+    cap can reuse the dedup module's guard pattern if a corpus has
+    boilerplate."""
+    fps = X.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
+    ).select("doc_id", "khash").distinct()
+    a = fps.select(F.col("doc_id").alias("id_a"), "khash")
+    b = fps.select(F.col("doc_id").alias("id_b"), "khash")
+    return (
+        a.join(b, "khash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 20)
     )
 
 
