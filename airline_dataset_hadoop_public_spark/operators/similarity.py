@@ -310,3 +310,97 @@ def embedding_cosine_pairs(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
     )
+
+
+def _srp_plane_weights(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane matrix: component (p, j)
+    is an integer in [-1000, 1000] derived from md5(f"p_{p}_{j}").
+    MD5 is bit-identical everywhere, so any engine (and the DuckDB
+    oracle) can regenerate the exact matrix — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p_{p}_{j}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def srp_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 12,
+    bits_per_band: int = 4,
+    threshold: float = 0.4,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Near-neighbour (id_a < id_b, cosine) pairs via banded signed-
+    random-projection LSH (Charikar, STOC'02 hyperplane hashes; LSH
+    banding per Leskovec/Rajaraman/Ullman ch.3): each of `bands`
+    tables hashes a vector to a `bits_per_band`-bit sign code;
+    vectors colliding in ANY band become candidates, verified with
+    exact cosine >= threshold. Recall for angle t is
+    1 - (1 - (1 - t/pi)^bits_per_band)^bands.
+
+    Scale shape: the plane matrix is tiny (bands*bits x dim ints)
+    and is embedded as a literal in the projection - each executor
+    computes all band codes with pure arithmetic in one pass, no
+    join, no broadcast, no UDF. Candidates come from one equi-join
+    on (band, code) after a posexplode; like the IVF path, the
+    oracle replicates the identical bucketing, so the gate checks
+    the algorithm end-to-end.
+    """
+    W = _srp_plane_weights(bands * bits_per_band, dim)
+    band_codes = []
+    for band in range(bands):
+        terms = []
+        for bit in range(bits_per_band):
+            p = band * bits_per_band + bit
+            arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in W[p])
+            dot = (
+                f"aggregate(zip_with(v, array({arr}), (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"CASE WHEN {dot} >= 0 THEN CAST({1 << bit} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+        band_codes.append(" + ".join(terms))
+    # let-bind the double-cast vector: every dot references it
+    codes = (
+        f"transform(array(CAST({vec_col} AS ARRAY<DOUBLE>)), "
+        f"v -> array({', '.join(band_codes)}))[0]"
+    )
+    # codes from the RAW vector (exactly what the oracle recomputes -
+    # normalizing first would change the float op sequence and could
+    # flip a near-zero dot's sign); normalize only for verification
+    coded = unit_normalize(
+        vectors.withColumn("__codes", F.expr(codes)), vec_col
+    ).select(
+        id_col, vec_col, F.posexplode("__codes").alias("__band", "__code")
+    )
+    a = coded.select(
+        "__band", "__code",
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+    )
+    b = coded.select(
+        "__band", "__code",
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+    )
+    cands = (
+        a.join(b, ["__band", "__code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "vec_a", "id_b", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("__cos", dot_product("vec_a", "vec_b"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
+    )

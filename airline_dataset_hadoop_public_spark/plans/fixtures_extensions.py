@@ -676,3 +676,49 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_read(spark, path, c_mktsegment="BUILDING").select(
         "c_mktsegment", "o_orderpriority", "avg_price"
     )
+
+
+# SRP-LSH near-neighbour pairs (12 bands x 4 bits): the oracle
+# regenerates the identical md5-derived hyperplane matrix, recomputes
+# every vector's per-band sign codes with the same left-to-right
+# double fold (bit-identical sums -> identical signs), and applies
+# the same any-band-collision + exact-cosine filter. Bucketing is
+# part of the checked contract, exactly like the IVF queries.
+_SRP_LSH_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p // 4 AS band, p % 4 AS bit,
+         list_transform(range(0, 64),
+           j -> CAST((CAST(('0x' || substring(md5('p_' || p || '_' || j), 1, 15))
+                           AS BIGINT) % 2001) - 1000 AS DOUBLE)) AS w
+  FROM (SELECT UNNEST(range(0, 48)) AS p)),
+codes AS (
+  SELECT vec_id, band,
+         CAST(SUM(CASE WHEN list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                      j -> v[CAST(j AS INT)] * w[CAST(j AS INT)])),
+                  (acc, x) -> acc + x) >= 0
+               THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS code
+  FROM e CROSS JOIN planes GROUP BY vec_id, band),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a
+  JOIN codes b ON a.band = b.band AND a.code = b.code
+             AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+FROM cands
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+"""
+
+
+@register("similarity_srp_lsh_pairs", _SRP_LSH_ORACLE)
+def similarity_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.srp_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64, bands=12, bits_per_band=4,
+        threshold=0.4,
+    )

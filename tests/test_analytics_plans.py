@@ -159,3 +159,24 @@ def test_winnowing_guarantee_and_empty_input(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc.get(3, set()))
     assert 4 not in by_doc
+
+
+def test_srp_lsh_subset_of_bruteforce_with_high_recall(spark, qs):
+    from airline_dataset_hadoop_public_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in qs["similarity_srp_lsh_pairs"](spark, SF).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            load_table(spark, SF, "embeddings"), threshold=0.4
+        ).collect()
+    }
+    assert got <= truth  # LSH candidates verified exactly -> no false positives
+    if truth:
+        assert len(got) / len(truth) >= 0.6  # banded recall (theory ~0.9)
