@@ -88,15 +88,23 @@ def main() -> None:
     # collapsed-group frames) so the measured run starts clean
     spark.catalog.clearCache()
 
+    # two measured passes per query, report the min: co-tenant CPU
+    # noise on shared hosts shows up as one-sided inflation (2x
+    # swings observed on identical plans), and min-of-2 is the
+    # standard steady-state estimator for that
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        if name in _DRAIN_WITH_COUNT:
-            df.count()
-        else:
-            df.collect()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            if name in _DRAIN_WITH_COUNT:
+                df.count()
+            else:
+                df.collect()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
