@@ -722,3 +722,36 @@ def similarity_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, bands=12, bits_per_band=4,
         threshold=0.4,
     )
+
+
+# Corpus-level n-gram language-model statistics: global top-25 word
+# bigrams by count. The A1 explode-count machinery applied to the LM
+# use case — one explode, one hash agg, distributed top-k
+# (TakeOrderedAndProject, never a single-reducer sort). Tie-break on
+# the bigram string keeps the limit boundary deterministic.
+_TOP_BIGRAMS_ORACLE = f"""
+WITH t AS (SELECT {_W} AS w FROM documents),
+b AS (SELECT UNNEST([w[i] || ' ' || w[i + 1]
+                     for i in range(1, len(w))]) AS bigram
+      FROM t WHERE len(w) >= 2)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 25
+"""
+
+
+@register("text_top_bigrams", _TOP_BIGRAMS_ORACLE)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import tokens, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(tokens("text").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(word_ngrams("__toks", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
