@@ -336,3 +336,61 @@ def broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: MAD-based outlier counts per event_type.
+# median and MAD (median absolute deviation) are exact interpolated
+# percentiles; an event is an outlier if |v − med| > 3·MAD. Two
+# aggregation passes over the same key (the deviation pass needs the
+# key's median joined back — a broadcast of one row per key), no
+# window, no sort of the full stream.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, med,
+         quantile_cont(ABS(value - med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med)
+SELECT e.event_type,
+       ROUND(ANY_VALUE(d.med), 4) AS med,
+       ROUND(ANY_VALUE(d.mad), 4) AS mad,
+       CAST(COUNT(*) FILTER (WHERE ABS(value - d.med) > 3 * d.mad) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN dev d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@register("events_mad_outliers", _MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+        )
+    )
+    return (
+        ev.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
