@@ -394,3 +394,133 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew profiler: heavy-hitter join keys with their share of the fact
+# table. THE pre-join diagnostic at 100 TB — run it before choosing
+# salting/broadcast strategy. One hash agg + distributed top-k; the
+# total is a one-row broadcast, never a driver collect.
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
+           FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT key, n, ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+FROM c CROSS JOIN t
+ORDER BY n DESC, key ASC
+LIMIT 10
+"""
+
+
+@register("skew_heavy_hitter_keys", _HEAVY_HITTERS_ORACLE)
+def skew_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-state-per-key compaction (upsert/CDC semantics): each user's
+# most recent event wins. max_by(struct(ts, tiebreak), ...) — ONE hash
+# aggregation with map-side partials; never a window sort of the full
+# stream. Tie-break on event_id pins concurrent timestamps.
+# ---------------------------------------------------------------------------
+
+_LATEST_STATE_ORACLE = """
+SELECT user_id, event_type AS last_event_type,
+       ROUND(value, 4) AS last_value
+FROM (SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("events_latest_state_per_user", _LATEST_STATE_ORACLE)
+def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_type, struct(ts, event_id))").alias(
+            "last_event_type"
+        ),
+        F.round(
+            F.expr("max_by(value, struct(ts, event_id))"), 4
+        ).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization via lag + cumulative sum: a new session starts
+# when the gap to the user's previous event exceeds 30 minutes;
+# session_id = running count of session starts. The classic two-window
+# composition (lag, then an unbounded-preceding running sum) — state
+# per partition is one row. Output: per-user session count and mean
+# session length (events per session).
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+@register("events_batch_sessionization", _SESSIONIZE_ORACLE)
+def events_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+    )
