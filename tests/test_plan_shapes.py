@@ -138,3 +138,16 @@ def test_q19_part_predicates_reach_broadcast_build(spark, qs):
 def test_q22_anti_join_and_scalar_broadcast(spark, qs):
     plan = _plan(qs["tpch_q22_dormant_rich_customers"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_latest_state_is_aggregate_not_window(spark, qs):
+    # CDC compaction must compile to hash aggregation with map-side
+    # partial max_by, never a per-key window sort of the full stream
+    plan = _plan(qs["events_latest_state_per_user"](spark, SF))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
+
+
+def test_heavy_hitters_uses_distributed_topk(spark, qs):
+    plan = _plan(qs["skew_heavy_hitter_keys"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
