@@ -207,3 +207,46 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_file_stream_batch(
         spark, src, schema, plan, output_mode="append"
     )
+
+
+# Streaming cardinality monitoring: per-type approximate distinct
+# users over the unbounded stream. Distinct aggregates are not
+# available in streaming (unbounded distinct state); the HLL++ sketch
+# is the 100 TB answer — fixed-size mergeable state per key. Complete
+# mode re-emits the sketch estimate; the self-check pattern (see
+# approx_distinct_users_check) joins the drained result to the batch
+# exact count and asserts the 2%-rsd sketch landed within 5%.
+_STREAM_APPROX_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_approx_distinct_users", _STREAM_APPROX_DISTINCT_ORACLE)
+def streaming_approx_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+
+    def plan(s: DataFrame) -> DataFrame:
+        return s.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        )
+
+    streamed = run_file_stream_batch(spark, src, schema, plan)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return streamed.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.when(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+            1,
+        )
+        .otherwise(0)
+        .alias("approx_ok"),
+    )
