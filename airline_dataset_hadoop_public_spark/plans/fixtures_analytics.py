@@ -524,3 +524,47 @@ def events_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.round(F.avg("n_events"), 4).alias("avg_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation: per-customer order counts from two
+# independent slices (urgent vs finished orders), FULL OUTER joined so
+# customers present in either slice appear, with COALESCE pinning the
+# null-side semantics. Completes the join-type matrix (inner / left /
+# semi / anti / cross / as-of / range / full-outer).
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH u AS (SELECT o_custkey AS custkey, COUNT(*) AS n_urgent
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+f AS (SELECT o_custkey AS custkey, COUNT(*) AS n_finished
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(u.custkey, f.custkey) AS custkey,
+       COALESCE(n_urgent, 0) AS n_urgent,
+       COALESCE(n_finished, 0) AS n_finished
+FROM u FULL OUTER JOIN f ON u.custkey = f.custkey
+"""
+
+
+@register("full_outer_order_reconciliation", _FULL_OUTER_ORACLE)
+def full_outer_order_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("u_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    finished = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+    )
+    return urgent.join(
+        finished, F.col("u_custkey") == F.col("f_custkey"), "full_outer"
+    ).select(
+        F.coalesce("u_custkey", "f_custkey").alias("custkey"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+    )
