@@ -329,3 +329,63 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 20,
+) -> DataFrame:
+    """(id_a < id_b, shared_fingerprints) — doc pairs sharing at least
+    `min_shared` distinct winnowing fingerprints (the MOSS overlap
+    score over the scheme in `winnowing_fingerprints`).
+
+    Scale shape (the same duplicate-group collapse the dedup operators
+    use): docs with IDENTICAL fingerprint sets — exact/near-exact
+    duplicates, the dominant case in crawled corpora — are collapsed
+    to one representative BEFORE the fingerprint self-join, so a
+    c-copy cluster costs one posting row per hash instead of c (and
+    the join avoids the c² blowup entirely); intra-group pairs share
+    their whole set by construction, and verified representative
+    pairs expand back to members with the count carried over exactly.
+    """
+    from .dedup import _collapse_identical, _expand_rep_pairs
+
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    sets = fps.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("khash")).alias("__sh")
+    )
+    grp = _collapse_identical(sets, id_col, key="__sh").cache()
+    intra = (
+        grp.filter(
+            (F.size("__members") > 1) & (F.size("__sh") >= min_shared)
+        )
+        .select(
+            F.explode("__members").alias("id_a"),
+            "__members",
+            F.size("__sh").cast("long").alias("shared_fingerprints"),
+        )
+        .select(
+            "id_a", F.explode("__members").alias("id_b"), "shared_fingerprints"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    posting = grp.select(
+        F.col("__rep").alias(id_col), F.explode("__sh").alias("khash")
+    )
+    a = posting.select(F.col(id_col).alias("id_a"), "khash")
+    b = posting.select(F.col(id_col).alias("id_b"), "khash")
+    rep_pairs = (
+        a.join(b, "khash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    cross = _expand_rep_pairs(rep_pairs, grp, ["shared_fingerprints"])
+    return intra.select(
+        "id_a", "id_b", "shared_fingerprints"
+    ).unionByName(cross.select("id_a", "id_b", "shared_fingerprints"))

@@ -523,17 +523,9 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — postings per hash are short for natural text; a stop-gram
     cap can reuse the dedup module's guard pattern if a corpus has
     boilerplate."""
-    fps = X.winnowing_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
-    ).select("doc_id", "khash").distinct()
-    a = fps.select(F.col("doc_id").alias("id_a"), "khash")
-    b = fps.select(F.col("doc_id").alias("id_b"), "khash")
-    return (
-        a.join(b, "khash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
-        .filter(F.col("shared_fingerprints") >= 20)
+    return X.winnowing_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=5, window=4, min_shared=20,
     )
 
 

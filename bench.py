@@ -33,6 +33,8 @@ _DRAIN_WITH_COUNT = {
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "streaming_session_windows",
+    "text_winnowing_overlap",
+    "events_batch_sessionization",
 }
 
 HEADLINE = [
@@ -65,9 +67,14 @@ def main() -> None:
     for extra in (
         "dedup_minhash_neardup",
         "dedup_ngram_jaccard",
+        "dedup_simhash",
         "similarity_bruteforce_topk",
         "similarity_ivf_topk",
+        "similarity_srp_lsh_pairs",
         "text_quality_scores",
+        "text_winnowing_overlap",
+        "tpch_q5_local_supplier_revenue",
+        "events_batch_sessionization",
         "streaming_tumbling_counts",
         "streaming_session_windows",
     ):
