@@ -380,27 +380,46 @@ def srp_lsh_pairs(
     # codes from the RAW vector (exactly what the oracle recomputes -
     # normalizing first would change the float op sequence and could
     # flip a near-zero dot's sign); normalize only for verification
-    coded = unit_normalize(
-        vectors.withColumn("__codes", F.expr(codes)), vec_col
-    ).select(
-        id_col, vec_col, F.posexplode("__codes").alias("__band", "__code")
+    # cached: BOTH sides of the band self-join consume this frame —
+    # uncached, the bands×bits dot-product code computation runs twice
+    coded = (
+        unit_normalize(
+            vectors.withColumn("__codes", F.expr(codes)), vec_col
+        )
+        .select(
+            id_col, vec_col, F.posexplode("__codes").alias("__band", "__code")
+        )
+        .cache()
     )
-    a = coded.select(
-        "__band", "__code",
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-    )
-    b = coded.select(
-        "__band", "__code",
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-    )
-    cands = (
+    a = coded.select("__band", "__code", F.col(id_col).alias("id_a"))
+    b = coded.select("__band", "__code", F.col(id_col).alias("id_b"))
+    # the multi-band dedup runs on BARE id pairs — carrying the two
+    # 64-double vectors through the distinct's exchange would multiply
+    # the shuffle volume ~30×; vectors re-attach afterwards via joins
+    # on the (dimension-table-sized) normalized frame
+    pair_ids = (
         a.join(b, ["__band", "__code"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "vec_a", "id_b", "vec_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    vecs = coded.select(id_col, vec_col).dropDuplicates([id_col])
+    cands = pair_ids.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+        "id_b",
+    )
+    # JVM HOF dot for verification: on weak-similarity corpora the
+    # band join yields millions of candidates, and the Arrow UDF would
+    # serialize two vectors per pair to Python; the codegen fold keeps
+    # verification in the JVM (bits_per_band should grow ~log2(n) to
+    # keep buckets small — the oracle replicates any setting)
     return (
-        cands.withColumn("__cos", dot_product("vec_a", "vec_b"))
+        cands.withColumn(
+            "__cos", dot_product("vec_a", "vec_b", arrow=False)
+        )
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
     )
