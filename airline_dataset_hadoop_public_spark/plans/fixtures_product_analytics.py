@@ -1,0 +1,368 @@
+"""Product-analytics query shapes over the ``events`` stream table:
+cohort retention, conversion funnel, Markov transition matrix,
+deterministic stratified sampling, and rolling 7-day active users —
+plus Gopher-style document quality flags on ``documents``.
+
+The reference (/root/reference/README.md; SURVEY.md §2) stops at
+avg-by-key and top-k over flight records — it has no sessionized /
+behavioral analytics surface at all. A modern event pipeline (and any
+LLM-data curation stack) needs these shapes, so they are first-class
+queries here, each with a full DuckDB value oracle.
+
+Scale notes (local[32] tests, 1000-executor design):
+- cohort retention: two aggregations both hash-partitioned on
+  user_id — the first-event frame joins the activity frame on the
+  SAME key, so the exchange is reused; the final (cohort, offset)
+  rollup is over |users x weeks-active|, far smaller than events.
+- funnel: three cascading per-user min aggregations all keyed on
+  user_id (exchange reuse across every stage); no broadcast of the
+  per-user frame — at 10^9 users the stage frames are fact-sized
+  and must stay shuffled, which this plan already does.
+- transition matrix: one window (partition user_id, order ts) — the
+  natural event-log partitioning; the (from, to) rollup output is
+  |event_types|^2, a constant.
+- stratified sample: the md5-derived per-mille predicate is a pure
+  row-local filter evaluated in the scan stage — no shuffle at all,
+  the 100 TB-safe way to downsample before any join (same scheme as
+  sample_systematic_revenue, but with per-stratum rates so rare
+  strata can be oversampled for training-data balance).
+- rolling 7d actives: the distinct day frame is tiny (one row per
+  calendar day — broadcastable at any SF); the (user, day) frame
+  stays distributed and range-joins against the broadcast days.
+- gopher flags: pure per-row array expressions (no UDF, no shuffle);
+  whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by the ISO week of their first
+# event (any type); for each (cohort week, week offset) the count of
+# distinct cohort members active that week. Weeks are Monday-anchored
+# via date_trunc('week', ...) in both engines.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', f.cohort_week, a.active_week) // 7 AS week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM firsts f JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week ASC, week_offset ASC
+"""
+
+
+@register("events_cohort_retention", _COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy(F.asc("cohort_week"), F.asc("week_offset"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel — strictly ordered view -> click -> purchase with
+# a 24h conversion window per step: the click must land within 24h
+# after the user's first view, the purchase within 24h after that
+# first qualifying click. Classic cascading min-timestamp funnel;
+# every stage is a per-user aggregate on the same shuffle key.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+   AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+   AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, users FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+  UNION ALL SELECT '2_click_24h', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase_24h', COUNT(*) FROM p
+) ORDER BY stage ASC
+"""
+
+
+@register("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click_24h"))
+        .unionAll(stage(p, "3_purchase_24h"))
+        .orderBy(F.asc("stage"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — first-order Markov chain over each user's
+# event stream: LEAD over (user_id, ts, event_id) pairs consecutive
+# events; output per (from, to) cell the transition count and the
+# row-normalized probability. |event_types|^2 output — a constant.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, COUNT(*) AS transitions
+  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, transitions,
+       ROUND(transitions::DOUBLE /
+             SUM(transitions) OVER (PARTITION BY from_type), 4) AS prob
+FROM cells
+ORDER BY from_type ASC, to_type ASC
+"""
+
+
+@register("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    cells = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(row_total), 4
+        ).alias("prob"),
+    ).orderBy(F.asc("from_type"), F.asc("to_type"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample — deterministic per-stratum rates via the
+# portable md5-derived per-mille hash (bit-identical in DuckDB, same
+# scheme as dedup.py:450): purchases kept at 20%, errors at 10%, the
+# high-volume types at 5% — oversampling rare strata is the standard
+# class-balancing move for training-data extraction. Pure row-local
+# predicate: no shuffle, evaluated in the scan stage.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+SELECT event_id, event_type, value
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 <
+      CASE event_type WHEN 'purchase' THEN 200
+                      WHEN 'error' THEN 100
+                      ELSE 50 END
+"""
+
+
+@register("events_stratified_sample", _STRATIFIED_ORACLE)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000"
+    )
+    rate = (
+        F.when(F.col("event_type") == "purchase", 200)
+        .when(F.col("event_type") == "error", 100)
+        .otherwise(50)
+    )
+    return events.filter(bucket < rate).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — for every calendar day in the log, the
+# distinct-user count over that day and the 6 preceding. The day
+# frame (one row per day — broadcastable at any SF) range-joins the
+# distributed distinct (user, day) frame.
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS uday FROM events)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT ud.user_id) AS active_7d
+FROM days d JOIN ud
+  ON ud.uday <= d.day AND ud.uday >= d.day - INTERVAL 6 DAY
+GROUP BY 1 ORDER BY day ASC
+"""
+
+
+@register("events_rolling_7d_active_users", _ROLLING_ORACLE)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    ud = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("uday")
+    ).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy(F.asc("day"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality flags — the repetition/shape heuristics from
+# the Gopher paper (Rae et al. 2021, "Scaling Language Models",
+# appendix A1.1) adapted to this corpus: word-count bounds, mean word
+# length bounds, minimum stop-word fraction, minimum distinct-word
+# fraction (the inverse of Gopher's duplicate-line rules for a
+# corpus without line structure). All metrics are rounded to 4dp
+# BEFORE the flag comparisons so both engines flag identically at
+# boundaries. Pure array expressions — no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the','a','of','to','and','in','is','it')"
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         ROUND(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+               / len(ws), 4) AS mean_word_len,
+         ROUND(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS distinct_frac,
+         ROUND(len(list_filter(ws, x -> x IN {_STOPWORDS}))::DOUBLE
+               / len(ws), 4) AS stopword_frac
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, distinct_frac, stopword_frac,
+       CAST(n_words BETWEEN 20 AND 80 AS INT) AS flag_len,
+       CAST(mean_word_len BETWEEN 3.0 AND 7.0 AS INT) AS flag_mwl,
+       CAST(distinct_frac >= 0.4 AS INT) AS flag_distinct,
+       CAST(stopword_frac >= 0.03 AS INT) AS flag_stop,
+       CAST(n_words BETWEEN 20 AND 80 AND mean_word_len BETWEEN 3.0 AND 7.0
+            AND distinct_frac >= 0.4 AND stopword_frac >= 0.03 AS INT)
+         AS gopher_pass
+FROM m
+"""
+
+
+@register("text_gopher_quality_flags", _GOPHER_ORACLE)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("ws"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.round(
+            F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))")
+            / F.size("ws"),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.array_distinct("ws")) / F.size("ws"), 4
+        ).alias("distinct_frac"),
+        F.round(
+            F.expr(f"size(filter(ws, x -> x IN {_STOPWORDS}))") / F.size("ws"),
+            4,
+        ).alias("stopword_frac"),
+    )
+    flag_len = F.col("n_words").between(20, 80)
+    flag_mwl = F.col("mean_word_len").between(3.0, 7.0)
+    flag_distinct = F.col("distinct_frac") >= 0.4
+    flag_stop = F.col("stopword_frac") >= 0.03
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "distinct_frac",
+        "stopword_frac",
+        flag_len.cast("int").alias("flag_len"),
+        flag_mwl.cast("int").alias("flag_mwl"),
+        flag_distinct.cast("int").alias("flag_distinct"),
+        flag_stop.cast("int").alias("flag_stop"),
+        (flag_len & flag_mwl & flag_distinct & flag_stop)
+        .cast("int")
+        .alias("gopher_pass"),
+    )
