@@ -1,0 +1,423 @@
+"""Training-data preparation operators over ``documents``: PII
+redaction, sequence packing, deterministic dataset splits, and
+language-mix rebalancing.
+
+The reference (/root/reference/README.md; SURVEY.md §2) has no text
+pipeline at all — these are the curation stages every large-scale
+LLM data pipeline runs between raw corpus and tokenizer, expressed
+as pure Catalyst expressions (no UDFs) with full DuckDB value
+oracles.
+
+Scale notes (local[32] tests, 1000-executor design):
+- pii redaction: per-row regexp kernels in the scan stage — no
+  shuffle, whole-stage codegen end to end.
+- sequence packing: one window per source shard (running token sum
+  ordered by doc_id) — partition-parallel across shards, never a
+  global single-partition sort; the pack id is a pure expression of
+  the running offset. At 100 TB the shard key is the ingest bucket,
+  so each window partition is one file group.
+- train/val/test split: row-local md5-per-mille predicate (same
+  portable scheme as dedup.py:450) — shuffle-free, reproducible
+  across engines and runs, and stable under corpus growth (a doc's
+  split never changes when other docs arrive).
+- lang rebalance: exact equalization needs a per-lang rank (5
+  partitions here — skewed at petabyte scale; the documented scale
+  path is the shuffle-free rate variant: keep md5-per-mille <
+  1000 * min_count / lang_count, trading exact counts for zero
+  shuffle). The fixture pins the exact-window semantics so the
+  oracle can verify every kept row.
+- decontamination: the benchmark side (test-split 8-gram set) is
+  tiny and fixed, so it broadcasts; the 100 TB train side is
+  explode → broadcast-hash semi-side join → partial-agg count, with
+  no corpus-wide shuffle except the per-doc hit count.
+- int8 quantization: pure per-row higher-order-function kernels
+  (transform/zip_with/aggregate) — scan-stage codegen, no shuffle.
+- temperature resample: the per-lang rate table is a 5-row
+  broadcast; corpus side is a shuffle-free filter, so resampling
+  composes with any downstream stage without a repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# PII redaction — the corpus is synthetic lowercase prose with no
+# embedded PII, so the fixture APPENDS a deterministic email + phone
+# per doc (derived from doc_id) and then redacts them; the oracle
+# rebuilds the identical dirty text and must produce the identical
+# redaction counts and md5 of the clean text. The regex kernels are
+# the portable subset (character classes + bounded repeats) that RE2
+# (Spark) and DuckDB's regex engine treat identically.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM dirty
+"""
+
+
+@register("text_pii_redaction", _PII_ORACLE)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — contiguous concat-and-chunk assignment: within
+# each source shard (ordered by doc_id) the running token offset
+# maps each doc to pack floor(start_offset / 512). This is the
+# standard streaming-packing approximation (docs may straddle pack
+# boundaries; the tokenizer consumes packs sequentially).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, tokens,
+         COALESCE(SUM(tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, source, tokens, start_offset,
+       start_offset // {_PACK_BUDGET} AS pack_id
+FROM o
+"""
+
+
+@register("docs_pack_sequences", _PACK_ORACLE)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.withColumn(
+        "start_offset", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    ).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / _PACK_BUDGET).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split — 80/10/10 by md5-per-mille of doc_id. A
+# doc's assignment depends only on its own id: reproducible across
+# engines, runs, and corpus growth.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("docs_train_split", _SPLIT_ORACLE)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000"
+    ).alias("bucket")
+    return docs.select("doc_id", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 800, "train")
+        .when(F.col("bucket") < 900, "val")
+        .otherwise("test"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-mix rebalance — downsample every language to the size of
+# the smallest one, choosing survivors by deterministic md5 rank
+# (so the kept subset is stable). min-count rides a one-row
+# broadcast derived from the same grouped frame (q11 pattern —
+# documents is scanned once for the counts).
+# ---------------------------------------------------------------------------
+
+_REBALANCE_ORACLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT MIN(c) AS min_count FROM counts),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+           AS keep_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.keep_rank
+FROM r, m WHERE r.keep_rank <= m.min_count
+"""
+
+
+@register("docs_lang_rebalance", _REBALANCE_ORACLE)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    min_count = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("min_count"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_count))
+        .filter(F.col("keep_rank") <= F.col("min_count"))
+        .select("doc_id", "lang", "keep_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — drop/flag training docs that share any
+# word 8-gram with the held-out test split (the md5-per-mille >= 900
+# bucket of docs_train_split). The synthetic corpus's near-duplicate
+# clusters guarantee real cross-split contamination to find. Output
+# is every contaminated train-split doc with its distinct-hit count.
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+
+_DECONTAM_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket,
+         string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, bucket,
+         array_to_string(words[r + 1:r + {_NGRAM_N}], ' ') AS ng
+  FROM (SELECT doc_id, bucket, words,
+               unnest(range(greatest(len(words) - {_NGRAM_N - 1}, 0))) AS r
+        FROM b)
+),
+test_ngrams AS (SELECT DISTINCT ng FROM g WHERE bucket >= 900)
+SELECT g.doc_id, COUNT(*) AS n_hits
+FROM g JOIN test_ngrams USING (ng)
+WHERE g.bucket < 800
+GROUP BY g.doc_id
+"""
+
+
+@register("docs_decontaminate", _DECONTAM_ORACLE)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import tokens, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000"
+    ).alias("bucket")
+    # per-doc dedup happens row-locally (array_distinct before the
+    # explode) — no corpus-wide shuffle just to make (doc_id, ng)
+    # unique, which is what a global dropDuplicates would cost
+    grams = docs.select("doc_id", bucket, tokens("text").alias("__toks")).select(
+        "doc_id",
+        "bucket",
+        F.explode(F.array_distinct(word_ngrams("__toks", _NGRAM_N))).alias("ng"),
+    )
+    test_ngrams = (
+        grams.filter(F.col("bucket") >= 900).select("ng").distinct()
+    )
+    return (
+        grams.filter(F.col("bucket") < 800)
+        .join(F.broadcast(test_ngrams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings — per-vector absmax scale,
+# symmetric round-half-up codes (floor(x*127/scale + 0.5): identical
+# in both engines, unlike round()'s differing half-even/half-away
+# conventions), md5 fingerprint of the code vector, and the RMS
+# reconstruction error. Elements are cast float32 → float64 exactly,
+# and both engines reduce the error sum left-to-right over the same
+# element order, so 6-decimal rounding hashes identically.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5)
+                                     AS BIGINT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r,
+       md5(array_to_string(codes, ',')) AS code_fp,
+       ROUND(sqrt(list_aggregate(
+               list_transform(list_zip(v, codes),
+                              p -> (p[1] - p[2] * scale / 127.0) ** 2),
+               'sum') / len(v)), 6) AS rmse
+FROM q
+"""
+
+
+@register("embeddings_int8_quantize", _QUANT_ORACLE)
+def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # let-bind v and scale via a one-element transform so the cast
+    # array and the absmax are evaluated once, not per element
+    out = emb.select(
+        "vec_id",
+        F.transform(F.array(v), lambda vv: F.struct(
+            vv.alias("v"),
+            F.array_max(F.transform(vv, F.abs)).alias("scale"),
+        ))[0].alias("__b"),
+    ).select(
+        "vec_id",
+        F.col("__b.v").alias("v"),
+        F.col("__b.scale").alias("scale"),
+    ).withColumn(
+        "codes",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("long"),
+        ),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, c: F.pow(x - c * F.col("scale") / 127.0, F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+            )
+        ).alias("code_fp"),
+        F.round(
+            F.sqrt(err / F.size(F.col("v"))), 6
+        ).alias("rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling of the language mix (tau = 2): target share
+# per language ∝ sqrt(count), scaled so the smallest language keeps
+# everything — the standard low-resource upweighting scheme, realised
+# as a deterministic per-doc md5-per-mille rate filter (no sampling
+# randomness, stable across runs and engines).
+# ---------------------------------------------------------------------------
+
+_TEMP_ORACLE = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM documents GROUP BY lang),
+k AS (SELECT MIN(sqrt(c)) AS kmin FROM c),
+rates AS (SELECT lang, sqrt(c) * kmin / c AS rate FROM c, k),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.lang, ROUND(rates.rate, 6) AS keep_rate
+FROM b JOIN rates USING (lang)
+WHERE b.bucket < 1000.0 * rates.rate
+"""
+
+
+@register("docs_temperature_resample", _TEMP_ORACLE)
+def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    kmin = counts.agg(F.min(F.sqrt("c")).alias("kmin"))
+    rates = counts.crossJoin(F.broadcast(kmin)).select(
+        "lang", (F.sqrt("c") * F.col("kmin") / F.col("c")).alias("rate")
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000"
+    ).alias("bucket")
+    return (
+        docs.select("doc_id", "lang", bucket)
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < 1000.0 * F.col("rate"))
+        .select(
+            "doc_id", "lang", F.round(F.col("rate"), 6).alias("keep_rate")
+        )
+    )

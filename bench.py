@@ -75,6 +75,8 @@ def main() -> None:
         "text_winnowing_overlap",
         "tpch_q5_local_supplier_revenue",
         "events_batch_sessionization",
+        "events_cohort_retention",
+        "text_gopher_quality_flags",
         "streaming_tumbling_counts",
         "streaming_session_windows",
     ):
