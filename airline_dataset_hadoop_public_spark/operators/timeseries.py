@@ -1,0 +1,99 @@
+"""Time-series resampling operators: fixed-interval spine generation,
+gap-filling, and forward-fill.
+
+The reference (/root/reference/README.md) has no time-series surface —
+its only temporal logic is per-day equi-keys in the G3Q2 join
+(README.md:542-543). A production event pipeline needs regularized
+series (monitoring rollups, feature windows for training data), so
+these are extension operators per SURVEY.md §7.4.
+
+Scale design (100 TB):
+- The spine is calendar-bounded: |buckets| = time-range / interval,
+  independent of fact cardinality — a month of 15-minute buckets is
+  ~2.9k rows, a decade ~350k. Always broadcastable.
+- The per-bucket aggregate output is at most |keys| x |buckets| rows,
+  also calendar-bounded for low-cardinality keys; the only fact-sized
+  work is the groupBy, which hash-partitions on (key, bucket) with
+  map-side partial aggregation.
+- The forward-fill window partitions by key over the calendar-bounded
+  frame — never over raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_start(ts: Column, seconds: int) -> Column:
+    """Epoch-aligned bucket start (same alignment as DuckDB's
+    time_bucket and Spark's window() — multiples of `seconds` since
+    1970-01-01 00:00:00 UTC)."""
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / seconds).cast("long") * seconds
+    )
+
+
+def time_spine(df: DataFrame, ts_col: str, seconds: int) -> DataFrame:
+    """One row per `seconds`-wide bucket covering [min(ts), max(ts)].
+
+    Single-row aggregate then sequence+explode — the spine never
+    touches the driver and is tiny by construction.
+    """
+    return (
+        df.agg(
+            bucket_start(F.min(ts_col), seconds).alias("t0"),
+            bucket_start(F.max(ts_col), seconds).alias("t1"),
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("t0"),
+                    F.col("t1"),
+                    F.expr(f"INTERVAL {seconds} SECONDS"),
+                )
+            ).alias("bucket")
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seconds: int,
+) -> DataFrame:
+    """Regularize an event stream to a fixed grid per key.
+
+    Output: (key, bucket, n_obs, avg_value_ffill) — one row per
+    (key, bucket) on the full grid; empty buckets get n_obs = 0 and
+    the forward-filled running average (null before the first
+    observation of that key).
+    """
+    agg = df.groupBy(
+        F.col(key_col).alias("key"),
+        bucket_start(F.col(ts_col), seconds).alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.avg(value_col).alias("avg_value"),
+    )
+    grid = (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .crossJoin(F.broadcast(time_spine(df, ts_col, seconds)))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+    )

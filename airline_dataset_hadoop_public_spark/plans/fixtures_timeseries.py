@@ -1,0 +1,247 @@
+"""Time-series regularization and relational-completeness wave:
+gap-filled forward-filled resampling, linear-regression aggregates,
+unpivot (melt), an inverted text index, and distribution entropy.
+
+The reference (/root/reference/README.md; SURVEY.md §2) has no
+time-series, regression, unpivot, or IR surface — its temporal logic
+stops at per-day join keys (README.md:542-543) and its text handling
+at positional CSV parsing (README.md:119-126). These close the gap a
+monitoring/feature pipeline needs on top of the parity operators.
+
+Scale notes (local[32] tests, 1000-executor design):
+- resample/ffill: spine is calendar-bounded and broadcast; the only
+  fact-sized stage is one hash aggregation (see operators/timeseries).
+- regression aggregates: single map-side-combinable aggregation —
+  regr_slope/intercept/corr are all one-pass moment sketches; no
+  second scan, no shuffle beyond one exchange on event_type.
+- unpivot: Expand node (each row emitted k times) feeding a partial
+  aggregate — the expansion never materializes because the partial
+  agg consumes it within the same whole-stage-codegen pipeline.
+- inverted index: explode -> distinct -> groupBy is two shuffles on
+  the term key; posting lists are capped (first 100 doc ids) so a
+  degenerate stop-word term cannot blow a reducer at 100 TB; the
+  top-50 head is TakeOrderedAndProject (distributed top-k).
+- hourly entropy: grouped count (24 x |types| rows) then a window
+  normalization over that tiny frame — fact data is touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# 15-minute resample of events.value per event_type with gap-filling
+# and forward-fill — the regularized-series shape every monitoring /
+# feature-engineering pipeline needs.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, MIN(ts)) AS t0,
+         time_bucket(INTERVAL 15 MINUTE, MAX(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT t0 FROM bounds),
+                                (SELECT t1 FROM bounds),
+                                INTERVAL 15 MINUTE)) AS bucket
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+         COUNT(*) AS n_obs, AVG(value) AS avg_value
+  FROM events GROUP BY 1, 2
+)
+SELECT ty.event_type,
+       strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       COALESCE(a.n_obs, 0) AS n_obs,
+       ROUND(last_value(a.avg_value IGNORE NULLS) OVER (
+         PARTITION BY ty.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS avg_value_ffill
+FROM types ty
+CROSS JOIN spine s
+LEFT JOIN agg a ON a.event_type = ty.event_type AND a.bucket = s.bucket
+"""
+
+
+@register("events_resample_15m_ffill", _RESAMPLE_ORACLE)
+def events_resample_15m_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, "event_type", "ts", "value", 900)
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_obs",
+        F.round("avg_value_ffill", 4).alias("avg_value_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-type linear trend of value over time: one-pass regression
+# aggregates (regr_slope / regr_intercept / corr). x is in days since
+# a fixed epoch anchor so the slope reads as "value change per day"
+# and the moment sums stay well-conditioned.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+_REGR_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(regr_slope(value, x), 6) AS slope_per_day,
+       ROUND(regr_intercept(value, x), 6) AS intercept,
+       ROUND(corr(value, x), 6) AS pearson_r
+FROM (
+  SELECT event_type, value,
+         (epoch(ts) - {_ANCHOR_EPOCH}) / 86400.0 AS x
+  FROM events
+) t
+GROUP BY event_type
+"""
+
+
+@register("events_regr_value_trend", _REGR_ORACLE)
+def events_regr_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("ts").cast("double") - F.lit(float(_ANCHOR_EPOCH))) / 86400.0
+    return ev.select("event_type", "value", x.alias("x")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("value", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+        F.round(F.corr("value", "x"), 6).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide lineitem metrics -> long (metric, total) per
+# return flag. Spark's unpivot produces an Expand node consumed by
+# the partial aggregate in one codegen stage.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, metric, ROUND(SUM(val), 4) AS total
+FROM (
+  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+) u
+GROUP BY l_returnflag, metric
+"""
+
+
+@register("lineitem_unpivot_metrics", _UNPIVOT_ORACLE)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("val"), 4).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index head: for the 50 highest-document-frequency terms,
+# the doc frequency and a capped, sorted posting-list sample. The cap
+# bounds reducer memory for stop-word-grade terms at any scale.
+# ---------------------------------------------------------------------------
+
+_INVERTED_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT d.doc_id, t.term
+  FROM documents d,
+       unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term,
+       COUNT(*) AS doc_freq,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), ',')
+         AS posting_sample
+FROM tok
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 50
+"""
+
+
+@register("docs_inverted_index", _INVERTED_ORACLE)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    postings = tok.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("posting_sample"),
+    )
+    return postings.orderBy(F.desc("doc_freq"), "term").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy (nats) of each event type's hour-of-day histogram —
+# a distribution-shape check (uniform usage vs peaked) used when
+# validating sampled/rebalanced training corpora.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.event_type,
+       ROUND(-SUM((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))), 6)
+         AS hour_entropy_nats,
+       COUNT(*) AS distinct_hours
+FROM c JOIN tot USING (event_type)
+GROUP BY c.event_type
+"""
+
+
+@register("events_hourly_entropy", _ENTROPY_ORACLE)
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.hour("ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("event_type"))
+    return (
+        c.withColumn("p", p)
+        .groupBy("event_type")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias(
+                "hour_entropy_nats"
+            ),
+            F.count("*").alias("distinct_hours"),
+        )
+    )
