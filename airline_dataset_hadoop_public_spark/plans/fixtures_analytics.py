@@ -259,7 +259,7 @@ def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
@@ -503,8 +503,8 @@ def events_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
             > 1800,
             1,
         )
