@@ -500,12 +500,16 @@ FROM per_session GROUP BY user_id
 def events_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Full-microsecond gap compare, matching the oracle's
+    # `ts - LAG(ts) > INTERVAL 30 MINUTE` exactly (second-truncated
+    # unix_timestamp could flip a boundary that lies within 1s of the
+    # 1800s edge).
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.unix_timestamp("ts")
-            - F.lag(F.unix_timestamp("ts")).over(w)
-            > 1800,
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+            > 1800 * 1_000_000,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)

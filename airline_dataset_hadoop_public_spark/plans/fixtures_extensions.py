@@ -285,8 +285,76 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, centroids, probes, k=5, nprobe=2)
 
 
-@register("similarity_kmeans_ivf_topk", None)  # iterative float means →
-# no practical SQL oracle; rows-only check + cluster-separation unit test
+def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -> str:
+    """Unrolled-CTE Lloyd oracle for ``kmeans_fit`` + ``ivf_topk``.
+
+    Mirrors the Spark op exactly: unit-normalize, init = k smallest
+    ids (cid 1..k by id order), per-iteration nearest-centroid
+    assignment (cosine, ties on ascending cid) then elementwise mean
+    per cluster; empty clusters keep the previous centroid. Cosine
+    ranking is scale-invariant (both sides are normalized at use), so
+    the oracle's un-renormalized means match the Spark op's.
+    """
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "n AS (SELECT vec_id, list_transform(v, x -> x / sqrt("
+        "list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS v "
+        "FROM e)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS cv "
+        f"FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT n.vec_id, n.v, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+            f"ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cid) AS rn "
+            f"FROM n CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ("
+            f"SELECT cid, pos, AVG(x) AS m FROM ("
+            f"SELECT cid, unnest(v) AS x, "
+            f"unnest(range(1, len(v) + 1)) AS pos FROM a{i}) "
+            f"GROUP BY cid, pos) GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, cv FROM m{i} UNION ALL "
+            f"SELECT cid, cv FROM {prev} "
+            f"WHERE cid NOT IN (SELECT cid FROM m{i}))"
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"assign AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT n.vec_id, n.v, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+        f"ORDER BY list_cosine_similarity(n.v, c.cv) DESC, c.cid) AS rn "
+        f"FROM n CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    ctes.append("p AS (SELECT vec_id AS probe_id, v AS pv FROM n WHERE vec_id < 5)")
+    ctes.append(
+        f"pcells AS (SELECT probe_id, pv, cid FROM ("
+        f"SELECT p.probe_id, p.pv, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY p.probe_id "
+        f"ORDER BY list_cosine_similarity(p.pv, c.cv) DESC, c.cid) AS rn "
+        f"FROM p CROSS JOIN {prev} c) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, "
+        "list_cosine_similarity(pc.pv, a.v) AS cos "
+        "FROM pcells pc JOIN assign a "
+        "ON a.cid = pc.cid AND a.vec_id <> pc.probe_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT probe_id, neighbor_id, ROUND(cos, 4) AS cosine FROM cand\n"
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id "
+        f"ORDER BY cos DESC, neighbor_id) <= {topk}"
+    )
+
+
+@register("similarity_kmeans_ivf_topk", _kmeans_oracle())
 def similarity_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The self-contained ANN path: train IVF centroids with
     deterministic spherical k-means, then pruned top-k search."""

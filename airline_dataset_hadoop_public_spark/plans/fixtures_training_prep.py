@@ -124,8 +124,9 @@ o AS (
            AS start_offset
   FROM t
 )
-SELECT doc_id, source, tokens, start_offset,
-       start_offset // {_PACK_BUDGET} AS pack_id
+SELECT doc_id, source, tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS pack_id
 FROM o
 """
 

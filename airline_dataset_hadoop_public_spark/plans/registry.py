@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QueryDef:
     fn: QueryFn
     oracle: str | None  # None → driver records weaker rows-only check
+    module: str = ""  # short fixture-module name, for family-level ordering
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -31,20 +32,63 @@ def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(fn, oracle)
+        REGISTRY[name] = QueryDef(fn, oracle, fn.__module__.rsplit(".", 1)[-1])
         return fn
 
     return deco
 
 
+# The driver verifies a prefix window of the registry (r01 checked the
+# first 50 of 115 in registration order), so exposure order is a
+# coverage decision, not cosmetics. Round-robin: families with no
+# CORRECTNESS row yet go first; families fully green in the previous
+# round go last. Names in _PINNED_FIRST jump the queue (e.g. a query
+# whose oracle was red last round and must re-verify).
+_PINNED_FIRST: list[str] = [
+    "tpch_q12_priority_late_shipping",  # r01 hash mismatch (oracle cast fix)
+    "tpch_q19_disjunctive_brand_revenue",  # r01: outside checked window
+    "tpch_q22_dormant_rich_customers",  # r01: outside checked window
+]
+
+_MODULE_ORDER: list[str] = [
+    "fixtures_ingest",  # S1-S4 CSV path: first driver exposure
+    "fixtures_extensions",  # dedup / similarity / text / multimodal
+    "fixtures_streaming",
+    "fixtures_product_analytics",
+    "fixtures_training_prep",
+    "fixtures_timeseries",
+    "fixtures_tpch_wave2",
+    "fixtures_tpch_wave3",
+    "fixtures_tpch_extra",  # green r01 (minus pinned q12)
+    "fixtures_parity",  # green r01
+    "fixtures_analytics",  # green r01
+]
+
+
+def _ordered() -> list[tuple[str, QueryDef]]:
+    def key(item: tuple[str, QueryDef]) -> tuple[int, int]:
+        name, d = item
+        if name in _PINNED_FIRST:
+            return (0, _PINNED_FIRST.index(name))
+        try:
+            fam = _MODULE_ORDER.index(d.module)
+        except ValueError:
+            fam = len(_MODULE_ORDER)
+        return (1 + fam, 0)
+
+    items = list(REGISTRY.items())
+    # stable sort keeps registration order within each family
+    return sorted(items, key=key)
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: d.fn for name, d in REGISTRY.items()}
+    return {name: d.fn for name, d in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: d.oracle for name, d in REGISTRY.items() if d.oracle is not None}
+    return {name: d.oracle for name, d in _ordered() if d.oracle is not None}
 
 
 _LOADED = False
@@ -55,6 +99,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    from . import fixtures_ingest  # noqa: F401
     from . import fixtures_parity  # noqa: F401
     from . import fixtures_analytics  # noqa: F401
     from . import fixtures_tpch_extra  # noqa: F401

@@ -76,6 +76,7 @@ def main() -> int:
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
+            otypes = [d[1] for d in res.description]
             orows = res.fetchall()
         except Exception:
             print(f"FAIL {name}: oracle raised")
@@ -83,6 +84,25 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # DuckDB NUMBER covers BIGINT and HUGEINT alike at the DB-API
+        # layer; detect HUGEINT (e.g. SUM over int) via the typed
+        # relation so driver-side hash/schema drift is caught locally.
+        try:
+            dd_types = dict(
+                zip(ocols, [str(t) for t in con.sql(sql).types])
+            )
+            hu = [c for c, t in dd_types.items() if "INT128" in t or "HUGEINT" in t]
+            if hu:
+                problems.append(f"oracle HUGEINT output cols {hu} (CAST to BIGINT)")
+            dec = [c for c, t in dd_types.items() if "DECIMAL" in t]
+            spark_types = dict(sdf.dtypes)
+            for c in dec:
+                if spark_types.get(c) == "double":
+                    problems.append(
+                        f"oracle DECIMAL vs spark double for col {c}"
+                    )
+        except Exception:
+            pass  # typed-relation probe is best-effort
         if len(rows) != len(orows):
             problems.append(f"rowcount {len(rows)} vs oracle {len(orows)}")
         if sorted(cols) != sorted(ocols):
