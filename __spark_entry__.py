@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_engine_conf(spark)
+            # Free the previous query's plan-internal caches so a full
+            # registry run pins at most one query's worth of storage.
+            from airline_dataset_hadoop_public_spark.runtime import release_caches
+
+            release_caches()
             return fn(spark, sf_dir)
 
         run.__name__ = fn.__name__

@@ -37,10 +37,13 @@ the returned metrics if exactness matters).
 from __future__ import annotations
 
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import tokens, word_ngrams
+from ..runtime import cache_tracked
 
 
 def exact_dedup(
@@ -67,10 +70,13 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     row-group → one partition) would serialize it, so fan out to the
     session's parallelism first. The shuffle moves only (id, text).
     """
-    narrow = df.select(id_col, text_col)
-    par = narrow.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
+    # Unconditional repartition to session parallelism: probing the
+    # current partition count (df.rdd.getNumPartitions) forces a
+    # plan-to-RDD conversion per call, and AQE coalesces any excess
+    # partitions at runtime anyway.
+    narrow = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         narrow.select(id_col, tokens(text_col).alias("__toks"))
         .withColumn("__sh", F.array_sort(F.array_distinct(word_ngrams("__toks", n))))
@@ -191,7 +197,7 @@ def ngram_jaccard_pairs(
     guard; at the default it never triggers on test corpora.
     """
     all_sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
-    grp = _collapse_identical(all_sh, id_col, fingerprint=True).cache()
+    grp = _collapse_identical(all_sh, id_col, fingerprint=True).transform(cache_tracked)
     intra = _intra_group_pairs(grp, "jaccard", 1.0)
     # Work on 64-bit hashed shingles from here on: prefix filtering only
     # needs SOME consistent global token order, and Jaccard over hashed
@@ -202,7 +208,7 @@ def ngram_jaccard_pairs(
         grp.select(F.col("__rep").alias(id_col), "__sh")
         .withColumn("__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))")))
         .select(id_col, "__hs")
-        .cache()
+        .transform(cache_tracked)
     )
     posting = sh.select(id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t"))
     # global df-order: rarest tokens first → shortest posting lists in
@@ -220,7 +226,7 @@ def ngram_jaccard_pairs(
             <= F.col("__len") - F.ceil(F.lit(threshold) * F.col("__len")) + 1
         )
         .select(id_col, "__t", "__len", "__pos")
-        .cache()
+        .transform(cache_tracked)
     )
     # posting-list cap (scale guard)
     hot = (
@@ -279,6 +285,63 @@ def ngram_jaccard_pairs(
     return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
+_MINHASH_KERNELS: dict[tuple[int, int], object] = {}
+
+_SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer (Steele/Lea/Flood, OOPSLA'14) — the
+    public-domain 64-bit avalanche mix; vectorized, wraps mod 2^64."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_band_kernel(num_hashes: int, bands: int):
+    """array of shingle hashes → array of `bands` LSH band keys.
+
+    Per seed s: sig[s] = min over shingles of splitmix64(h ^ (s+1)·φ);
+    band key = splitmix64 fold of the band's signature rows seeded by
+    the band index. All uint64 arithmetic, one `minimum.reduceat` per
+    seed over the Arrow batch's flattened shingle hashes."""
+    key = (num_hashes, bands)
+    if key not in _MINHASH_KERNELS:
+        rpb = num_hashes // bands
+
+        def band_keys(batch: pd.Series) -> pd.Series:
+            if len(batch) == 0:
+                return pd.Series([], dtype="object")
+            # uint64 wraparound is the hash semantics, not an error
+            np.seterr(over="ignore")
+            lens = np.fromiter((len(x) for x in batch), dtype=np.int64)
+            flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in batch])
+            flat = flat.view(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((num_hashes, len(lens)), dtype=np.uint64)
+            for s in range(num_hashes):
+                vals = _splitmix64(flat ^ (np.uint64(s + 1) * _SM_GOLDEN))
+                sig[s] = np.minimum.reduceat(vals, starts)
+            bk = np.zeros((bands, len(lens)), dtype=np.uint64)
+            grouped = sig.reshape(bands, rpb, len(lens))
+            for b in range(bands):
+                acc = np.uint64(b + 1) * _SM_GOLDEN
+                h = np.full(len(lens), acc, dtype=np.uint64)
+                for r in range(rpb):
+                    h = _splitmix64(h ^ grouped[b, r])
+                bk[b] = h
+            out = np.ascontiguousarray(bk.T).view(np.int64)  # (ndocs, bands)
+            return pd.Series(list(out))
+
+        @F.pandas_udf("array<bigint>")
+        def kernel(batch: pd.Series) -> pd.Series:
+            return band_keys(batch)
+
+        _MINHASH_KERNELS[key] = kernel
+    return _MINHASH_KERNELS[key]
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -292,9 +355,8 @@ def minhash_neardup_pairs(
     """Near-duplicate (id_a < id_b) pairs via MinHash+LSH banding,
     verified with exact Jaccard ≥ threshold.
 
-    Signature: for seed s, min over shingles of xxhash64(s, shingle) —
-    a pure codegen expression (nested higher-order transform), no UDF.
-    Band key: xxhash64 of the band's signature slice. Bucket join on
+    Signature + band keys: Arrow numpy kernel over the int-hashed
+    shingle arrays (see ``_minhash_band_kernel``). Bucket join on
     (band_idx, band_key); buckets above `max_bucket` are dropped
     (quadratic-blowup guard for degenerate corpora).
     """
@@ -302,7 +364,7 @@ def minhash_neardup_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
-    grp = _collapse_identical(sh, id_col, fingerprint=True).cache()
+    grp = _collapse_identical(sh, id_col, fingerprint=True).transform(cache_tracked)
     intra = _intra_group_pairs(grp, "jaccard", 1.0)
     # LSH over distinct shingle sets only, keyed by group representative.
     # Signature: hash each shingle to int64 once, then derive the H
@@ -316,31 +378,26 @@ def minhash_neardup_pairs(
         grp.select(F.col("__rep").alias(id_col), "__sh")
         .withColumn("__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))")))
         .select(id_col, "__hs")
-        .cache()
+        .transform(cache_tracked)
     )
-    sig = reps.withColumn(
-        "__sig",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"s -> array_min(transform(__hs, h -> xxhash64(s, h))))"
-        ),
-    )
-    banded = sig.select(
+    # Signature + band keys in one Arrow numpy kernel. The hash family
+    # only has to be a good uniform 64-bit family — candidates are
+    # verified with EXACT Jaccard below and the oracle computes exact
+    # pairs, so swapping the interpreted per-(seed, shingle) xxhash64
+    # lambdas (~32M evals at sf0.1, the pipeline's dominant CPU cost)
+    # for vectorized splitmix64 mixing changes only the (provably
+    # ~1-1e-15 recall) candidate set, not the result.
+    banded = reps.select(
         id_col,
         F.size("__hs").alias("__len"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"xxhash64(b, slice(__sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})) AS bkey))"
-            )
-        ).alias("__band"),
-    ).select(id_col, "__len", "__band.band", "__band.bkey")
+        F.posexplode(
+            _minhash_band_kernel(num_hashes, bands)("__hs")
+        ).alias("band", "bkey"),
+    )
     # Cached: the bucket-size guard and BOTH sides of the bucket
-    # self-join consume this frame — uncached, the H-hash signature
-    # computation (the pipeline's dominant CPU cost) runs three times.
-    banded = banded.cache()
+    # self-join consume this frame — uncached, the signature kernel
+    # runs three times.
+    banded = banded.transform(cache_tracked)
     big = (
         banded.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -401,8 +458,14 @@ def connected_components(
     iteration. The convergence check is a driver-side count (one
     scalar), not a data collect.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the symmetrized edge list ONCE: it is consumed by
+    # every iteration, and without the checkpoint each iteration would
+    # re-execute the whole upstream candidate-pair pipeline (this was
+    # 5/6 of dedup_connected_canonical's runtime).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
@@ -410,21 +473,19 @@ def connected_components(
     for _ in range(max_iter):
         msgs = sym.join(
             labels.select(F.col("node").alias("b"), "lbl"), "b"
-        ).select(F.col("a").alias("node"), "lbl")
+        ).select(F.col("a").alias("node"), "lbl", F.lit(None).alias("old"))
+        # carry each node's previous label through the same aggregation
+        # so convergence detection is a narrow scan of the checkpointed
+        # result instead of an extra shuffled join per iteration
         new_labels = (
-            labels.unionByName(msgs)
+            labels.withColumn("old", F.col("lbl"))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("lbl").alias("old")), "node"
-            )
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lbl") < F.col("old")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))
@@ -454,27 +515,45 @@ def simhash_signature(
     sh = (
         _shingled(df, id_col, text_col, n)
         .filter(F.size("__sh") > 0)
-        # hash shingles once up front: referencing the hash inside
-        # the per-bit transform below would hash every shingle 64×
+        # hash shingles JVM-side (codegen'd scalar funcs) once up front
         .withColumn("__hs", F.expr(f"transform(__sh, {shingle_hash})"))
     )
-    # votes[j] = sum over shingles of ±1 per bit j; bit j set iff > 0.
-    votes = (
-        "aggregate(__hs, "
-        "array_repeat(CAST(0 AS BIGINT), 64), "
-        "(acc, h) -> zip_with(acc, "
-        "  transform(sequence(0, 63), "
-        "    j -> CASE WHEN (shiftright(h, j) & 1) = 1 "
-        "         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), "
-        "  (a, b) -> a + b))"
-    )
-    to_bits = (
-        f"aggregate(zip_with({votes}, sequence(0, 63), "
-        "(v, j) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
-        "ELSE CAST(0 AS BIGINT) END), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc | x)"
-    )
-    return sh.select(id_col, F.expr(to_bits).alias("simhash"))
+    # Vote tally + bit packing in an Arrow numpy kernel: the original
+    # aggregate/zip_with formulation over 64-wide arrays is both the
+    # slowest interpreted HOF in the repo and a multi-second codegen
+    # compile on first run (BENCH_r01's 15.6s dedup_simhash). Hashes
+    # arrive as signed int64; the kernel's uint64 view keeps the bit
+    # semantics of the JVM's two's-complement shifts.
+    return sh.select(id_col, _simhash_kernel()("__hs").alias("simhash"))
+
+
+_SIMHASH_KERNEL = None
+
+
+def _simhash_kernel():
+    global _SIMHASH_KERNEL
+    if _SIMHASH_KERNEL is None:
+
+        def sig(hs) -> int:
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            # bits: (m shingles × 64) 0/1; votes[j] = 2*ones - m > 0
+            ones = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).sum(axis=0, dtype=np.int64)
+            mask = (2 * ones - len(h)) > 0
+            return int(
+                np.bitwise_or.reduce(
+                    (np.uint64(1) << np.arange(64, dtype=np.uint64))[mask],
+                    initial=np.uint64(0),
+                ).view(np.int64)
+            )
+
+        @F.pandas_udf("bigint")
+        def kernel(batches: pd.Series) -> pd.Series:
+            return batches.map(sig)
+
+        _SIMHASH_KERNEL = kernel
+    return _SIMHASH_KERNEL
 
 
 def simhash_pairs(
@@ -499,7 +578,7 @@ def simhash_pairs(
     # Collapse identical signatures: distance is a pure function of the
     # signature, so candidate generation runs once per distinct value
     # (intra-group pairs have distance 0 by construction).
-    grp = _collapse_identical(sigs, id_col, key="simhash").cache()
+    grp = _collapse_identical(sigs, id_col, key="simhash").transform(cache_tracked)
     intra = _intra_group_pairs(grp, "distance", 0).withColumn(
         "distance", F.col("distance").cast("long")
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 import pandas as pd
 
 from .topk import top_k_per_group
+from ..runtime import cache_tracked
 
 
 def _rename_vec(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
@@ -330,6 +331,42 @@ def _srp_plane_weights(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+_SRP_KERNELS: dict[tuple[int, int, int], object] = {}
+
+
+def _srp_kernel(bands: int, bits_per_band: int, dim: int):
+    """vector → array of `bands` sign-code bigints, replicating the
+    sequential dot-product fold bit-for-bit (see srp_lsh_pairs)."""
+    key = (bands, bits_per_band, dim)
+    if key not in _SRP_KERNELS:
+        import numpy as np
+
+        planes = np.array(
+            _srp_plane_weights(bands * bits_per_band, dim), dtype=np.float64
+        ).T  # (dim, n_planes)
+        bit_vals = np.array(
+            [1 << b for b in range(bits_per_band)], dtype=np.int64
+        )
+
+        @F.pandas_udf("array<bigint>")
+        def kernel(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="object")
+            V = np.stack(vecs.values)  # (n, dim) float64
+            acc = np.zeros((V.shape[0], planes.shape[1]))
+            # one FMA per dimension keeps the oracle's left-to-right
+            # IEEE rounding order — np.dot's blocked summation would
+            # not, and a near-zero dot's sign IS the band code
+            for j in range(dim):
+                acc += V[:, j, None] * planes[j]
+            bits = (acc >= 0).reshape(-1, bands, bits_per_band)
+            codes = (bits * bit_vals).sum(axis=2, dtype=np.int64)
+            return pd.Series(list(codes))
+
+        _SRP_KERNELS[key] = kernel
+    return _SRP_KERNELS[key]
+
+
 def srp_lsh_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -356,40 +393,30 @@ def srp_lsh_pairs(
     oracle replicates the identical bucketing, so the gate checks
     the algorithm end-to-end.
     """
-    W = _srp_plane_weights(bands * bits_per_band, dim)
-    band_codes = []
-    for band in range(bands):
-        terms = []
-        for bit in range(bits_per_band):
-            p = band * bits_per_band + bit
-            arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in W[p])
-            dot = (
-                f"aggregate(zip_with(v, array({arr}), (a, b) -> a * b), "
-                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-            )
-            terms.append(
-                f"CASE WHEN {dot} >= 0 THEN CAST({1 << bit} AS BIGINT) "
-                f"ELSE CAST(0 AS BIGINT) END"
-            )
-        band_codes.append(" + ".join(terms))
-    # let-bind the double-cast vector: every dot references it
-    codes = (
-        f"transform(array(CAST({vec_col} AS ARRAY<DOUBLE>)), "
-        f"v -> array({', '.join(band_codes)}))[0]"
-    )
-    # codes from the RAW vector (exactly what the oracle recomputes -
-    # normalizing first would change the float op sequence and could
-    # flip a near-zero dot's sign); normalize only for verification
-    # cached: BOTH sides of the band self-join consume this frame —
-    # uncached, the bands×bits dot-product code computation runs twice
+    # Band codes via an Arrow numpy kernel. The previous formulation —
+    # bands×bits aggregate/zip_with dots, each constructing a 64-element
+    # literal array PER ROW — was 5.5s at sf0.1 (BENCH_r01) for what is
+    # a 2000×48×64 multiply-add. The kernel reproduces the exact
+    # left-to-right fold order per (row, plane) — one FMA step per
+    # dimension, same IEEE rounding sequence — so near-zero dots keep
+    # the very sign the DuckDB oracle's sequential list_reduce derives.
+    # Codes come from the RAW vector (normalizing first would change
+    # the float op sequence); normalize only for verification.
+    # cached: BOTH sides of the band self-join consume this frame.
     coded = (
         unit_normalize(
-            vectors.withColumn("__codes", F.expr(codes)), vec_col
+            vectors.withColumn(
+                "__codes",
+                _srp_kernel(bands, bits_per_band, dim)(
+                    F.col(vec_col).cast("array<double>")
+                ),
+            ),
+            vec_col,
         )
         .select(
             id_col, vec_col, F.posexplode("__codes").alias("__band", "__code")
         )
-        .cache()
+        .transform(cache_tracked)
     )
     a = coded.select("__band", "__code", F.col(id_col).alias("id_a"))
     b = coded.select("__band", "__code", F.col(id_col).alias("id_b"))

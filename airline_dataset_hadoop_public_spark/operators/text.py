@@ -3,17 +3,23 @@
 heuristic, document fingerprinting.
 
 Everything is built-in-function expressions (split / regexp /
-higher-order array functions) — zero Python in the row path, so the
-whole stage codegens. Each op keeps the exact formulation its DuckDB
-oracle mirrors (see plans/fixtures_extensions.py).
+higher-order array functions) except the winnowing fingerprint kernel,
+which is an Arrow-batched numpy UDF: Catalyst evaluates higher-order
+lambdas interpretively, and per-character rolling hashes are the one
+place that overhead dominates (~10s → ~0.1s at sf0.1). Each op keeps
+the exact formulation its DuckDB oracle mirrors (see
+plans/fixtures_extensions.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import normalize_text, tokens
+from ..runtime import cache_tracked
 
 # Small public stop/marker word lists (standard high-frequency words).
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "for")
@@ -237,46 +243,77 @@ def winnowing_fingerprints(
     ≥ window + k − 1 between two documents yields a shared
     fingerprint, so plagiarism/overlap detection joins on `khash`.
 
-    Implementation is one pure higher-order expression (JVM codegen,
-    no UDF): the rightmost-min-on-tie rule rides on a single
-    `array_min` by packing each hash with its position into one int64
-    — combined = hash·2²⁰ + (2²⁰−1−i) — so ordering by combined value
-    IS the (hash asc, position desc) order. Valid while hash < 2³⁰
-    (mod bounds it) and position < 2²⁰; chunk longer documents
-    upstream. Every `transform` input is let-bound (Catalyst's
-    CollapseProject would otherwise inline the normalization into
-    each lambda body, making the kernel O(n²) per row).
+    Implementation: JVM-side normalization feeding an Arrow-batched
+    numpy kernel (see ``_winnow_kernel``) — the one hot loop in the
+    text family where a vectorized Pandas UDF beats Catalyst's
+    interpreted higher-order functions by ~100×. The
+    rightmost-min-on-tie rule rides on a single windowed min by
+    packing each hash with its position into one int64 — combined =
+    hash·2²⁰ + (2²⁰−1−i) — so ordering by combined value IS the
+    (hash asc, position desc) order. Valid while hash < 2³⁰ (mod
+    bounds it) and position < 2²⁰; chunk longer documents upstream.
     """
     pos_bits = 1 << 20
+    # Normalization stays a JVM expression: Java's \s+ / lower rules are
+    # what the oracle mirrors, and they must not drift with the kernel.
     norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
-    khash = (
-        f"aggregate(transform(sequence(i, i + {k - 1}), "
-        f"j -> CAST(ascii(substr(nm, j, 1)) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, c) -> (a * {base} + c) % {mod})"
+    normed = df.select(id_col, F.expr(norm).alias("__nm"))
+    combined = normed.select(
+        id_col, _winnow_kernel(k, window, base, mod, pos_bits)("__nm").alias("__fp")
     )
-    combined_grams = (
-        f"CASE WHEN length(nm) >= {k} THEN "
-        f"transform(sequence(1, length(nm) - {k} + 1), "
-        f"i -> {khash} * {pos_bits} + ({pos_bits - 1} - i)) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-    window_mins = (
-        f"CASE WHEN size(ch) >= {window} THEN "
-        f"array_distinct(transform(sequence(1, size(ch) - {window} + 1), "
-        f"p -> array_min(slice(ch, p, {window})))) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
-    fps = (
-        f"transform(array({norm}), nm -> "
-        f"transform(array({combined_grams}), ch -> {window_mins})[0])[0]"
-    )
-    return df.select(
-        id_col, F.explode(F.expr(fps)).alias("__c")
+    return combined.select(
+        id_col, F.explode("__fp").alias("__c")
     ).select(
         id_col,
         (F.lit(pos_bits - 1) - F.col("__c") % pos_bits).alias("pos"),
         F.expr(f"__c div {pos_bits}").alias("khash"),  # exact int64 division
     )
+
+
+_WINNOW_KERNELS: dict[tuple[int, int, int, int, int], object] = {}
+
+
+def _winnow_kernel(k: int, window: int, base: int, mod: int, pos_bits: int):
+    """Arrow-vectorized winnowing kernel: normalized text → array of
+    packed (khash·pos_bits + (pos_bits−1−i)) selected fingerprints.
+
+    Replaces the original pure-HOF expression (kept in spirit in the
+    DuckDB oracle) which Catalyst evaluates interpretively — ~10s for
+    1.5M k-grams at sf0.1, the single largest cost in BENCH_r01. The
+    numpy version does the identical arithmetic — per-step mod Horner
+    over code points, rightmost-min-on-tie via the packed value,
+    distinct — two orders of magnitude faster, and per-batch memory is
+    O(batch chars), so executor footprint at 100 TB stays bounded by
+    the Arrow batch size.
+    """
+    key = (k, window, base, mod, pos_bits)
+    if key not in _WINNOW_KERNELS:
+
+        def fingerprints(s: str) -> list[int]:
+            n = len(s)
+            if n < k or n - k + 1 < window:
+                return []
+            # exact code points (matches Spark/DuckDB ascii()/unicode())
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            # k-gram polynomial hash, mod applied per step exactly as the
+            # oracle's aggregate(...) does; k is small so this is k fused
+            # vector ops over all positions at once
+            h = cps[: n - k + 1].copy()
+            for j in range(1, k):
+                h = (h * base + cps[j : n - k + 1 + j]) % mod
+            # pack with 1-indexed position: min == (hash asc, pos desc)
+            packed = h * pos_bits + (pos_bits - 1 - np.arange(1, len(h) + 1))
+            wins = np.lib.stride_tricks.sliding_window_view(packed, window)
+            return np.unique(wins.min(axis=1)).tolist()
+
+        @F.pandas_udf("array<bigint>")
+        def kernel(texts: pd.Series) -> pd.Series:
+            return texts.map(fingerprints)
+
+        _WINNOW_KERNELS[key] = kernel
+    return _WINNOW_KERNELS[key]
 
 
 def tfidf_top_terms(
@@ -358,7 +395,7 @@ def winnowing_overlap_pairs(
     sets = fps.groupBy(id_col).agg(
         F.array_sort(F.collect_set("khash")).alias("__sh")
     )
-    grp = _collapse_identical(sets, id_col, key="__sh").cache()
+    grp = _collapse_identical(sets, id_col, key="__sh").transform(cache_tracked)
     intra = (
         grp.filter(
             (F.size("__members") > 1) & (F.size("__sh") >= min_shared)

@@ -507,21 +507,37 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rolling_hash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-# Winnowing fingerprints (k=5, window=4): the oracle recomputes the
-# whole scheme — per-position k-gram rolling hashes, the packed
-# (hash·2²⁰ + (2²⁰−1−i)) combined key, min per window, decode — with
-# the same integer arithmetic, so the value hash pins every selected
-# (pos, khash) pair exactly.
-_WINNOW_ORACLE = """
+# Winnowing parameters. k=12/window=8 is the discriminative-shingle
+# regime the SIGMOD'03 scheme is designed for (noise-gram k=5 makes
+# the hash space collapse on templated corpora — at sf0.1 that meant
+# 620 distinct hashes over 338k postings and a near-complete 8.6M-pair
+# overlap graph, i.e. the fixture measured output materialization, not
+# the algorithm).
+_WK, _WW, _WMS = 12, 8, 10
+
+
+def _winnow_cte(k: int, window: int, hash_only: bool) -> str:
+    """Shared oracle CTE chain: per-position k-gram rolling hashes,
+    packed (hash·2²⁰ + (2²⁰−1−i)) combined key, min per window,
+    distinct — identical integer arithmetic to the Spark kernel."""
+    # list_slice's end index is inclusive: p .. p+window-1 is a
+    # window-length slice
+    sel = (
+        "list_min(list_slice(ch, CAST(p AS INT), "
+        f"CAST(p + {window - 1} AS INT)))"
+    )
+    if hash_only:
+        sel += " // 1048576"
+    return f"""
 WITH n AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
   FROM documents),
 g AS (
   SELECT doc_id,
-         list_transform(range(1, greatest(length(nm) - 5 + 1, 0) + 1),
+         list_transform(range(1, greatest(length(nm) - {k} + 1, 0) + 1),
            i -> list_reduce(
                   list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(i, i + 5),
+                    list_transform(range(i, i + {k}),
                       j -> CAST(ascii(substr(nm, CAST(j AS INT), 1)) AS BIGINT))),
                   (a, c) -> (a * 31 + c) % 1000000007)
                 * 1048576 + (1048575 - i)) AS ch
@@ -529,9 +545,12 @@ g AS (
 w AS (
   SELECT doc_id,
          list_distinct(
-           list_transform(range(1, greatest(len(ch) - 4 + 1, 0) + 1),
-             p -> list_min(list_slice(ch, CAST(p AS INT), CAST(p + 3 AS INT))))) AS fps
-  FROM g)
+           list_transform(range(1, greatest(len(ch) - {window} + 1, 0) + 1),
+             p -> {sel})) AS fps
+  FROM g)"""
+
+
+_WINNOW_ORACLE = f"""{_winnow_cte(_WK, _WW, hash_only=False)}
 SELECT doc_id,
        1048575 - (fp % 1048576) AS pos,
        fp // 1048576 AS khash
@@ -542,7 +561,7 @@ FROM (SELECT doc_id, UNNEST(fps) AS fp FROM w)
 @register("text_winnowing_fingerprints", _WINNOW_ORACLE)
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnowing_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=_WK, window=_WW
     )
 
 
@@ -552,48 +571,29 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are a ~2/(window+1) density sample of each document's k-grams, so
 # the pairwise comparison joins sampled sets, never full texts; the
 # per-hash posting-list cap bounds degenerate boilerplate hashes.
-_WINNOW_OVERLAP_ORACLE = f"""
-WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(length(nm) - 5 + 1, 0) + 1),
-           i -> list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(i, i + 5),
-                      j -> CAST(ascii(substr(nm, CAST(j AS INT), 1)) AS BIGINT))),
-                  (a, c) -> (a * 31 + c) % 1000000007)
-                * 1048576 + (1048575 - i)) AS ch
-  FROM n),
-w AS (
-  SELECT doc_id,
-         list_distinct(
-           list_transform(range(1, greatest(len(ch) - 4 + 1, 0) + 1),
-             p -> list_min(list_slice(ch, CAST(p AS INT), CAST(p + 3 AS INT)))
-                  // 1048576)) AS hs
-  FROM g),
-fp AS (SELECT doc_id, UNNEST(hs) AS khash FROM w)
+_WINNOW_OVERLAP_ORACLE = f"""{_winnow_cte(_WK, _WW, hash_only=True)},
+fp AS (SELECT doc_id, UNNEST(list_distinct(fps)) AS khash FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        COUNT(*) AS shared_fingerprints
 FROM fp a JOIN fp b ON a.khash = b.khash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING COUNT(*) >= 20
+HAVING COUNT(*) >= {_WMS}
 """
 
 
 @register("text_winnowing_overlap", _WINNOW_OVERLAP_ORACLE)
 def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc pairs sharing >= 20 distinct winnowing fingerprints.
+    """Doc pairs sharing >= `min_shared` distinct winnowing
+    fingerprint hashes.
 
     One fingerprint pass (exploded), distinct per doc, self-join on
     khash, count per pair. Scale: the join key is the fingerprint
-    hash — postings per hash are short for natural text; a stop-gram
-    cap can reuse the dedup module's guard pattern if a corpus has
-    boilerplate."""
+    hash — postings per hash are short for natural text at a
+    discriminative k; a stop-gram cap can reuse the dedup module's
+    guard pattern if a corpus has boilerplate."""
     return X.winnowing_overlap_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        k=5, window=4, min_shared=20,
+        k=_WK, window=_WW, min_shared=_WMS,
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from ..runtime import cache_tracked
 
 # ---------------------------------------------------------------------------
 # Q7 — volume shipping between two nations, per direction and year.
@@ -299,7 +300,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
-        .cache()
+        .transform(cache_tracked)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -402,7 +403,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 1000 DAY")
         )
         .select("l_orderkey", "l_suppkey")
-        .cache()
+        .transform(cache_tracked)
     )
     other_lines = lineitem.select(
         F.col("l_orderkey").alias("o2_orderkey"),

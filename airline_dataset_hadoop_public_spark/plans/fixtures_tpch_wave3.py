@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
+from ..runtime import cache_tracked
 
 # ---------------------------------------------------------------------------
 # Q2 — min-cost supplier per part: for STANDARD parts in a size set,
@@ -228,7 +229,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_value"
             )
         )
-        .cache()
+        .transform(cache_tracked)
     )
     threshold = pv.agg(
         (2.0 * F.sum("part_value") / F.count(F.lit(1))).alias("cutoff")

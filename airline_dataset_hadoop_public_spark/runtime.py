@@ -1,0 +1,50 @@
+"""Cache lifecycle for plan-internal persisted frames.
+
+Several operators cache an intermediate that is referenced more than
+once inside the *returned* plan (e.g. the collapsed shingle-group frame
+feeding both sides of a candidate self-join). The cache pays off during
+the single action the caller eventually runs, so the plan function
+cannot unpersist it before returning — but never releasing it pins
+executor storage for the life of the session. Across a 100+-query
+driver run (or a long-lived cluster job) that accumulation is an OOM
+risk.
+
+The contract here: every plan-internal ``.cache()`` goes through
+``cache_tracked``; ``release_caches()`` frees everything tracked and is
+invoked (a) at the start of each driver-contract query wrapper, so at
+most one query's caches are ever pinned, and (b) by bench/test
+harnesses right after draining a result. Blocks for an in-flight plan
+are never dropped mid-action because release happens strictly between
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Strong references on purpose: the persisted blocks live in the JVM
+# storage layer, not the Python wrapper, so the wrapper must stay
+# reachable until release_caches() can call unpersist on it.
+_LIVE: list[DataFrame] = []
+
+
+def cache_tracked(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + enrollment in the session-wide release list."""
+    cached = df.cache()
+    _LIVE.append(cached)
+    return cached
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame (blocking=False). Returns the
+    number of frames released. Safe to call at any between-query point;
+    idempotent."""
+    released = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing pinned anyway
+    return released
