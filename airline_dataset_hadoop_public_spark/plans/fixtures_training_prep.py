@@ -422,3 +422,133 @@ def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.round(F.col("rate"), 6).alias("keep_rate")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking — the complement of sequence
+# packing: long documents are split into fixed-size token windows with
+# stride overlap (the standard LM pre-tokenization layout; every doc
+# shorter than one window yields exactly one chunk). Pure expression:
+# split once, explode the stride sequence, slice per chunk — no UDF,
+# no shuffle beyond the explode, embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n, UNNEST(range(0, greatest(n - 1, 0) + 1, {_CHUNK_S})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, n - st) AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(toks, CAST(st + 1 AS INT),
+                                  CAST(st + {_CHUNK_W} AS INT)), ' ')
+         AS chunk_text
+FROM starts
+WHERE st = 0 OR st < n
+"""
+
+
+@register("docs_chunk_windows", _CHUNK_ORACLE)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, chunk_tokens, chunk_text) —
+    stride-{_CHUNK_S} windows of {_CHUNK_W} whitespace tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.expr(f"sequence(0, greatest(n - 1, 0), {_CHUNK_S})")
+        ).alias("st"),
+    ).filter((F.col("st") == 0) | (F.col("st") < F.col("n")))
+    return starts.select(
+        "doc_id",
+        (F.col("st") / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.col("st").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("st") + 1, _CHUNK_W), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary coverage — the tokenizer-design diagnostic: terms
+# ranked by corpus frequency with cumulative token-coverage fraction.
+# One explode + one hash agg + one distributed rank over the (much
+# smaller) term-frequency frame; cumulative sum via a range window on
+# the ranked frame. At 100 TB the token stream never leaves the
+# partial-aggregate stage; only distinct terms shuffle.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS freq FROM tok WHERE term <> '' GROUP BY term),
+tot AS (SELECT SUM(freq) AS total FROM tf),
+ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM tf
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(freq AS BIGINT) AS freq,
+       ROUND(CAST(SUM(freq) OVER (ORDER BY rank
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT total FROM tot), 6) AS cum_coverage
+FROM ranked
+WHERE rank <= {_VOCAB_K}
+ORDER BY rank
+"""
+
+
+@register("corpus_vocab_coverage", _VOCAB_ORACLE)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_VOCAB_K} corpus terms with cumulative coverage fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_K)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.sum("freq").over(cum).cast("double") / F.col("total"), 6
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )

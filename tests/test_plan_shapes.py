@@ -151,3 +151,27 @@ def test_latest_state_is_aggregate_not_window(spark, qs):
 def test_heavy_hitters_uses_distributed_topk(spark, qs):
     plan = _plan(qs["skew_heavy_hitter_keys"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_kernel_is_arrow_and_scan_pruned(spark, qs):
+    """The r2 vectorized kernels must stay Arrow-batched (ArrowEvalPython,
+    never row-at-a-time BatchEvalPython) and must not widen the scan:
+    only (doc_id, text) feed the winnowing pipeline."""
+    plan = _plan(qs["text_winnowing_fingerprints"](spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_simhash_and_minhash_kernels_are_arrow(spark, qs):
+    for q in ("dedup_simhash", "dedup_minhash_neardup"):
+        plan = _plan(qs[q](spark, SF))
+        assert "ArrowEvalPython" in plan, q
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_srp_kernel_is_arrow_single_pass(spark, qs):
+    plan = _plan(qs["similarity_srp_lsh_pairs"](spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
