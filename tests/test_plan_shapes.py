@@ -175,3 +175,11 @@ def test_srp_kernel_is_arrow_single_pass(spark, qs):
     plan = _plan(qs["similarity_srp_lsh_pairs"](spark, SF))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ingest_roundtrip_prunes_canonical_partitions(spark, qs):
+    """The canonicalized parquet is partitioned by Year; the year-range
+    filter must show up as PartitionFilters on the scan (S3)."""
+    plan = _plan(qs["ingest_csv_roundtrip"](spark, SF))
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "Year" in part[0]
