@@ -572,3 +572,53 @@ def full_outer_order_reconciliation(
         F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
         F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key join — the skew MITIGATION companion to the
+# skew_heavy_hitter_keys diagnostic. orders joins a priority-weight
+# dimension on o_orderpriority (5 distinct values — every key is a hot
+# key; the degenerate case AQE's size-based splitting handles worst).
+# salted_join scatters each key across 8 shards; the result is
+# provably identical to the plain join, which is exactly what the
+# oracle computes.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(length(o_orderpriority) AS BIGINT) AS weight
+  FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice * d.weight), 4) AS weighted_price
+FROM orders o JOIN dim d USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("skew_salted_dim_join", _SALTED_ORACLE)
+def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "weight", F.length("o_orderpriority").cast("long")
+        )
+    )
+    joined = salted_join(orders, dim, ["o_orderpriority"], n_salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 4).alias(
+                "weighted_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
