@@ -1,0 +1,170 @@
+"""Second-wave ingest coverage: JSON-lines source and malformed-row
+handling (SURVEY.md §2.1 S2, §2.2 P4).
+
+Same oracle discipline as ``fixtures_ingest``: the query materializes
+driver fixture data under a tmp dir in the alternate format, runs the
+real read path, and aggregates; the round-trip is lossless (or drops
+exactly the injected garbage), so the oracle is plain SQL over the
+original view and never touches the tmp files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _tmp(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "adhps_ingest_extra", tag, leaf)
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines round-trip: events → .jsonl tree → schema'd read →
+# aggregate. Timestamps serialize ISO-8601 with microseconds and parse
+# back exactly; doubles round-trip via shortest-representation.
+# ---------------------------------------------------------------------------
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_JSONL_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ingest_jsonl_roundtrip", _JSONL_ORACLE)
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp(sf_dir, "events_jsonl")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        *[f.name for f in _EVENTS_SCHEMA.fields]
+    )
+    # default JSON timestampFormat truncates to milliseconds — write
+    # and read with explicit microsecond precision so ts round-trips
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").option("timestampFormat", ts_fmt).json(root)
+    raw = (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("timestampFormat", ts_fmt)
+        .json(root)
+    )
+    return (
+        raw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_ts"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-row drop (P4): the reference's PrepareData silently skips
+# rows that fail to parse (/root/reference/README.md:113-131). Here the
+# CSV tree is rebuilt by hand with garbage lines interleaved — wrong
+# arity, unparseable types — and read in DROPMALFORMED mode; exactly
+# the valid orders survive, which is what the oracle computes.
+# ---------------------------------------------------------------------------
+
+# Lines the CSV parser MUST reject — all TYPE failures, and all in
+# columns the downstream aggregate READS. Two Spark CSV semantics pin
+# this choice: (1) under-length rows are null-padded and over-length
+# rows truncated without being flagged malformed, so only per-field
+# conversion failures trigger DROPMALFORMED; (2) CSV column pruning
+# (spark.sql.csv.parser.columnPruning.enabled, default on) skips
+# parsing unread columns entirely, so a type failure in a pruned
+# column is never seen — malformedness is evaluated against the
+# query's required schema, not the declared one.
+_BAD_LINES = [
+    "this is not a csv row",  # whole line lands in o_orderkey (read)
+    "7,7,F,notadouble,2020-01-01 00:00:00,1-URGENT",  # o_totalprice (read)
+    "abc,1,F,1.0,2020-01-01 00:00:00,1-URGENT",  # o_orderkey (read)
+    "###,###,###,###,###,###",  # o_orderkey (read)
+]
+
+_MALFORMED_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       ROUND(SUM(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@register("ingest_csv_malformed_drop", _MALFORMED_ORACLE)
+def ingest_csv_malformed_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp(sf_dir, "orders_dirty_csv")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    valid = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    garbage = spark.createDataFrame(
+        [(s,) for s in _BAD_LINES], T.StructType([T.StructField("value", T.StringType())])
+    )
+    valid.unionByName(garbage).write.mode("overwrite").text(root)
+    raw = (
+        spark.read.schema(_ORDERS_CSV_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(root)
+    )
+    return (
+        raw.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -56,6 +56,7 @@ _MODULE_ORDER: list[str] = [
     "fixtures_streaming",
     "fixtures_product_analytics",
     "fixtures_training_prep",
+    "fixtures_ingest_extra",  # r2 additions: json + malformed-drop
     "fixtures_timeseries",
     "fixtures_tpch_wave2",
     "fixtures_tpch_wave3",
@@ -100,6 +101,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import fixtures_ingest  # noqa: F401
+    from . import fixtures_ingest_extra  # noqa: F401
     from . import fixtures_parity  # noqa: F401
     from . import fixtures_analytics  # noqa: F401
     from . import fixtures_tpch_extra  # noqa: F401
