@@ -867,3 +867,61 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__p", F.from_json("props", "k double, tag string")
     )
     return parsed.select("event_id", F.col("__p.k").alias("k"), F.col("__p.tag").alias("tag"))
+
+
+# ---------------------------------------------------------------------------
+# X1 completion — the G3Q1 plot-data table (README.md:405-427): the
+# reference fits rank-frequency curves and renders a log-log chart;
+# the engine-side analog is the zipf log-log least-squares fit as a
+# DISTRIBUTED regression aggregate (one pass, no driver-side numpy)
+# cross-joined back onto the rank table so every rank carries its
+# fitted value — exactly the series the reference plots. The full
+# four-distribution comparison stays in analytics.py (driver tail,
+# SURVEY §2.9); this query is the engine-side data product.
+# ---------------------------------------------------------------------------
+
+_X1_FIT_ORACLE = """
+WITH c AS (
+  SELECT k AS key, COUNT(*) AS cnt
+  FROM (SELECT l_suppkey AS k FROM lineitem
+        UNION ALL SELECT l_partkey AS k FROM lineitem)
+  GROUP BY k
+),
+ranked AS (
+  SELECT key, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM c
+),
+fit AS (
+  SELECT regr_slope(ln(cnt), ln(rank)) AS slope,
+         regr_intercept(ln(cnt), ln(rank)) AS icept
+  FROM ranked
+)
+SELECT rank, key, cnt,
+       ROUND(exp(icept) * rank ^ slope, 4) AS fitted_cnt
+FROM ranked CROSS JOIN fit
+ORDER BY rank
+"""
+
+
+@register("x1_zipf_loglog_fit", _X1_FIT_ORACLE)
+def x1_zipf_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = rank_table(
+        _popularity(spark, sf_dir), [F.desc("cnt"), F.asc("key")], rank="rank"
+    ).withColumn("rank", F.col("rank").cast("long"))
+    fit = ranked.agg(
+        F.expr("regr_slope(ln(cnt), ln(rank))").alias("slope"),
+        F.expr("regr_intercept(ln(cnt), ln(rank))").alias("icept"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(fit))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(
+                F.exp(F.col("icept")) * F.pow(F.col("rank"), F.col("slope")), 4
+            ).alias("fitted_cnt"),
+        )
+        .orderBy("rank")
+    )

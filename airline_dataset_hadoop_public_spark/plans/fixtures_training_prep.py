@@ -552,3 +552,54 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection sketch (Johnson–Lindenstrauss): project each
+# 64-dim embedding onto 8 deterministic integer hyperplanes (the same
+# md5-derived matrix family the SRP-LSH operator uses —
+# operators/similarity.py:_srp_plane_weights) and emit the rounded
+# coordinates. The dimensionality-reduction step every embedding-dedup
+# / clustering pipeline runs before its index build; pure sequential
+# fold on both sides, so the oracle reproduces the float op order
+# exactly. Scan-stage only — no shuffle, trivially partition-parallel.
+# ---------------------------------------------------------------------------
+
+_RP_DIMS, _RP_IN = 8, 64
+
+
+def _rp_oracle() -> str:
+    from ..operators.similarity import _srp_plane_weights
+
+    W = _srp_plane_weights(_RP_DIMS, _RP_IN)
+    cols = []
+    for j in range(_RP_DIMS):
+        lst = ", ".join(f"CAST({w} AS DOUBLE)" for w in W[j])
+        cols.append(
+            f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_zip(v, [{lst}]).apply(p -> p[1] * p[2])), "
+            f"(acc, x) -> acc + x), 4) AS p{j}"
+        )
+    return (
+        "SELECT vec_id, "
+        + ", ".join(cols)
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+
+
+@register("embeddings_random_projection", _rp_oracle())
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _srp_plane_weights
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    W = _srp_plane_weights(_RP_DIMS, _RP_IN)
+    outs = []
+    for j in range(_RP_DIMS):
+        arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in W[j])
+        dot = (
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"array({arr}), (a, b) -> a * b), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        outs.append(F.round(F.expr(dot), 4).alias(f"p{j}"))
+    return emb.select("vec_id", *outs)
