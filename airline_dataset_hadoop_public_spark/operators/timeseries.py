@@ -97,3 +97,47 @@ def resample_ffill(
             F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
         )
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, exact recurrence
+    y_t = alpha*x_t + (1-alpha)*y_{t-1} (y_0 = x_0), ordered by
+    (ts, value).
+
+    A window function cannot express this without either recursion or
+    exponentially-scaled weights that overflow/denormalize on long
+    series, so this is the canonical ``groupBy().applyInPandas`` use:
+    each key's series lands in one Arrow batch and the fold runs
+    sequentially in numpy. Scale shape: one shuffle on the key; state
+    per task is one key's series — bounded by the hottest key, the
+    same contract as any per-key window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{key_col} long, {ts_col} timestamp, {value_col} double, {out} double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        acc = 0.0
+        for i, v in enumerate(x):
+            acc = v if i == 0 else alpha * v + (1.0 - alpha) * acc
+            y[i] = acc
+        pdf = pdf[[key_col, ts_col, value_col]].copy()
+        pdf[out] = y
+        return pdf
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=schema)
+    )

@@ -250,3 +250,65 @@ def streaming_approx_distinct_users(
         .otherwise(0)
         .alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream inner join — click→purchase attribution within 1 hour,
+# both sides real streams (self-joined file stream) with per-side
+# watermarks and an event-time range condition (the state-cleanup
+# contract Structured Streaming requires). Inner join results emit as
+# soon as both sides match, so the drained append-mode sink equals the
+# equivalent batch join — which is the oracle. Output mode must be
+# append: stream-stream joins do not support complete.
+# ---------------------------------------------------------------------------
+
+_SS_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_stream_stream_join", _SS_JOIN_ORACLE)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, schema = _events_stream_dir(spark, sf_dir)
+    from ..streaming.windows import run_file_stream_batch
+
+    def plan(stream):
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("long")
+            .alias("lag_seconds"),
+        )
+
+    return run_file_stream_batch(spark, src, schema, plan, output_mode="append")

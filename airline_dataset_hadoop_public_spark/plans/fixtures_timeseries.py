@@ -245,3 +245,51 @@ def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("distinct_hours"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA — the canonical applyInPandas recurrence (a window
+# cannot express y_t = a·x_t + (1-a)·y_{t-1} without exploding
+# weights). The oracle folds the identical recurrence sequentially
+# with list_reduce over the ts-ordered series, so every intermediate
+# rounding step matches the numpy fold.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, value) AS xs,
+         list(ts ORDER BY ts, value) AS tss
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, tss, xs,
+         list_reduce(
+           list_transform(xs, x -> [x]),
+           (acc, x) -> list_append(acc,
+             {_EWMA_ALPHA} * x[1] + (1.0 - {_EWMA_ALPHA}) * acc[len(acc)])
+         ) AS ys
+  FROM s
+)
+SELECT user_id,
+       STRFTIME(UNNEST(tss), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       UNNEST(xs) AS value,
+       ROUND(UNNEST(ys), 4) AS ewma
+FROM folded
+"""
+
+
+@register("events_ewma_per_user", _EWMA_ORACLE)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_per_key(ev, "user_id", "ts", "value", alpha=_EWMA_ALPHA)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        F.round("ewma", 4).alias("ewma"),
+    )

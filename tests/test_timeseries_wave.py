@@ -153,3 +153,26 @@ def test_hourly_entropy_uniform_and_point_mass(spark):
     }
     assert got["p"] == (0.0, 1)
     assert got["u"] == (round(math.log(4), 6), 4)
+
+
+def test_ewma_recurrence_exact(spark):
+    """applyInPandas EWMA must equal the hand-rolled recurrence."""
+    import datetime as dt
+
+    from airline_dataset_hadoop_public_spark.operators.timeseries import (
+        ewma_per_key,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate([10.0, 20.0, 10.0, 40.0])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["ts"].second: r["ewma"]
+        for r in ewma_per_key(df, "user_id", "ts", "value", alpha=0.5).collect()
+    }
+    acc = None
+    for i, v in enumerate([10.0, 20.0, 10.0, 40.0]):
+        acc = v if acc is None else 0.5 * v + 0.5 * acc
+        assert abs(got[i] - acc) < 1e-12
