@@ -622,3 +622,82 @@ def skew_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report — the pre-training gate every corpus
+# refresh runs: null counts, primary-key duplicates, referential
+# integrity (orders→customer), and range violations, in one narrow
+# metrics frame. Each metric is a partial-aggregable scan or a
+# broadcast/anti-join; nothing is fact-sized in the output.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM orders
+UNION ALL
+SELECT 'null_custkey', CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'null_orderdate', CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'dup_orderkeys',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orphan_custkeys',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'nonpositive_price',
+       CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+ORDER BY metric
+"""
+
+
+@register("dq_constraint_report", _DQ_ORACLE)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(metric: str, df_val) -> DataFrame:
+        return df_val.select(
+            F.lit(metric).alias("metric"),
+            F.col("v").cast("long").alias("value"),
+        )
+
+    rows = one("orders_rows", orders.agg(F.count(F.lit(1)).alias("v")))
+    nulls_ck = one(
+        "null_custkey",
+        orders.agg(F.count_if(F.col("o_custkey").isNull()).alias("v")),
+    )
+    nulls_od = one(
+        "null_orderdate",
+        orders.agg(F.count_if(F.col("o_orderdate").isNull()).alias("v")),
+    )
+    dups = one(
+        "dup_orderkeys",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("v")),
+    )
+    orphans = one(
+        "orphan_custkeys",
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v")),
+    )
+    bad_price = one(
+        "nonpositive_price",
+        orders.agg(F.count_if(F.col("o_totalprice") <= 0).alias("v")),
+    )
+    return (
+        rows.unionByName(nulls_ck)
+        .unionByName(nulls_od)
+        .unionByName(dups)
+        .unionByName(orphans)
+        .unionByName(bad_price)
+        .orderBy("metric")
+    )

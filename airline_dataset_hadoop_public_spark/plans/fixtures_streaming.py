@@ -312,3 +312,49 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_file_stream_batch(spark, src, schema, plan, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink — the programmable-sink escape hatch: each
+# microbatch lands in a parquet sink dir via batch-API writes (the
+# pattern for upserts / multi-table fan-out / JDBC at scale). The
+# query drains the stream, then aggregates what the SINK holds; since
+# every event flows through exactly one batch append, the sink equals
+# the source and the oracle is the plain batch aggregate.
+# ---------------------------------------------------------------------------
+
+_FOREACH_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("streaming_foreachbatch_sink", _FOREACH_ORACLE)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    src, schema = _events_stream_dir(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sink = os.path.join(_SCRATCH, "foreachbatch_sink", tag, uuid.uuid4().hex[:8])
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
