@@ -183,3 +183,14 @@ def test_ingest_roundtrip_prunes_canonical_partitions(spark, qs):
     plan = _plan(qs["ingest_csv_roundtrip"](spark, SF))
     part = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part and "Year" in part[0]
+
+
+def test_ewma_uses_grouped_pandas_not_collect(spark, qs):
+    plan = _plan(qs["events_ewma_per_user"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan  # one shuffle on the key
+    assert plan.count("Exchange") <= 2
+
+
+def test_dq_orphan_check_is_broadcast_anti_join(spark, qs):
+    plan = _plan(qs["dq_constraint_report"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
