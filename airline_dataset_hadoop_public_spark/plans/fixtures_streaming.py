@@ -337,8 +337,9 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, schema = _events_stream_dir(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    sink = os.path.join(_SCRATCH, "foreachbatch_sink", tag, uuid.uuid4().hex[:8])
-    shutil.rmtree(sink, ignore_errors=True)
+    parent = os.path.join(_SCRATCH, "foreachbatch_sink", tag)
+    shutil.rmtree(parent, ignore_errors=True)  # drop prior runs' sinks
+    sink = os.path.join(parent, uuid.uuid4().hex[:8])
 
     def write_batch(batch_df, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink)
