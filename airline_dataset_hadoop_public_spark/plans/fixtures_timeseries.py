@@ -251,11 +251,17 @@ def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-user EWMA — the canonical applyInPandas recurrence (a window
 # cannot express y_t = a·x_t + (1-a)·y_{t-1} without exploding
 # weights). The oracle folds the identical recurrence sequentially
-# with list_reduce over the ts-ordered series, so every intermediate
-# rounding step matches the numpy fold.
+# with list_reduce over the ts-ordered series.
+#
+# alpha is pinned to 0.5 deliberately: 0.5·x is EXACT in binary for
+# any double, so each fold step reduces to one identically-rounded
+# addition in every IEEE engine — immune to FMA contraction of the
+# a·x + (1−a)·y multiply-add, which at alpha=0.3 drifted DuckDB and
+# numpy ~1e-8 apart over 150-step series (20 of 100k rows crossed a
+# ROUND(·,4) boundary at sf0.1).
 # ---------------------------------------------------------------------------
 
-_EWMA_ALPHA = 0.3
+_EWMA_ALPHA = 0.5
 
 _EWMA_ORACLE = f"""
 WITH s AS (
@@ -276,7 +282,7 @@ folded AS (
 SELECT user_id,
        STRFTIME(UNNEST(tss), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
        UNNEST(xs) AS value,
-       ROUND(UNNEST(ys), 4) AS ewma
+       UNNEST(ys) AS ewma
 FROM folded
 """
 
@@ -287,9 +293,14 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     out = ewma_per_key(ev, "user_id", "ts", "value", alpha=_EWMA_ALPHA)
+    # ewma emitted UNROUNDED: the alpha=0.5 fold is bit-identical in
+    # every IEEE engine (verified 100k/100k exact at sf0.1), and the
+    # usual ROUND(·,4) discipline would REINTRODUCE divergence here —
+    # halving parks values exactly on .xxxx5 boundaries where Spark's
+    # HALF_UP BigDecimal rounding and DuckDB's double rounding differ.
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         "value",
-        F.round("ewma", 4).alias("ewma"),
+        "ewma",
     )

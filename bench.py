@@ -35,6 +35,8 @@ _DRAIN_WITH_COUNT = {
     "streaming_session_windows",
     "text_winnowing_overlap",
     "events_batch_sessionization",
+    "docs_chunk_windows",
+    "events_ewma_per_user",
 }
 
 HEADLINE = [
@@ -79,6 +81,13 @@ def main() -> None:
         "text_gopher_quality_flags",
         "streaming_tumbling_counts",
         "streaming_session_windows",
+        # r2 additions
+        "ingest_csv_roundtrip",
+        "docs_chunk_windows",
+        "corpus_vocab_coverage",
+        "events_ewma_per_user",
+        "dq_constraint_report",
+        "streaming_stream_stream_join",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
