@@ -185,10 +185,31 @@ def test_ingest_roundtrip_prunes_canonical_partitions(spark, qs):
     assert part and "Year" in part[0]
 
 
-def test_ewma_uses_grouped_pandas_not_collect(spark, qs):
+def test_ewma_packed_is_arrow_single_shuffle(spark, qs):
+    """Default EWMA path: collect-fold-explode — one key shuffle, one
+    Arrow kernel call per batch (NOT one flush per group)."""
     plan = _plan(qs["events_ewma_per_user"](spark, SF))
-    assert "FlatMapGroupsInPandas" in plan  # one shuffle on the key
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_ewma_grouped_pandas_variant(spark):
+    """The applyInPandas variant stays available for keys whose series
+    exceed a collect_list cell, and matches the packed fold."""
+    from airline_dataset_hadoop_public_spark.operators.timeseries import (
+        ewma_per_key,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").limit(500)
+    a = ewma_per_key(ev, "user_id", "ts", "value", alpha=0.5)
+    b = ewma_per_key(ev, "user_id", "ts", "value", alpha=0.5,
+                     impl="grouped_pandas")
+    assert "FlatMapGroupsInPandas" in _plan(b)
+    va = {(r[0], r[1]): r[3] for r in a.collect()}
+    vb = {(r[0], r[1]): r[3] for r in b.collect()}
+    assert va == vb
 
 
 def test_dq_orphan_check_is_broadcast_anti_join(spark, qs):
