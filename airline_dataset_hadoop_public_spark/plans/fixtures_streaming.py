@@ -29,9 +29,20 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     """Materialize timestamp-normalized events once per sf as a
-    parquet dir (file streams need micros timestamps + a directory)."""
+    parquet dir (file streams need micros timestamps + a directory).
+
+    The cache key includes the source file's (mtime, size) so a
+    regenerated fixture corpus invalidates the mirror — a stale mirror
+    would silently diverge from the oracle's view of `events`.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_SCRATCH, "stream_src", tag, "events")
+    src_file = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src_file)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "unknown"
+    path = os.path.join(_SCRATCH, "stream_src", f"{tag}_{fp}", "events")
     marker = os.path.join(path, "_SUCCESS")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.exists(marker):
