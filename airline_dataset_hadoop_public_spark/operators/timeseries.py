@@ -65,6 +65,7 @@ def resample_ffill(
     ts_col: str,
     value_col: str,
     seconds: int,
+    sum_round: int | None = None,
 ) -> DataFrame:
     """Regularize an event stream to a fixed grid per key.
 
@@ -72,13 +73,25 @@ def resample_ffill(
     (key, bucket) on the full grid; empty buckets get n_obs = 0 and
     the forward-filled running average (null before the first
     observation of that key).
+
+    ``sum_round``: when set, the bucket average is computed as
+    ROUND(SUM(value), sum_round) / COUNT — for fixed-decimal inputs
+    (e.g. 2-decimal amounts with sum_round=2) the quantized sum is
+    engine-order-independent, so the average is bit-identical across
+    engines. Plain AVG parks k-decimal data exactly on rounding
+    boundaries (sum/2^k effects), where per-engine summation-order
+    ulp noise flips a downstream ROUND — 63 of 14.4k rows at sf0.1.
     """
+    if sum_round is None:
+        avg_expr = F.avg(value_col)
+    else:
+        avg_expr = F.round(F.sum(value_col), sum_round) / F.count(F.lit(1))
     agg = df.groupBy(
         F.col(key_col).alias("key"),
         bucket_start(F.col(ts_col), seconds).alias("bucket"),
     ).agg(
         F.count("*").alias("n_obs"),
-        F.avg(value_col).alias("avg_value"),
+        avg_expr.alias("avg_value"),
     )
     grid = (
         df.select(F.col(key_col).alias("key"))

@@ -52,16 +52,24 @@ spine AS (
 ),
 types AS (SELECT DISTINCT event_type FROM events),
 agg AS (
+  -- quantized-sum average: value is 2-decimal, so ROUND(SUM, 2) is
+  -- summation-order independent and the division is bit-identical
+  -- across engines (plain AVG parks results on .xxxx5 boundaries)
   SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
-         COUNT(*) AS n_obs, AVG(value) AS avg_value
+         COUNT(*) AS n_obs, ROUND(SUM(value), 2) / COUNT(*) AS avg_value
   FROM events GROUP BY 1, 2
 )
+-- avg_value_ffill emitted UNROUNDED: the quantized-sum average is
+-- bit-identical across engines, while a final ROUND(.,4) would park
+-- cents/2^k quotients exactly on half boundaries where Spark
+-- (shortest-decimal HALF_UP) and DuckDB (binary-value rounding)
+-- disagree by convention.
 SELECT ty.event_type,
        strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        COALESCE(a.n_obs, 0) AS n_obs,
-       ROUND(last_value(a.avg_value IGNORE NULLS) OVER (
+       last_value(a.avg_value IGNORE NULLS) OVER (
          PARTITION BY ty.event_type ORDER BY s.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS avg_value_ffill
 FROM types ty
 CROSS JOIN spine s
@@ -74,12 +82,12 @@ def events_resample_15m_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import resample_ffill
 
     ev = load_table(spark, sf_dir, "events")
-    out = resample_ffill(ev, "event_type", "ts", "value", 900)
+    out = resample_ffill(ev, "event_type", "ts", "value", 900, sum_round=2)
     return out.select(
         F.col("key").alias("event_type"),
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n_obs",
-        F.round("avg_value_ffill", 4).alias("avg_value_ffill"),
+        "avg_value_ffill",
     )
 
 
