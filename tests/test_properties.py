@@ -164,3 +164,96 @@ def test_salted_join_equals_plain_join(spark):
         for r in skewed.join(small, ["k"]).collect()
     )
     assert got == expect
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_winnowing_kernel_matches_bruteforce(spark, texts):
+    """Arrow winnowing kernel == brute-force python winnowing (same
+    normalization, k-gram rolling hash, rightmost-min window rule)."""
+    import re
+
+    from airline_dataset_hadoop_public_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w, base, mod, pb = 5, 4, 31, 1_000_000_007, 1 << 20
+
+    def brute(s):
+        # Java \s is ASCII-only ([ \t\n\x0b\f\r]) and Spark trim
+        # strips spaces — Python's Unicode \s/strip would also eat
+        # \xa0 etc. and diverge
+        nm = re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip(" ").lower())
+        n = len(nm)
+        if n < k or n - k + 1 < w:
+            return set()
+        hs = []
+        for i in range(n - k + 1):
+            h = 0
+            for ch in nm[i : i + k]:
+                h = (h * base + ord(ch)) % mod
+            hs.append(h * pb + (pb - 1 - (i + 1)))
+        mins = {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+        return {(pb - 1 - c % pb, c // pb) for c in mins}
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = defaultdict(set)
+    for r in winnowing_fingerprints(df, "doc_id", "text", k, w).collect():
+        got[r["doc_id"]].add((r["pos"], r["khash"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == brute(t), (i, t)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_simhash_kernel_matches_bruteforce(spark, texts):
+    """numpy vote kernel == per-bit python majority vote over the same
+    md5-derived shingle hashes."""
+    import hashlib
+    import re
+
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        simhash_signature,
+    )
+
+    def brute(s):
+        # keep empty tokens: split('') == [''] in Spark and DuckDB
+        # alike, so an all-whitespace doc has ONE empty shingle;
+        # ASCII-only whitespace to match Java \s and Spark trim
+        toks = re.split(r"[ \t\n\x0b\f\r]+", s.strip(" ").lower())
+        sh = sorted(set(toks))
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in sh]
+        sig = 0
+        for j in range(64):
+            votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if votes > 0:
+                sig |= 1 << j
+        return sig
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signature(
+            df, "doc_id", "text", portable_hash=True
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = brute(t)
+        assert got.get(i) == expect, (i, t)
