@@ -1,0 +1,90 @@
+"""Distributed dense linear algebra over embedding columns: Gramian
+accumulation and PCA-style top-component extraction.
+
+The reference has no linear-algebra surface at all (its numeric tail
+ends at the rank/Zipf fit, reference README.md:405-427); these exist
+because a training-data pipeline needs covariance/PCA-shaped passes
+over embedding tables (whitening, dimensionality checks, projection
+pruning).
+
+Scale design (the RowMatrix/gramian pattern): X^T X for an (N x d)
+embedding table is computed as one `mapInPandas` pass emitting a
+partial d x d Gramian per Arrow batch (numpy BLAS `X.T @ X`, O(d^2)
+doubles per batch regardless of batch row count), then a single
+hash-aggregate over (i, j) keys — the only shuffled payload is
+(#partitions x d^2) rows, independent of N. No driver collect of
+anything N-sized; the d x d result is tiny by contract (d <= ~1k).
+Compare MLlib's RowMatrix.computeGramianMatrix, which tree-aggregates
+the same per-partition BLAS partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAM_SCHEMA = "i BIGINT, j BIGINT, partial DOUBLE"
+
+
+def gram_matrix(df: DataFrame, vec_col: str, ndigits: int = 4) -> DataFrame:
+    """Upper-triangle Gramian of the embedding column: one row per
+    (i, j), i <= j, 1-based, with ``gram = ROUND(sum_rows(x_i * x_j),
+    ndigits)``. Rounded because cross-partition summation order is not
+    deterministic (FIXTURES.md §F: round order-noisy float aggregates).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu: tuple | None = None
+        acc = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # accumulate in float64 even for float32-stored embeddings:
+            # float32 partials drift ~1e-7, visibly flipping rounded
+            # output digits (any SQL engine sums these in double)
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+            if iu is None:
+                iu = np.triu_indices(x.shape[1])
+        if acc is not None and iu is not None:
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "partial": acc[iu]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(batches, _GRAM_SCHEMA)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("partial"), ndigits).alias("gram"))
+    )
+
+
+def top_component(df: DataFrame, vec_col: str) -> list:
+    """Principal direction of the (uncentered) Gramian. The N-sized
+    work is the single distributed gram_matrix pass; the d x d eigen
+    step runs on the driver (d^2 doubles — driver-side by design, like
+    MLlib's computePrincipalComponents; exact eigh instead of power
+    iteration because the eigengap of real embedding tables is too
+    small for fast-iterative convergence guarantees).
+
+    Sign convention: first nonzero coordinate positive. Local-math
+    helper (pytest parity vs numpy.linalg.eigh), not a registered
+    query: the eigenvector is not ANSI-SQL-expressible for the oracle.
+    """
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col, ndigits=9).collect()
+    d = max(r["j"] for r in rows)
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram"]
+    v = np.linalg.eigh(g)[1][:, -1]
+    nz = next((x for x in v if abs(x) > 1e-12), 1.0)
+    if nz < 0:
+        v = -v
+    return v.tolist()

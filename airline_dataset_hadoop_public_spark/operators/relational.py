@@ -1,0 +1,77 @@
+"""Warehouse-maintenance relational patterns: MERGE-style upsert and
+SCD-2 validity intervals.
+
+The reference's mutation story is "re-run the MapReduce job and
+overwrite the serving table" (reference README.md:264-270 rebuilds the
+Cassandra table per run); it has no incremental upsert or history
+tracking. These close that gap with the two patterns every
+lakehouse-shaped pipeline needs, expressed as pure shuffles so they
+hold at 100 TB.
+
+Scale notes:
+- merge_upsert: one anti-join (base minus updated keys) + union — the
+  copy-on-write MERGE kernel (what Delta/Hudi do per touched file
+  group, here over the whole frame). Single shuffle on the key; with
+  both sides bucketed by the key it is shuffle-free.
+- scd2_intervals: the gaps-and-islands pattern — every window shares
+  ONE partitioning on the entity key, so the whole history rebuild is
+  a single exchange followed by in-partition sorts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE semantics: rows of ``delta`` win on key collision; base
+    rows without a delta match pass through. Schemas must align by
+    name."""
+    surviving = base.join(delta.select(*keys), list(keys), "left_anti")
+    return delta.unionByName(surviving)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an event history into SCD-2 validity intervals: one row
+    per run of consecutive equal ``attr_col`` values per entity, with
+    the run's start/end timestamps, row count, and a current-run flag.
+
+    Ordering inside an entity is (ts, tiebreak) — the tiebreak must be
+    unique per entity so runs are deterministic when timestamps tie.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("int")
+    runs = df.withColumn(
+        "__run",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_run = runs.groupBy(entity_col, "__run", attr_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wruns = Window.partitionBy(entity_col)
+    return (
+        per_run.withColumn(
+            "is_current", (F.col("__run") == F.max("__run").over(wruns))
+        )
+        .withColumn("version", F.col("__run").cast("long"))
+        .drop("__run")
+    )

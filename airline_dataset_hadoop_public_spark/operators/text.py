@@ -426,3 +426,79 @@ def winnowing_overlap_pairs(
     return intra.select(
         "id_a", "id_b", "shared_fingerprints"
     ).unionByName(cross.select("id_a", "id_b", "shared_fingerprints"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    min_df: int = 2,
+    stop_df_divisor: int = 3,
+) -> DataFrame:
+    """(id_a < id_b, cosine) — document pairs with tf-idf cosine
+    similarity >= threshold, computed term-at-a-time over an inverted
+    index (no all-pairs stage; reference has no similarity surface at
+    all — SURVEY.md §2 ends at exact grouping).
+
+    Weight space: terms with min_df <= df <= floor(N / stop_df_divisor)
+    (the cap is computed as an exact float division by an integer
+    divisor so any SQL oracle can reproduce the boundary bit-for-bit;
+    a ratio multiply like n*(1/3) floors differently when 3 | n),
+    tf·ln(N/df) weights, norms taken over the SAME pruned space so the
+    measure is self-consistent. Pruning is the scale contract: df=1
+    terms cannot produce a pair (dropping them loses nothing), and the
+    stop-term cap bounds posting-list skew, making the per-term
+    self-join cost Σ df² over kept terms instead of quadratic in the
+    corpus. This is the classic sparse-vector cosine join
+    (term-at-a-time posting intersection) — one explode, two hash
+    aggs, one bounded self-join.
+    """
+    from ..functions.scalar import tokens
+
+    terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(
+            (F.col("dfreq") >= min_df)
+            & (
+                F.col("dfreq")
+                <= F.floor(F.col("n_docs") / F.lit(float(stop_df_divisor)))
+            )
+        )
+        .drop("n_docs")
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq"))
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

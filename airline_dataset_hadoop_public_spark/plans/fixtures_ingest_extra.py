@@ -168,3 +168,48 @@ def ingest_csv_malformed_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip: the third columnar source format (after parquet and
+# text-based CSV/JSONL). ORC preserves microsecond timestamps and
+# doubles exactly, so the round-trip is lossless and the oracle is
+# plain SQL over the original view. Partitioned by event day to also
+# exercise ORC partition discovery + pruning-capable layout.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       ROUND(SUM(value), 4) AS sum_value,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("ingest_orc_roundtrip", _ORC_ORACLE)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp(sf_dir, "events_orc")
+    shutil.rmtree(root, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.mode("overwrite").partitionBy("day").orc(root)
+    # partition-column type inference may read day= back as DATE;
+    # normalize to the string form the oracle emits
+    raw = spark.read.orc(root).withColumn("day", F.col("day").cast("string"))
+    return (
+        raw.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("day")
+    )

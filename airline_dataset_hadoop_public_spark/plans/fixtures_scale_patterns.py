@@ -1,0 +1,377 @@
+"""Scale-pattern wave: the warehouse/lakehouse machinery a 100 TB
+deployment leans on daily — bucketed shuffle-free joins, MERGE-style
+upsert, SCD-2 history rebuild, distributed Gramian accumulation, and
+sparse tf-idf cosine join.
+
+None of these exist in the reference (its join story is a single
+tagged reduce-side join and its mutation story is "re-run and
+overwrite" — reference README.md:264-270, 437-520; SURVEY.md §2.5).
+They are registered as first-class queries with full DuckDB value
+oracles: bucketing, merge layout, and the Gramian's partial-aggregate
+route are physical strategies, so the oracle states the logical result
+and the plan contracts live in tests/test_scale_patterns.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import linalg as L
+from ..operators import relational as R
+from ..operators import text as X
+from ..sources.catalog import load_table
+from ..sources.warehouse import bucketed_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Bucketed sorted-merge join: both facts pre-bucketed on the join key,
+# so the join itself needs ZERO exchanges — at 100 TB this is the
+# difference between "shuffle both tables nightly" and "merge
+# pre-sorted bucket files". The oracle is the plain logical join
+# (bucketing cannot change results); tests pin the exchange-free plan.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _warehouse_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), "adhps_warehouse", tag)
+
+
+@register("warehouse_bucketed_join", _BUCKETED_ORACLE)
+def warehouse_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _warehouse_dir(sf_dir)
+    cust = bucketed_table(
+        spark, sf_dir, "customer",
+        load_table(spark, sf_dir, "customer"), "c_custkey", 8, base,
+    )
+    orders = bucketed_table(
+        spark, sf_dir, "orders",
+        load_table(spark, sf_dir, "orders"), "o_custkey", 8, base,
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert (copy-on-write kernel): delta = repriced refunds
+# for every 97th pre-1999 order PLUS all 1999+ orders; delta wins by
+# key, untouched base rows pass through. Price doubling is an EXACT
+# float op (×2 never rounds), so the output needs no tolerance.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+delta AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM base WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+),
+merged AS (
+  SELECT * FROM delta
+  UNION ALL
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM merged
+"""
+
+
+@register("orders_merge_upsert", _MERGE_ORACLE)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    updates = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff)
+    merged = R.merge_upsert(base, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 rebuild: per-customer runs of consecutive equal order priority
+# become validity intervals (gaps-and-islands; ONE exchange on the
+# entity key shared by every window in the plan).
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                OR LAG(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ordered
+),
+per_run AS (
+  SELECT o_custkey, run, o_orderpriority AS priority,
+         STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS valid_from,
+         STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS valid_to,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT o_custkey, priority, valid_from, valid_to, n_rows,
+       run = MAX(run) OVER (PARTITION BY o_custkey) AS is_current,
+       CAST(run AS BIGINT) AS version
+FROM per_run
+"""
+
+
+@register("orders_priority_scd2", _SCD2_ORACLE)
+def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hist = R.scd2_intervals(
+        orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "n_rows",
+        "is_current",
+        "version",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gramian: X^T X via per-Arrow-batch BLAS partials, one
+# tiny (i, j)-keyed aggregation — shuffled payload is O(partitions ×
+# d²), independent of row count. 1-based indices to match DuckDB's
+# generate_subscripts.
+# ---------------------------------------------------------------------------
+
+_GRAM_ORACLE = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         UNNEST(embedding) AS x
+  FROM embeddings
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       ROUND(SUM(a.x * b.x), 4) AS gram
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+@register("embeddings_gram_matrix", _GRAM_ORACLE)
+def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return L.gram_matrix(emb, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine join over the inverted index (term-at-a-time):
+# df-pruned postings (min_df=2, stop-cap N/3) bound the per-term
+# self-join; norms live in the same pruned space.
+# ---------------------------------------------------------------------------
+
+_COS_W = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_COS_ORACLE = f"""
+WITH t AS (SELECT doc_id, UNNEST({_COS_W}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfq AS (
+  SELECT term, COUNT(*) AS dfreq FROM tf CROSS JOIN n GROUP BY term, n_docs
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= FLOOR(n_docs / 3.0)
+),
+w AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / dfreq) AS wt
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN nrm na ON dots.id_a = na.doc_id
+JOIN nrm nb ON dots.id_b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.5
+"""
+
+
+@register("docs_tfidf_cosine_pairs", _COS_ORACLE)
+def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation (lambda/kappa maintenance kernel): a stored
+# partial-aggregate STATE (count/sum/min/max per key, built from the
+# pre-cutoff history) is merged with a fresh DELTA batch's partials —
+# no rescan of history. The oracle recomputes from scratch over all
+# rows, proving the merge algebra (sum-of-counts, sum-of-sums,
+# min-of-mins, max-of-maxes, avg derived at the end) is lossless. At
+# 100 TB the state side is keys-sized (tiny) while the naive recompute
+# rescans the full fact — this is the difference between a nightly
+# full pass and a minutes-long delta merge.
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-21 00:00:00"
+
+_INCR_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_incremental_agg_merge", _INCR_ORACLE)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sm"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = partials(events.filter(F.col("ts") < cutoff))
+    delta = partials(events.filter(F.col("ts") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("sm").alias("raw_sum"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    # quantized-sum average (FIXTURES.md §F): value is 2-decimal data,
+    # so ROUND(sum, 2)/count divides bit-identical doubles
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("raw_sum", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.round("raw_sum", 2) / F.col("n_events")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-versioning audit): classify every key across
+# two snapshots as added / removed / changed / unchanged-count. The
+# "new" snapshot is a deterministic mutation of orders (every 89th
+# key missing from OLD = adds, every 101st key missing from NEW =
+# removes, every 97th surviving key repriced = changes). One full-outer
+# join on the key — single co-partitioned shuffle, the CDC-diff shape.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT * FROM orders WHERE o_orderkey % 89 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+cls AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+FROM cls
+GROUP BY change_type
+"""
+
+
+@register("orders_snapshot_diff", _DIFF_ORACLE)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+        )
+    )
+    cls = (
+        old.join(new, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), "added")
+            .when(F.col("new_price").isNull(), "removed")
+            .when(F.col("old_price") != F.col("new_price"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+    )
+    return cls.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )

@@ -37,6 +37,10 @@ _DRAIN_WITH_COUNT = {
     "events_batch_sessionization",
     "docs_chunk_windows",
     "events_ewma_per_user",
+    # merged/rebuilt state and pair reports are fact-sized
+    "orders_merge_upsert",
+    "orders_priority_scd2",
+    "docs_tfidf_cosine_pairs",
 }
 
 HEADLINE = [
@@ -88,6 +92,12 @@ def main() -> None:
         "events_ewma_per_user",
         "dq_constraint_report",
         "streaming_stream_stream_join",
+        # r2 scale-pattern wave
+        "warehouse_bucketed_join",
+        "orders_merge_upsert",
+        "orders_priority_scd2",
+        "embeddings_gram_matrix",
+        "docs_tfidf_cosine_pairs",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

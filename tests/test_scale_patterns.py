@@ -1,0 +1,324 @@
+"""Scale-pattern wave: bucketed shuffle-free joins, MERGE upsert,
+SCD-2 intervals, distributed Gramian, sparse tf-idf cosine join.
+
+Result semantics are covered by the DuckDB oracles (fixtures_scale_
+patterns.py); these tests pin the PHYSICAL contracts — the zero-
+exchange bucketed join, the Arrow-batched Gramian with its tiny
+shuffle, and small-frame semantics/empty-input robustness for the
+operators themselves.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# ---------------------------------------------------------------------------
+# bucketed join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    """The whole point of bucketing: a key-equi-join of two tables
+    bucketed on that key plans with NO shuffle on either side, even
+    when neither qualifies for broadcast."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        _warehouse_dir,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+    from airline_dataset_hadoop_public_spark.sources.warehouse import (
+        bucketed_table,
+    )
+
+    base = _warehouse_dir(SF)
+    cust = bucketed_table(
+        spark, SF, "customer", load_table(spark, SF, "customer"),
+        "c_custkey", 8, base,
+    )
+    orders = bucketed_table(
+        spark, SF, "orders", load_table(spark, SF, "orders"),
+        "o_custkey", 8, base,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    # sorted bucket files: the merge needs no re-sort either
+    assert joined.count() == orders.count()
+
+
+def test_bucketed_join_query_scans_bucketed_tables(spark, qs):
+    plan = _plan(qs["warehouse_bucketed_join"](spark, SF))
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_table_mirror_reuse_roundtrips(spark):
+    """Second call (fresh catalog path) re-registers the existing files
+    via DDL and reads identical data."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        _warehouse_dir,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+    from airline_dataset_hadoop_public_spark.sources.warehouse import (
+        bucketed_table,
+    )
+
+    base = _warehouse_dir(SF)
+    df = load_table(spark, SF, "customer")
+    first = bucketed_table(spark, SF, "customer", df, "c_custkey", 8, base)
+    n1 = first.count()
+    again = bucketed_table(spark, SF, "customer", df, "c_custkey", 8, base)
+    assert again.count() == n1 == df.count()
+    assert "Bucketed: true" in _plan(
+        again.groupBy("c_custkey").count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from airline_dataset_hadoop_public_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    delta = spark.createDataFrame([(2, "B"), (4, "D")], "k INT, v STRING")
+    out = {r["k"]: r["v"] for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # empty delta → base unchanged; empty base → delta
+    assert merge_upsert(base, delta.limit(0), ["k"]).count() == 3
+    assert merge_upsert(base.limit(0), delta, ["k"]).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# SCD-2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_runs_and_versions(spark):
+    from airline_dataset_hadoop_public_spark.operators.relational import (
+        scd2_intervals,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+
+    def d(days):
+        return t + datetime.timedelta(days=days)
+
+    hist = spark.createDataFrame(
+        [
+            (1, "lo", d(0), 10),
+            (1, "lo", d(1), 11),
+            (1, "hi", d(2), 12),
+            (1, "lo", d(3), 13),
+            (2, "hi", d(0), 20),
+        ],
+        "ent INT, attr STRING, ts TIMESTAMP, uid INT",
+    )
+    rows = scd2_intervals(hist, "ent", "attr", "ts", "uid").collect()
+    e1 = sorted(
+        [r for r in rows if r["ent"] == 1], key=lambda r: r["version"]
+    )
+    assert [r["attr"] for r in e1] == ["lo", "hi", "lo"]
+    assert [r["n_rows"] for r in e1] == [2, 1, 1]
+    assert [r["is_current"] for r in e1] == [False, False, True]
+    assert e1[0]["valid_from"] == d(0) and e1[0]["valid_to"] == d(1)
+    e2 = [r for r in rows if r["ent"] == 2]
+    assert len(e2) == 1 and e2[0]["is_current"]
+    # ties on ts break by uid: same-ts flip still yields two runs
+    tie = spark.createDataFrame(
+        [(1, "a", d(0), 1), (1, "b", d(0), 2)],
+        "ent INT, attr STRING, ts TIMESTAMP, uid INT",
+    )
+    assert scd2_intervals(tie, "ent", "attr", "ts", "uid").count() == 2
+
+
+def test_scd2_single_exchange(spark, qs):
+    plan = _plan(qs["orders_priority_scd2"](spark, SF))
+    assert plan.count("Exchange") == 1  # every window shares one key
+
+
+# ---------------------------------------------------------------------------
+# Gramian / PCA
+# ---------------------------------------------------------------------------
+
+
+def test_gram_is_arrow_batched_with_tiny_shuffle(spark, qs):
+    plan = _plan(qs["embeddings_gram_matrix"](spark, SF))
+    assert "MapInPandas" in plan  # per-batch BLAS partials
+    assert plan.count("Exchange") == 1  # only the (i, j) partial agg
+
+
+def test_gram_matches_numpy(spark):
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.operators.linalg import (
+        gram_matrix,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    expect = x.T @ x
+    got = gram_matrix(emb, "embedding", ndigits=6).collect()
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for r in got:
+        assert abs(r["gram"] - expect[r["i"] - 1, r["j"] - 1]) < 1e-5
+
+
+def test_gram_empty_input(spark):
+    from airline_dataset_hadoop_public_spark.operators.linalg import (
+        gram_matrix,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").limit(0)
+    assert gram_matrix(emb, "embedding").count() == 0
+
+
+def test_top_component_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.operators.linalg import (
+        top_component,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    vals, vecs = np.linalg.eigh(x.T @ x)
+    ref = vecs[:, -1]
+    got = np.array(top_component(emb, "embedding"))
+    assert abs(abs(ref @ got) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# tf-idf cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_plan_is_jvm_side(spark, qs):
+    plan = _plan(qs["docs_tfidf_cosine_pairs"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_cosine_pairs_detects_near_dups(spark):
+    from airline_dataset_hadoop_public_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five"),
+            (4, "one two three four six"),
+            (5, "unrelated totally different words here"),
+            (6, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.5, stop_df_divisor=1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows}
+    assert pairs[(1, 6)] == pytest.approx(1.0)  # exact dup in pruned space
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# incremental agg merge / snapshot diff / ORC round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_merge_equals_full_recompute(spark, qs):
+    got = {
+        r["event_type"]: r
+        for r in qs["events_incremental_agg_merge"](spark, SF).collect()
+    }
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    full = {
+        r["event_type"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k, r in got.items():
+        assert r["n_events"] == full[k]["n"]
+        assert r["min_value"] == full[k]["mn"]
+        assert r["max_value"] == full[k]["mx"]
+
+
+def test_snapshot_diff_classifies_all_four(spark, qs):
+    rows = {r["change_type"]: r["n_keys"] for r in
+            qs["orders_snapshot_diff"](spark, SF).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    # every key in old ∪ new classified exactly once (orderkeys are
+    # sparse, so a key divisible by both 89 and 101 can exist and
+    # belongs to neither snapshot)
+    n = (
+        load_table(spark, SF, "orders")
+        .filter(
+            (F.col("o_orderkey") % 89 != 0) | (F.col("o_orderkey") % 101 != 0)
+        )
+        .count()
+    )
+    assert sum(rows.values()) == n
+
+
+def test_orc_roundtrip_covers_all_days(spark, qs):
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    out = qs["ingest_orc_roundtrip"](spark, SF)
+    events = load_table(spark, SF, "events")
+    days = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).distinct()
+    got = out.collect()
+    assert len(got) == days.count()
+    assert sum(r["n_events"] for r in got) == events.count()
+    assert out.schema["day"].dataType.simpleString() == "string"
