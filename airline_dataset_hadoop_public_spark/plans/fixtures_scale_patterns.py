@@ -375,3 +375,71 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("first_key"),
         F.max("o_orderkey").alias("last_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: a 4×512 CMS over user_id built with
+# a portable md5 hash family (bit-identical in any engine), probed for
+# the exact top-10 users. The sketch build is the scale story: each
+# event fans out to d=4 (row, cell) keys and partial aggregation
+# collapses every partition to ≤ d·w cells BEFORE the shuffle, so the
+# exchanged payload is O(partitions × 2048) regardless of event count
+# — the streaming-friendly frequency sketch the exact groupBy can't
+# give you when the key domain doesn't fit in memory. Guarantee
+# est ≥ true holds per construction and the oracle reproduces the
+# exact same cells, so values match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 512
+
+_CMS_CELL_SQL = (
+    "CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
+    "CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % {w}"
+)
+
+_CMS_ORACLE = f"""
+WITH fan AS (
+  SELECT user_id, r, {_CMS_CELL_SQL.format(w=_CMS_W)} AS cell
+  FROM events CROSS JOIN (SELECT UNNEST(range(0, {_CMS_D})) AS r) g
+),
+cms AS (
+  SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS c FROM fan GROUP BY 1, 2
+),
+true_top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1
+  ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+),
+probe AS (
+  SELECT t.user_id, t.true_cnt, r,
+         {_CMS_CELL_SQL.format(w=_CMS_W)} AS cell
+  FROM true_top t CROSS JOIN (SELECT UNNEST(range(0, {_CMS_D})) AS r) g
+)
+SELECT p.user_id, p.true_cnt, MIN(c.c) AS est_cnt
+FROM probe p JOIN cms c ON p.r = c.r AND p.cell = c.cell
+GROUP BY 1, 2
+"""
+
+
+@register("events_countmin_heavy_hitters", _CMS_ORACLE)
+def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    cell = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
+        f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+    fan = ev.withColumn("r", F.explode(rows)).withColumn("cell", cell)
+    cms = fan.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("c"))
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    probe = true_top.withColumn("r", F.explode(rows)).withColumn("cell", cell)
+    return (
+        probe.join(F.broadcast(cms), ["r", "cell"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )

@@ -257,3 +257,87 @@ def test_simhash_kernel_matches_bruteforce(spark, texts):
     for i, t in enumerate(texts):
         expect = brute(t)
         assert got.get(i) == expect, (i, t)
+
+
+# ---------------------------------------------------------------------------
+# relational kernels: merge upsert and SCD-2 run collapse vs
+# plain-Python references
+# ---------------------------------------------------------------------------
+
+_merge_side = st.lists(
+    st.tuples(st.integers(0, 9), st.text("ab", max_size=2)), max_size=20
+)
+
+
+@given(base_rows=_merge_side, delta_rows=_merge_side)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, base_rows, delta_rows):
+    from airline_dataset_hadoop_public_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    # keys must be unique per side, as a MERGE source/target requires
+    base_rows = list({k: (k, v) for k, v in base_rows}.values())
+    delta_rows = list({k: (k, v) for k, v in delta_rows}.values())
+    expect = dict(base_rows)
+    expect.update(dict(delta_rows))
+    schema = "k INT, v STRING"
+    base = (
+        spark.createDataFrame(base_rows, schema)
+        if base_rows
+        else spark.createDataFrame([], schema)
+    )
+    delta = (
+        spark.createDataFrame(delta_rows, schema)
+        if delta_rows
+        else spark.createDataFrame([], schema)
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("xyz")), max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_matches_run_length_reference(spark, events):
+    from airline_dataset_hadoop_public_spark.operators.relational import (
+        scd2_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (ent, attr, t0 + dt.timedelta(hours=i), i)
+        for i, (ent, attr) in enumerate(events)
+    ]
+    # reference: per entity, order by (ts, uid) == insertion order here;
+    # collapse consecutive equal attrs into (attr, run_length) runs
+    ref: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for ent, attr, _, _ in rows:
+        runs = ref[ent]
+        if runs and runs[-1][0] == attr:
+            runs[-1] = (attr, runs[-1][1] + 1)
+        else:
+            runs.append((attr, 1))
+    schema = "ent INT, attr STRING, ts TIMESTAMP, uid INT"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    collected = scd2_intervals(df, "ent", "attr", "ts", "uid").collect()
+    got: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for r in sorted(collected, key=lambda r: (r["ent"], r["version"])):
+        got[r["ent"]].append((r["attr"], r["n_rows"]))
+    assert dict(got) == dict(ref)
+    # exactly one current version per entity, and it is the max version
+    for ent in ref:
+        ent_rows = [r for r in collected if r["ent"] == ent]
+        cur = [r for r in ent_rows if r["is_current"]]
+        assert len(cur) == 1
+        assert cur[0]["version"] == max(r["version"] for r in ent_rows)
+        assert [r["version"] for r in sorted(ent_rows, key=lambda r: r["version"])] == list(
+            range(1, len(ent_rows) + 1)
+        )

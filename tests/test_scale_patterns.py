@@ -322,3 +322,72 @@ def test_orc_roundtrip_covers_all_days(spark, qs):
     assert len(got) == days.count()
     assert sum(r["n_events"] for r in got) == events.count()
     assert out.schema["day"].dataType.simpleString() == "string"
+
+
+# ---------------------------------------------------------------------------
+# data layout: range-partitioned sorted writes → file-skippable stats
+# ---------------------------------------------------------------------------
+
+
+def test_range_partitioned_sorted_write_is_file_skippable(spark, tmp_path):
+    """The write layout that makes 100 TB scans cheap: repartitionByRange
+    + sortWithinPartitions on the filter key yields parquet files whose
+    footer min/max ranges are DISJOINT, so a time-scoped query prunes
+    whole files (and row groups) instead of scanning the table. The
+    footers are inspected directly — this asserts the layout property
+    itself, not a plan string."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    out = str(tmp_path / "events_sorted")
+    events = load_table(spark, SF, "events")
+    # INT96 (legacy default) carries NO column statistics — a sorted
+    # layout is only skippable when written as TIMESTAMP_MICROS
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        (
+            events.withColumn("day", F.to_date("ts"))
+            .repartitionByRange(4, "day")
+            .sortWithinPartitions("day", "ts")
+            .drop("day")
+            .write.parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 3  # range split actually happened
+    ranges = []
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        idx = pf.schema_arrow.get_field_index("ts")
+        lo, hi = None, None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint → file-level skipping works
+    # and the filter the layout serves still pushes down to the scan
+    scan = spark.read.parquet(out).filter(F.col("ts") < "2024-01-05")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts" in plan
+    total = spark.read.parquet(out).count()
+    assert scan.count() + spark.read.parquet(out).filter(
+        F.col("ts") >= "2024-01-05"
+    ).count() == total
+
+
+def test_countmin_overestimates_only(spark, qs):
+    rows = qs["events_countmin_heavy_hitters"](spark, SF).collect()
+    assert len(rows) == 10
+    # CMS guarantee: the minimum over hash rows never undercounts
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
