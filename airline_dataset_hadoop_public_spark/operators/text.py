@@ -453,6 +453,16 @@ def tfidf_cosine_pairs(
     corpus. This is the classic sparse-vector cosine join
     (term-at-a-time posting intersection) — one explode, two hash
     aggs, one bounded self-join.
+
+    Duplicate-group collapse (same make-or-break step as the
+    minhash/winnowing pipelines): docs with IDENTICAL kept (term, tf)
+    vectors — exact/near-exact duplicates, the dominant case in
+    crawled corpora — are collapsed to one representative before the
+    posting self-join, so a c-copy cluster costs one posting row per
+    term instead of c (and never c² join rows); intra-group pairs have
+    cosine exactly 1.0 by construction and cross-group pairs inherit
+    the representative's cosine unchanged (identical weight vectors →
+    identical dot and norm doubles). Requires threshold <= 1.0.
     """
     from ..functions.scalar import tokens
 
@@ -484,9 +494,38 @@ def tfidf_cosine_pairs(
             ).alias("wt"),
         )
     )
-    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("wt").alias("wa"))
-    b = w.select(F.col(id_col).alias("id_b"), "term", F.col("wt").alias("wb"))
+    from ..runtime import cache_tracked
+    from .dedup import _expand_rep_pairs, _intra_group_pairs
+
+    # ':'/'\n' are safe separators: terms come from a \s+ split (no
+    # whitespace) and the trailing field is numeric, so the rightmost
+    # ':' always delimits tf — the serialization is injective
+    kept = tf.join(F.broadcast(dfreq.select("term")), "term")
+    grp = cache_tracked(
+        kept.groupBy(id_col)
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "term", "tf"))
+                    ),
+                )
+            ).alias("__fp")
+        )
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.collect_list(id_col).alias("__members"),
+        )
+    )
+    intra = _intra_group_pairs(grp, "cosine", 1.0)
+    wr = w.join(grp.select(F.col("__rep").alias(id_col)), id_col)
+    norms = wr.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wr.select(F.col(id_col).alias("id_a"), "term", F.col("wt").alias("wa"))
+    b = wr.select(F.col(id_col).alias("id_b"), "term", F.col("wt").alias("wb"))
     dots = (
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -495,10 +534,14 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
-    return (
+    rep_pairs = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+    cross = _expand_rep_pairs(rep_pairs, grp, ["cosine"])
+    return intra.select("id_a", "id_b", "cosine").unionByName(
+        cross.select("id_a", "id_b", "cosine")
     )
