@@ -213,3 +213,54 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a v1 batch written WITHOUT a column and a v2 batch
+# written with it, read back as one table via mergeSchema — the
+# standard lakehouse column-add migration. v1 rows surface NULL for
+# the new column and are bucketed as 'legacy'; the oracle reproduces
+# the same classification from the original table, so the merge read
+# is proven lossless. (At scale mergeSchema=true costs a footer read
+# per file at planning time — acceptable for migrations, which is
+# exactly what this models.)
+# ---------------------------------------------------------------------------
+
+_EVOLVE_CUTOFF = "1998-01-01"
+
+_EVOLVE_ORACLE = f"""
+SELECT CASE WHEN o_orderdate < TIMESTAMP '{_EVOLVE_CUTOFF}'
+            THEN 'legacy' ELSE o_orderpriority END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("ingest_schema_evolution", _EVOLVE_ORACLE)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp(sf_dir, "orders_evolving")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_EVOLVE_CUTOFF).cast("timestamp")
+    v1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(os.path.join(root, "batch=1"))
+    v2.write.parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("legacy")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
