@@ -26,6 +26,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _source_tag(sf_dir: str, table: str) -> str:
@@ -59,8 +60,14 @@ def bucketed_table(
     # empty in-memory catalog but the files survive on disk.
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if fresh:
+        # pre-shuffle onto the bucket key so each task holds whole
+        # buckets: without this, saveAsTable writes tasks x buckets
+        # files (a small-file explosion at cluster scale); repartition
+        # uses the same Murmur3 hash as the bucket spec, so each of the
+        # `buckets` tasks emits exactly one bucket file
         (
-            df.write.bucketBy(buckets, key)
+            df.repartition(buckets, F.col(key))
+            .write.bucketBy(buckets, key)
             .sortBy(key)
             .option("path", path)
             .saveAsTable(name)
