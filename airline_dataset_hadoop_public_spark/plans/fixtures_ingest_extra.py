@@ -264,3 +264,55 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source (Spark 4 DataSource API): the programmable
+# ingest extension point. The synthetic generator is md5-seeded by row
+# index, so the oracle REGENERATES the exact rows from range(n) with
+# the same md5 arithmetic — source parity proven with zero data files.
+# (sf-independent by design: the source is the thing under test.)
+# ---------------------------------------------------------------------------
+
+_PYDS_N = 20_000
+
+_PYDS_MD5 = "CAST(('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_PYDS_ORACLE = f"""
+WITH g AS (
+  SELECT i,
+         {_PYDS_MD5.format(x="i")} % 1000 AS user_id,
+         {_PYDS_MD5.format(x="i + 1")} % 5 AS t_idx,
+         ({_PYDS_MD5.format(x="i + 2")} % 100000) / 100.0 AS value
+  FROM (SELECT UNNEST(range(0, {_PYDS_N})) AS i)
+)
+SELECT CASE t_idx WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                  WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                  ELSE 'share' END AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS sum_value
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("ingest_python_datasource", _PYDS_ORACLE)
+def ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    raw = (
+        spark.read.format("synthetic_events")
+        .option("n", str(_PYDS_N))
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        raw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -391,3 +391,31 @@ def test_countmin_overestimates_only(spark, qs):
     assert len(rows) == 10
     # CMS guarantee: the minimum over hash rows never undercounts
     assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# custom Python data source
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partition_parallel(spark):
+    from airline_dataset_hadoop_public_spark.sources.pysource import (
+        register_synthetic_source,
+        synth_row,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    # the source's partitions() drive task parallelism directly
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert len(rows) == 1000
+    for idx in (0, 1, 999):
+        eid, uid, etype, val = synth_row(idx)
+        r = rows[idx]
+        assert (r["user_id"], r["event_type"], r["value"]) == (uid, etype, val)
