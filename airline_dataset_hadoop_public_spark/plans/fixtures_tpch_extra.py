@@ -226,7 +226,10 @@ _Q17_ORACLE = """
 SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
-  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+  -- quantized-sum average (FIXTURES.md F): bit-identical threshold
+  -- doubles across engines, so the < comparison cannot park on
+  -- engine-noise boundaries when data is regenerated
+  AND l_quantity < (SELECT 0.2 * (ROUND(SUM(l2.l_quantity), 2) / COUNT(*))
                     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
 """
 
@@ -245,7 +248,12 @@ def tpch_q17_small_quantity_avg_revenue(
         F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
     )
     thresholds = li_brand.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+        # quantized-sum average: ROUND(SUM,2)/COUNT is summation-order
+        # safe for 2-decimal data, making the threshold double
+        # bit-identical to any SQL oracle (FIXTURES.md F)
+        (0.2 * (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))).alias(
+            "qty_threshold"
+        )
     )
     return (
         li_brand.join(F.broadcast(thresholds), "l_partkey")
@@ -369,7 +377,8 @@ _Q22_ORACLE = """
 SELECT c_nationkey, COUNT(*) AS numcust,
        ROUND(SUM(c_acctbal), 4) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT ROUND(SUM(c_acctbal), 2) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -384,7 +393,8 @@ def tpch_q22_dormant_rich_customers(
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        # quantized-sum average — see q17 note (FIXTURES.md F)
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey"
