@@ -5,7 +5,9 @@ agg → memory sink) drained synchronously; complete output mode makes
 the final table equal the equivalent batch aggregation, which is what
 the DuckDB oracle computes. The watermark is declared (state-retention
 semantics) but cannot withhold windows under complete mode — append-
-mode watermark behavior is covered in tests/test_streaming.py.
+mode watermark behavior is covered in tests/test_extensions.py
+(withheld open windows) and tests/test_scale_patterns.py
+(checkpointed late-row drop across restarts).
 """
 
 from __future__ import annotations

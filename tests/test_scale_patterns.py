@@ -419,3 +419,72 @@ def test_python_datasource_partition_parallel(spark):
         eid, uid, etype, val = synth_row(idx)
         r = rows[idx]
         assert (r["user_id"], r["event_type"], r["value"]) == (uid, etype, val)
+
+
+# ---------------------------------------------------------------------------
+# streaming: watermark late-data DROP across checkpointed restarts
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Append-mode semantics the declared-watermark queries rely on at
+    scale: state persists in the checkpoint across restarts, and a row
+    arriving behind the watermark is DROPPED (its window never emits),
+    while a late-but-inside-watermark row still lands in its window.
+    Deterministic because the watermark is exact event-time arithmetic
+    carried by the checkpoint, not wall-clock."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def ts(h, m=0, s=0):
+        return datetime.datetime(2024, 1, 10, h, m, s)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts TIMESTAMP, k STRING").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        # parquet sink: append-mode + restart-capable from checkpoint
+        # (a memory sink cannot recover offsets across restarts)
+        stream = spark.readStream.schema("ts TIMESTAMP, k STRING").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+        q = (
+            agg.select(F.col("window.start").alias("w"), "count")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .format("parquet")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r["w"], r["count"]) for r in spark.read.parquet(sink).collect()}
+
+    # run 1: on-time rows; max ts 12:00:05 → watermark 11:00:05 after
+    # the batch, so window [10,11) finalizes and emits
+    write_batch([(ts(10, 0, 5), "a"), (ts(12, 0, 5), "a")])
+    out1 = run_once()
+    assert (ts(10), 1) in out1
+    # run 2 (restart from checkpoint): 09:30 is BEHIND the persisted
+    # watermark (its window end 10:00 < 11:00:05) → dropped; 11:30 is
+    # late but inside → joins its open window
+    write_batch([(ts(9, 30), "late-dropped"), (ts(11, 30), "late-kept")])
+    out2 = run_once()
+    # run 3: 14:10 advances the watermark past 13:00 → [11,12) and
+    # [12,13) finalize; the dropped 09:30 row's window must NOT appear
+    write_batch([(ts(14, 10), "a")])
+    out3 = run_once()
+    emitted = out1 | out2 | out3
+    assert (ts(11), 1) in emitted  # late-kept row counted
+    assert (ts(12), 1) in emitted
+    assert not any(w == ts(9) for w, _ in emitted)  # dropped row's window
