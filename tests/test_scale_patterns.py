@@ -488,3 +488,33 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert (ts(11), 1) in emitted  # late-kept row counted
     assert (ts(12), 1) in emitted
     assert not any(w == ts(9) for w, _ in emitted)  # dropped row's window
+
+
+# ---------------------------------------------------------------------------
+# pipeline observability: Observation metrics ride the action for free
+# ---------------------------------------------------------------------------
+
+
+def test_observation_metrics_on_clean_pipeline(spark):
+    """Production telemetry without a second scan: df.observe()
+    accumulates metrics DURING the action (no extra job, unlike a
+    separate .agg() pass — at 100 TB a second scan is the difference
+    between free counters and an extra table read)."""
+    from pyspark.sql import Observation
+
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    obs = Observation("clean_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.count_if(F.length("text") == 0).alias("n_empty"),
+    )
+    kept = observed.filter(F.length("text") > 0).count()
+    m = obs.get
+    assert m["n_docs"] == docs.count()
+    assert m["n_empty"] == docs.filter(F.length("text") == 0).count()
+    assert kept == m["n_docs"] - m["n_empty"]
+    assert m["n_chars"] > 0
