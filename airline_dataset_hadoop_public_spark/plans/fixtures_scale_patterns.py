@@ -443,3 +443,32 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("user_id", "true_cnt")
         .agg(F.min("c").alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + typed metadata (completing the decode /
+# feature-extract / resize / frame-sample surface): one narrow Arrow
+# pass emitting the typed metadata a real PIL resize would produce —
+# dimensions derived deterministically from the bytes so the oracle
+# reproduces them from the text column.
+# ---------------------------------------------------------------------------
+
+_RESIZE_ORACLE = """
+SELECT doc_id AS id, 'image/stub' AS mime,
+       CAST(64 + (CASE WHEN length(text) = 0 THEN 0
+                       ELSE ascii(substr(text, 1, 1)) END) % 192 AS BIGINT)
+         AS src_w,
+       CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS src_h,
+       CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h,
+       CAST(LEAST(octet_length(encode(text)), 784) AS BIGINT) AS out_bytes
+FROM documents
+"""
+
+
+@register("multimodal_resize_meta", _RESIZE_ORACLE)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = MM.with_binary_payload(docs, "text")
+    return MM.resize_media(payload, "doc_id", target_w=224, target_h=224)
