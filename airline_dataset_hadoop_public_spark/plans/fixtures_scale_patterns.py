@@ -472,3 +472,46 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = MM.with_binary_payload(docs, "text")
     return MM.resize_media(payload, "doc_id", target_w=224, target_h=224)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy closure — every
+# customer's depth and root under the deterministic decimal-prefix
+# forest parent(c) = c div 10 (roots: c < 10). Each iteration is one
+# frontier-vs-edges join (the BFS shape; the directed complement of
+# operators/dedup's connected-components loop, but expressed entirely
+# inside the engine's recursion operator). Depth is O(log10 N) — 4
+# iterations at sf0.1 — and every iteration is a distributed join, so
+# the pattern holds on a billion-node forest.
+# ---------------------------------------------------------------------------
+
+_CHAIN_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS depth, c_custkey AS root
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.depth + 1, ch.root
+  FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.k
+  WHERE c.c_custkey >= 10
+)
+SELECT k AS c_custkey, depth, root FROM chain
+"""
+
+_CHAIN_SPARK_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS depth, c_custkey AS root
+  FROM {view} WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.depth + 1, ch.root
+  FROM {view} c JOIN chain ch ON c.c_custkey DIV 10 = ch.k
+  WHERE c.c_custkey >= 10
+)
+SELECT k AS c_custkey, depth, root FROM chain
+"""
+
+
+@register("customers_hierarchy_closure", _CHAIN_ORACLE)
+def customers_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = "adhps_chain_customer"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    return spark.sql(_CHAIN_SPARK_SQL.format(view=view))
