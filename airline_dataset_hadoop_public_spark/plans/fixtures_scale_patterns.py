@@ -515,3 +515,43 @@ def customers_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "adhps_chain_customer"
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
     return spark.sql(_CHAIN_SPARK_SQL.format(view=view))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT shredding (Spark 4 semi-structured type): props parsed ONCE
+# into binary VARIANT, fields typed out with try_variant_get — the
+# parse-once/shred-many path that replaces per-path string re-parsing
+# (get_json_object) at scale. Same result as the string path, so the
+# oracle is DuckDB's JSON extraction.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_variant_shred", _VARIANT_ORACLE)
+def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
