@@ -555,3 +555,55 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: interleave the bits of two filter
+# dimensions so ONE sort column clusters BOTH — the multi-dimensional
+# data-skipping layout (Delta OPTIMIZE ZORDER's kernel). Sorting files
+# by the Morton key makes per-file min/max ranges narrow in user_id
+# AND k simultaneously, so either filter prunes files (the 1-D sorted
+# layout proven in tests/test_scale_patterns.py only skips on its one
+# sort key). Both engines evaluate the SAME generated bit-interleave
+# arithmetic, so parity is by construction.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _morton_sql(x: str, y: str, shr) -> str:
+    """Bit-interleave expression from one loop for both dialects;
+    `shr(val_expr, b)` renders that dialect's shift-right (shift-left
+    is a portable multiply by 2^k)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(({shr(x, b)}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({shr(y, b)}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+_Z_X = "(user_id % 256)"
+_Z_Y_DUCK = "(CAST(json_extract_string(props, '$.k') AS BIGINT) % 256)"
+_Z_Y_SPARK = "(CAST(get_json_object(props, '$.k') AS BIGINT) % 256)"
+
+# DuckDB shift-right: integer division by 2^b (operands nonnegative)
+_ZORDER_ORACLE = f"""
+SELECT event_id,
+       CAST({_morton_sql(_Z_X, _Z_Y_DUCK, lambda v, b: f"({v}) // {1 << b}")}
+            AS BIGINT) AS morton
+FROM events
+ORDER BY morton, event_id LIMIT 100
+"""
+
+
+@register("events_zorder_keys", _ZORDER_ORACLE)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    expr = _morton_sql(
+        _Z_X, _Z_Y_SPARK, lambda v, b: f"shiftright({v}, {b})"
+    )
+    return (
+        ev.selectExpr("event_id", f"CAST({expr} AS BIGINT) AS morton")
+        .orderBy("morton", "event_id")
+        .limit(100)
+    )

@@ -518,3 +518,57 @@ def test_observation_metrics_on_clean_pipeline(spark):
     assert m["n_empty"] == docs.filter(F.length("text") == 0).count()
     assert kept == m["n_docs"] - m["n_empty"]
     assert m["n_chars"] > 0
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
+    """The Z-order claim, asserted from parquet footers: with files
+    laid out by Morton key, a filter on EITHER dimension excludes most
+    files' [min,max] ranges; a 1-D sort only ever skips on its own
+    sort key. (This is what OPTIMIZE ZORDER buys at 100 TB: one layout
+    serving two filter columns.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        _morton_sql,
+    )
+
+    n, files = 4096, 16
+    base = spark.range(n).selectExpr(
+        "id", "id % 256 AS ux", "(id * 37) % 256 AS ky"
+    )
+    morton = _morton_sql("ux", "ky", lambda v, b: f"shiftright({v}, {b})")
+    zed = base.selectExpr("id", "ux", "ky", f"({morton}) AS morton")
+
+    def write_layout(df, sort_col, name):
+        out = str(tmp_path / name)
+        (
+            df.repartitionByRange(files, F.col(sort_col))
+            .sortWithinPartitions(sort_col)
+            .write.parquet(out)
+        )
+        return out
+
+    def skippable(out, col, value):
+        skipped = 0
+        for fp in glob.glob(out + "/*.parquet"):
+            pf = pq.ParquetFile(fp)
+            idx = pf.schema_arrow.get_field_index(col)
+            st = pf.metadata.row_group(0).column(idx).statistics
+            lo, hi = st.min, st.max
+            for rg in range(1, pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                lo, hi = min(lo, st.min), max(hi, st.max)
+            if value < lo or value > hi:
+                skipped += 1
+        return skipped
+
+    z_out = write_layout(zed, "morton", "zorder")
+    u_out = write_layout(zed, "ux", "uxsort")
+    # 1-D layout: perfect on its own key, blind on the other
+    assert skippable(u_out, "ux", 200) >= files // 2
+    assert skippable(u_out, "ky", 200) == 0
+    # Z-order: most files skippable on EITHER dimension
+    assert skippable(z_out, "ux", 200) >= files // 2
+    assert skippable(z_out, "ky", 200) >= files // 2
