@@ -572,3 +572,31 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
     # Z-order: most files skippable on EITHER dimension
     assert skippable(z_out, "ux", 200) >= files // 2
     assert skippable(z_out, "ky", 200) >= files // 2
+
+
+def test_hll_sketches_merge_across_days(spark):
+    """Mergeable-sketch pattern (Datasketches HLL): per-day sketches
+    union to the period estimate WITHOUT rescanning events — the
+    re-aggregatable distinct-count any 100 TB rollup table needs
+    (exact COUNT(DISTINCT) cannot be merged from per-day results).
+    Estimate within 5% of exact; identical input → identical sketch,
+    so the merge path is deterministic."""
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+    # per-day sketch estimates are sane too
+    row = daily.select(
+        F.hll_sketch_estimate("sk").alias("e"), "exact_day"
+    ).first()
+    assert abs(row["e"] - row["exact_day"]) / max(row["exact_day"], 1) < 0.1
