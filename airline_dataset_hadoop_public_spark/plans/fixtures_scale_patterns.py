@@ -607,3 +607,44 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("morton", "event_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN: with deltas on BOTH sides,
+# delta(A ⋈ B) = dA⋈B₀ ∪ A₀⋈dB ∪ dA⋈dB — the three-term algebra every
+# materialized join view needs (the aggregate counterpart is
+# events_incremental_agg_merge). The oracle recomputes the full join
+# from scratch, proving the incremental union is lossless. At 100 TB
+# the delta terms touch only delta-sized inputs on one side, turning
+# a full two-table shuffle into delta-driven lookups.
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("orders_customer_join_ivm", _IVM_ORACLE)
+def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    c0 = cust.filter(F.col("c_custkey") % 50 != 0)  # pre-existing dims
+    dc = cust.filter(F.col("c_custkey") % 50 == 0)  # dim delta
+    o0 = orders.filter(F.col("o_orderdate") < cutoff)  # fact base
+    do = orders.filter(F.col("o_orderdate") >= cutoff)  # fact delta
+    on = F.col("o_custkey") == F.col("c_custkey")
+    view0 = o0.join(c0, on)  # the standing materialized view
+    inc = (
+        view0.unionByName(do.join(c0, on))
+        .unionByName(o0.join(dc, on))
+        .unionByName(do.join(dc, on))
+    )
+    return inc.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
