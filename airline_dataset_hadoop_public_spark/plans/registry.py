@@ -111,6 +111,7 @@ def _load_all() -> None:
     from . import fixtures_training_prep  # noqa: F401
     from . import fixtures_timeseries  # noqa: F401
     from . import fixtures_scale_patterns  # noqa: F401
+    from . import fixtures_resolution  # noqa: F401
     try:
         from . import fixtures_extensions  # noqa: F401
     except ImportError:
