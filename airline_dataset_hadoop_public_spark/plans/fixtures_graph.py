@@ -1,0 +1,139 @@
+"""Graph-analytics wave: co-occurrence edge building and iterative
+PageRank over the aggregated graph.
+
+The 100 TB shape: the quadratic-looking part (items co-purchased in
+one order) explodes only within an order (~4 lines -> ~12 directed
+pairs), so the edge build is a linear scan plus one shuffle on the
+pair key; the ITERATIVE part then runs on the collapsed graph (nodes
+= part vocabulary), where each PageRank round is one join + one
+aggregate on the edge table — never on the raw facts. The reference
+has no graph surface (SURVEY.md §2.5; its one join is the tagged
+reduce-side join, reference README.md:437-520).
+
+Oracle notes: PageRank is fully SQL-expressible at fixed iteration
+count — the oracle unrolls 3 Jacobi iterations as CTEs (validated
+against an independent NumPy reference before registration). Output
+ranks are scaled by N and ROUND(.,4) so double-summation low-bit
+nondeterminism cannot flip the hash, and top-k ordering uses the
+ROUNDED value + partkey so both engines cut the same 20 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Co-purchase edge list, top pairs. Directed symmetric pairs within an
+# order; weight = number of orders carrying both parts (an order's
+# duplicate part lines count multiplicatively, matching the join
+# semantics on both engines).
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow shuffle instead of a shuffle self-join: group the
+    order's part list, expand directed pairs in-partition (order size
+    is bounded by the schema at ~7 lines, so the per-row quadratic is
+    a constant), then count pairs. Semantics identical to the
+    self-join on (same order, different part value): duplicate lines
+    of a part pair multiplicatively, same-part lines never pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("parts")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a: F.transform(
+                        F.filter("parts", lambda b: b != a),
+                        lambda b: F.struct(a.alias("src"), b.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("w"))
+
+
+_COPURCHASE_ORACLE = """
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2)
+SELECT src, dst, w FROM e
+ORDER BY w DESC, src, dst
+LIMIT 25
+"""
+
+
+@register("parts_copurchase_pairs_topk", _COPURCHASE_ORACLE)
+def parts_copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    return edges.orderBy(F.desc("w"), "src", "dst").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph: damping 0.85, exactly 3 Jacobi
+# iterations from the uniform vector. The symmetric edge list means no
+# dangling nodes, so rank mass is conserved and the fixed-iteration
+# unrolled-CTE oracle states the identical computation.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS pk FROM e UNION SELECT DISTINCT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+o AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+c AS (SELECT e.src, e.dst, e.w / o.outw AS frac FROM e JOIN o USING (src)),
+r0 AS (SELECT pk, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (
+  SELECT n.pk, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(SUM(p.r * c.frac), 0) AS r
+  FROM nodes n LEFT JOIN c ON c.dst = n.pk LEFT JOIN r0 p ON p.pk = c.src
+  GROUP BY n.pk),
+r2 AS (
+  SELECT n.pk, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(SUM(p.r * c.frac), 0) AS r
+  FROM nodes n LEFT JOIN c ON c.dst = n.pk LEFT JOIN r1 p ON p.pk = c.src
+  GROUP BY n.pk),
+r3 AS (
+  SELECT n.pk, 0.15 / (SELECT n FROM nn)
+         + 0.85 * COALESCE(SUM(p.r * c.frac), 0) AS r
+  FROM nodes n LEFT JOIN c ON c.dst = n.pk LEFT JOIN r2 p ON p.pk = c.src
+  GROUP BY n.pk)
+SELECT CAST(pk AS BIGINT) AS partkey,
+       ROUND(r * (SELECT n FROM nn), 4) AS rank_scaled
+FROM r3
+ORDER BY rank_scaled DESC, partkey
+LIMIT 20
+"""
+
+
+@register("parts_copurchase_pagerank", _PAGERANK_ORACLE)
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    # pagerank caches the contribution frame internally (the single
+    # materialization of the self-join edge build) and returns an
+    # eagerly checkpointed rank frame, so counting nodes off the
+    # result is free
+    ranks = pagerank(edges, damping=0.85, iters=3)
+    n_nodes = ranks.count()
+    scored = ranks.select(
+        F.col("pk").alias("partkey"),
+        F.round(F.col("r") * F.lit(float(n_nodes)), 4).alias("rank_scaled"),
+    )
+    return scored.orderBy(F.desc("rank_scaled"), "partkey").limit(20)
