@@ -1,0 +1,217 @@
+"""Procedural escape-hatch wave: the two PySpark surfaces for custom
+per-group logic that the declarative operators can't express —
+cogrouped Pandas (``groupBy().cogroup().applyInPandas``) and a
+partitioned Python UDTF (Spark 4 polymorphic table function,
+``SELECT * FROM f(TABLE(...) PARTITION BY ... ORDER BY ...)``).
+
+Both computations HAVE declarative equivalents (that's what makes
+them oracle-able), but the point is the plumbing contract: both APIs
+shuffle each side once by the group key and stream Arrow batches
+through Python, so the pattern scales exactly like a groupBy — the
+Python cost is per-group, never per-cluster. The reference has no
+user-extensible operator surface at all (its jobs are fixed MapReduce
+classes, reference README.md:143-575).
+
+Semantics discipline: timestamps compare at full microsecond
+precision (gap_us via unix-microseconds on both engines — FIXTURES.md
+§F precision rule), and streak ordering ties break on (ts, event_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Cogrouped-Pandas as-of alignment: for every purchase event, the
+# user's latest strictly-preceding click (order = ts, event_id) and
+# how many clicks came before. The cogroup ships each user's clicks
+# and purchases to one Python worker as two Arrow frames; group sizes
+# are per-user event counts, so worker memory is O(user activity),
+# never O(partition).
+# ---------------------------------------------------------------------------
+
+_COGROUP_ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS last_click_ts,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_clicks_before
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       date_diff('microsecond', last_click_ts, ts) AS gap_us,
+       CAST(COALESCE(n_clicks_before, 0) AS BIGINT) AS n_clicks_before
+FROM seq WHERE event_type = 'purchase'
+"""
+
+
+def _series_micros(s: pd.Series) -> np.ndarray:
+    """Epoch microseconds regardless of the Arrow-decoded unit."""
+    unit = np.datetime_data(s.dtype)[0]
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+    vals = s.to_numpy().astype("int64")
+    return vals * scale if unit != "ns" else vals // 1_000
+
+
+@register("events_cogroup_click_purchase_asof", _COGROUP_ASOF_ORACLE)
+def events_cogroup_click_purchase_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Two INDEPENDENT scans on purpose: when both cogroup sides share
+    # one plan (same attribute ids), the planner's attribute dedup can
+    # prune a side down to just the grouping key before it reaches the
+    # Python worker (observed: purchases arriving as ['user_id'] only).
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .select(*cols)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .select(*[F.col(c).alias(c) for c in cols])
+        .filter(F.col("event_type") == "purchase")
+    )
+
+    schema = (
+        "user_id bigint, event_id bigint, purchase_ts string, "
+        "gap_us bigint, n_clicks_before bigint"
+    )
+
+    def align(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purch_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "purchase_ts",
+                    "gap_us",
+                    "n_clicks_before",
+                ]
+            )
+        # an absent group arrives as a 0-row frame WITHOUT columns —
+        # never touch column labels on an empty side
+        if clicks_pdf.empty:
+            c_us = np.array([], dtype="int64")
+            c_ids: list = []
+        else:
+            c = clicks_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            c_us = _series_micros(c["ts"])
+            c_ids = c["event_id"].tolist()
+        p = purch_pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        p_us = _series_micros(p["ts"])
+        # strict (ts, event_id) precedence: a click at the identical
+        # microsecond counts as "before" only if its event_id is lower
+        c_keys = list(zip(c_us.tolist(), c_ids))
+        import bisect
+
+        n_before = [
+            bisect.bisect_left(c_keys, (tu, eid))
+            for tu, eid in zip(p_us.tolist(), p["event_id"].tolist())
+        ]
+        gap = [
+            (int(p_us[i]) - int(c_us[n - 1])) if n > 0 else None
+            for i, n in enumerate(n_before)
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"],
+                "event_id": p["event_id"],
+                "purchase_ts": p["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "gap_us": pd.array(gap, dtype="Int64"),
+                "n_clicks_before": pd.array(n_before, dtype="Int64"),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(align, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Python UDTF (polymorphic table function): run-length
+# encode each user's event-type stream into streaks. The UDTF sees
+# one user's rows in (ts, event_id) order (PARTITION BY ... ORDER BY
+# in the SQL call site) and keeps O(1) state — the shape for
+# sequential per-entity logic that window functions contort around.
+# Oracle = the classic gaps-and-islands double row_number.
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events),
+isl AS (
+  SELECT user_id, event_type, rn - rt AS grp,
+         CAST(COUNT(*) AS BIGINT) AS streak_len, MIN(rn) AS srn
+  FROM seq GROUP BY 1, 2, 3)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) AS BIGINT)
+         AS streak_idx,
+       event_type, streak_len
+FROM isl
+"""
+
+
+@register("events_type_streaks_udtf", _STREAKS_ORACLE)
+def events_type_streaks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, streak_idx bigint, event_type string, "
+            "streak_len bigint"
+        )
+    )
+    class Streaks:
+        def __init__(self) -> None:
+            self._user = None
+            self._type = None
+            self._len = 0
+            self._idx = 0
+
+        def eval(self, row):  # noqa: ANN001 — TABLE arg arrives as one Row
+            user_id, event_type = row["user_id"], row["event_type"]
+            if event_type == self._type and user_id == self._user:
+                self._len += 1
+                return
+            if self._len:
+                yield self._user, self._idx, self._type, self._len
+            if user_id != self._user:
+                self._idx = 0
+            self._user, self._type, self._len = user_id, event_type, 1
+            self._idx += 1
+
+        def terminate(self):
+            if self._len:
+                yield self._user, self._idx, self._type, self._len
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_for_streaks"
+    )
+    spark.udtf.register("rle_streaks", Streaks)
+    return spark.sql(
+        """
+        SELECT * FROM rle_streaks(
+          TABLE(SELECT user_id, event_type, ts, event_id
+                FROM events_for_streaks)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
