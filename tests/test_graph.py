@@ -108,12 +108,16 @@ def test_pagerank_releases_all_storage(spark, qs):
     qs["parts_copurchase_pagerank"](spark, SF).collect()
     release_caches()
     gc.collect()
-    deadline = time.time() + 15
+    deadline = time.time() + 30
     while time.time() < deadline:
         if spark.sparkContext._jsc.getPersistentRDDs().size() <= base:
             break
         time.sleep(0.5)
         gc.collect()
+        # The checkpointed RDD is freed by ContextCleaner once the JVM
+        # collects the weak ref; Spark's own periodic-GC default is 30
+        # minutes, so nudge the JVM collector instead of waiting on it.
+        spark.sparkContext._jvm.System.gc()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
 
 
