@@ -1,0 +1,168 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016) — the
+tokenizer-training step of an LLM data pipeline, expressed relationally
+so every round is a bounded set of shuffles on the word-type table.
+
+The corpus is collapsed to word types with frequencies first (the
+classic BPE trick: merge decisions depend only on the type table, so a
+100 TB corpus reduces to a vocabulary-sized working set after one
+explode+count — everything after that is shuffles on ~10^6-10^7 word
+types, each a tiny per-word window partition). Each learning round:
+
+1. pair counts: lead() over (word, pos) pairs adjacent symbols; count
+   = sum of word frequencies per (sym1, sym2) — one window pass + one
+   hash aggregate.
+2. best pair: global argmax with (count desc, sym1 asc, sym2 asc)
+   tie-break, carried as a 1-row broadcast dimension (no collect()).
+3. greedy left-to-right merge, relationally: a matched position
+   merges iff it is not consumed by the previous merge. Overlapping
+   matches only exist for runs of a self-pair (s,s) — for s1 ≠ s2 two
+   adjacent positions cannot both match — so "greedy left-to-right"
+   is exactly "odd offset within each maximal run of matched
+   positions" (gaps-and-islands + offset parity), which both engines
+   compute identically with window functions.
+
+The same relational formulation runs on DuckDB as the oracle (unrolled
+per round), so the correctness gate checks merge semantics, not just
+counts. Per-position state never leaves the word's partition; the only
+global data movement is the two hash aggregates per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import tokens
+from ..runtime import cache_tracked
+
+
+def _word_types(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(wt: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym): one row per character position."""
+    return wt.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos0", "sym"),
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        sym.withColumn("nxt", F.lead("sym").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("sym1"), F.col("nxt").alias("sym2"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _best_pair(pairs: DataFrame) -> DataFrame:
+    """1-row frame (b1, b2): the argmax pair under the deterministic
+    tie-break. min_by on an orderable struct keeps it a single
+    aggregate (no sort-limit stage)."""
+    return pairs.agg(
+        F.expr(
+            "min_by(struct(sym1 AS b1, sym2 AS b2), struct(-cnt, sym1, sym2))"
+        ).alias("b")
+    ).select("b.b1", "b.b2")
+
+
+def _merge(sym: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one greedy left-to-right merge of the broadcast best pair."""
+    w = Window.partitionBy("word").orderBy("pos")
+    s = sym.crossJoin(F.broadcast(best))
+    s = s.withColumn("nxt", F.lead("sym").over(w)).withColumn(
+        "match",
+        F.coalesce(
+            (F.col("sym") == F.col("b1")) & (F.col("nxt") == F.col("b2")),
+            F.lit(False),
+        ),
+    )
+    # gaps-and-islands over matched positions: island id = pos - rank
+    # among the word's matched positions; greedy = odd offset inside
+    # the island (run of matches ⇒ self-pair run ⇒ merge 1st, 3rd, …).
+    wm = Window.partitionBy("word").orderBy("pos")
+    s = s.withColumn(
+        "__mrn",
+        F.when(
+            F.col("match"),
+            F.row_number().over(
+                Window.partitionBy("word", "match").orderBy("pos")
+            ),
+        ),
+    ).withColumn(
+        "merged",
+        F.col("match")
+        & (
+            F.row_number().over(
+                Window.partitionBy(
+                    "word", "match", F.col("pos") - F.col("__mrn")
+                ).orderBy("pos")
+            )
+            % 2
+            == 1
+        ),
+    )
+    s = s.withColumn(
+        "consumed", F.coalesce(F.lag("merged").over(wm), F.lit(False))
+    )
+    return (
+        s.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            F.row_number().over(wm).alias("pos"),
+            F.when(
+                F.col("merged"), F.concat(F.col("sym"), F.col("nxt"))
+            ).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def bpe_pair_merge_rounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 2,
+    topn: int = 10,
+) -> DataFrame:
+    """Learn `rounds` BPE merges; report each round's top-`topn` pair
+    counts (the table a tokenizer trainer would inspect).
+
+    Output: (round, rank, sym1, sym2, cnt) ordered by (round, rank);
+    rank is by (cnt desc, sym1 asc, sym2 asc). Round r counts are
+    taken BEFORE round r's merge is applied (so round 1 rank 1 is the
+    first merge learned, round 2 rank 1 the second, …).
+    """
+    sym = _initial_symbols(_word_types(docs, text_col))
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        # used twice per round (top-n report + argmax for the merge)
+        pairs = cache_tracked(_pair_counts(sym))
+        # distributed top-n: orderBy+limit is TakeOrderedAndProject
+        # (per-partition heaps), then the rank window runs on `topn`
+        # rows — never a global sort of the pair table
+        ranked = (
+            pairs.orderBy(F.desc("cnt"), F.asc("sym1"), F.asc("sym2"))
+            .limit(topn)
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.orderBy(F.desc("cnt"), F.asc("sym1"), F.asc("sym2")))
+                .cast("long"),
+            )
+            .select(F.lit(r).alias("round"), "rank", "sym1", "sym2", "cnt")
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+        if r < rounds:
+            sym = _merge(sym, _best_pair(pairs))
+    assert out is not None
+    return out

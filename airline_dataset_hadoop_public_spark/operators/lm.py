@@ -1,0 +1,163 @@
+"""Corpus-statistics language-model operators for training-data
+quality pipelines (SURVEY.md §7.4 extension surface; the reference has
+no text surface — its closest analog is the A1/A2 count/avg machinery,
+reference README.md:143-231, applied here to token statistics).
+
+Two operators, both pure built-in-function plans (no Python in the row
+path):
+
+- ``bigram_lm_scores`` — train an add-k-smoothed bigram language model
+  on the corpus itself and score every document by its mean bigram
+  log-probability. This is the classic KenLM-style quality filter
+  (documents far from the corpus distribution score low) expressed as
+  three shuffles: unigram counts, bigram counts, and the score join.
+- ``dup_ngram_char_fracs`` — Gopher-style repetition signals: the
+  fraction of 3-gram character mass occurring in duplicated 3-grams,
+  and the character mass share of the single most frequent 2-gram
+  (Rae et al. 2021's "duplicate n-gram character fraction" /
+  "top n-gram character fraction").
+
+100 TB notes: every aggregate here is a hash aggregate on a token or
+n-gram key with map-side partial aggregation; the score join keys are
+identical to the count-table group keys, so the exchange is reused.
+Frequent-token join skew (e.g. "the the") is the known hazard — AQE
+skew-join splitting handles it, and the count tables are orders of
+magnitude smaller than the exploded facts, so the join is
+fact × small-dim shaped even before AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import tokens
+
+
+def _with_ngrams(d: DataFrame, n: int, out: str) -> DataFrame:
+    """Space-joined word n-grams of the `ws` token array (docs with
+    fewer than n tokens produce an empty array)."""
+    parts = ", ".join("x" if j == 0 else f"element_at(ws, i + {j + 1})" for j in range(n))
+    return d.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN size(ws) >= {n} THEN "
+            f"transform(slice(ws, 1, size(ws) - {n - 1}), "
+            f"(x, i) -> concat_ws(' ', {parts})) "
+            f"ELSE array() END"
+        ),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document mean add-k bigram log-probability under the corpus
+    LM.
+
+    score(d) = avg over bigrams (w1,w2) of d of
+               ln((c(w1,w2) + k) / (c(w1) + k·V))
+
+    where c(·) are corpus-wide counts and V the corpus vocabulary
+    size. Documents with < 2 tokens have no bigrams and are omitted
+    (inner-join semantics, mirrored by the oracle).
+
+    Output: (id, n_bigrams, lm_score) — lm_score rounded to `ndigits`.
+    """
+    d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
+
+    uni = (
+        d.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    # vocabulary size as a 1-row broadcast dimension, not a collect()
+    vocab = uni.agg(F.count("*").alias("vsz"))
+
+    bg = (
+        _with_ngrams(d, 2, "bg")
+        .select("__id", F.explode("bg").alias("b"))
+        .select(
+            "__id",
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.col("c2") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("vsz"))
+            ),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__lp"), ndigits).alias("lm_score"),
+    ).select(F.col("__id").alias(id_col), "n_bigrams", "lm_score")
+
+
+def dup_ngram_char_fracs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Gopher repetition signals per document.
+
+    - dup3_frac: of the total character mass of all 3-gram occurrences
+      (each occurrence weighs length(gram) characters), the fraction
+      belonging to 3-grams occurring ≥ 2 times in the document.
+    - top2_frac: character-mass share of the document's single most
+      frequent 2-gram (ties broken by the lexically smallest gram).
+
+    Documents with < 3 tokens are omitted (no 3-grams). Output:
+    (id, n_grams3, dup3_frac, top2_frac), fractions rounded.
+    """
+    d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
+    d = _with_ngrams(_with_ngrams(d, 3, "g3"), 2, "g2").filter(F.size("g3") > 0)
+
+    def gram_counts(col: str) -> DataFrame:
+        return (
+            d.select("__id", F.explode(col).alias("g"))
+            .groupBy("__id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("mass", F.col("cnt") * F.length("g"))
+        )
+
+    c3 = gram_counts("g3")
+    d3 = c3.groupBy("__id").agg(
+        F.sum("cnt").alias("n_grams3"),
+        F.round(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("mass")).otherwise(F.lit(0)))
+            / F.sum("mass"),
+            ndigits,
+        ).alias("dup3_frac"),
+    )
+
+    c2 = gram_counts("g2")
+    w = Window.partitionBy("__id").orderBy(F.desc("cnt"), F.asc("g"))
+    t2 = (
+        c2.withColumn("__total", F.sum("mass").over(Window.partitionBy("__id")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__id",
+            F.round(F.col("mass") / F.col("__total"), ndigits).alias("top2_frac"),
+        )
+    )
+
+    return (
+        d3.join(t2, "__id")
+        .select(F.col("__id").alias(id_col), "n_grams3", "dup3_frac", "top2_frac")
+    )

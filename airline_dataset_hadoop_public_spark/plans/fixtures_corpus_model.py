@@ -1,0 +1,206 @@
+"""Corpus-model wave: corpus-trained LM quality scoring, Gopher
+repetition signals, distributed BPE merge learning, and
+product-quantization ANN — the tokenizer/quality/indexing layer of an
+LLM training-data pipeline (SURVEY.md §7.4 extension surface; the
+reference has no text/vector surface — closest analogs are its A1/A2
+count-average jobs, reference README.md:143-231).
+
+Oracle discipline (FIXTURES.md): identical tokenization
+(`string_split_regex(lower(trim(text)), '\\s+')` ↔ the shared
+`tokens()` expression), identical tie-breaks, ROUND(·, 4) on float
+outputs, BIGINT casts on every count/rank both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bpe import bpe_pair_merge_rounds
+from ..operators.lm import bigram_lm_scores, dup_ngram_char_fracs
+from ..operators.similarity import pq_adc_topk
+from ..sources.catalog import load_table
+from .registry import register
+
+_W = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Add-k bigram LM scored on the corpus itself (KenLM-style quality
+# filter). Three hash aggregates on token keys + one score join whose
+# keys equal the count-table group keys (exchange reuse); the
+# vocabulary size rides as a 1-row broadcast dimension, not a collect.
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS ws FROM documents),
+u AS (SELECT UNNEST(ws) AS w1 FROM t),
+uc AS (SELECT w1, COUNT(*) AS c1 FROM u GROUP BY 1),
+v AS (SELECT COUNT(*) AS vsz FROM uc),
+b AS (SELECT doc_id, UNNEST([[ws[i], ws[i + 1]] for i in range(1, len(ws))]) AS p
+      FROM t WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM b),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id AS doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(LN((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.vsz))), 4) AS lm_score
+FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+@register("docs_bigram_lm_score", _LM_ORACLE)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021): duplicate 3-gram
+# character fraction + top 2-gram character share. Per-document
+# aggregates over exploded n-grams; the top-2-gram window partitions
+# by doc_id (bounded partitions).
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS ws FROM documents),
+d AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 3),
+g3 AS (SELECT doc_id,
+              UNNEST([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                      for i in range(1, len(ws) - 1)]) AS g
+       FROM d),
+c3 AS (SELECT doc_id, g, COUNT(*) AS cnt, COUNT(*) * LENGTH(g) AS mass
+       FROM g3 GROUP BY doc_id, g),
+d3 AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_grams3,
+              ROUND(SUM(CASE WHEN cnt >= 2 THEN mass ELSE 0 END)::DOUBLE
+                    / SUM(mass), 4) AS dup3_frac
+       FROM c3 GROUP BY doc_id),
+g2 AS (SELECT doc_id, UNNEST([ws[i] || ' ' || ws[i + 1]
+                              for i in range(1, len(ws))]) AS g
+       FROM d),
+c2 AS (SELECT doc_id, g, COUNT(*) AS cnt, COUNT(*) * LENGTH(g) AS mass
+       FROM g2 GROUP BY doc_id, g),
+t2 AS (SELECT doc_id,
+              ROUND(mass::DOUBLE / SUM(mass) OVER (PARTITION BY doc_id), 4)
+                  AS top2_frac,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, g ASC) AS rn
+       FROM c2)
+SELECT d3.doc_id AS doc_id, n_grams3, dup3_frac, top2_frac
+FROM d3 JOIN t2 USING (doc_id)
+WHERE t2.rn = 1
+"""
+
+
+@register("docs_repetition_ngram_fracs", _REP_ORACLE)
+def docs_repetition_ngram_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_char_fracs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning, 2 rounds unrolled. The oracle replicates the
+# relational greedy-merge (gaps-and-islands + offset parity — see
+# operators/bpe.py for why that equals greedy left-to-right), so the
+# gate checks merge SEMANTICS, not just the first pair count.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH wt AS (SELECT w AS word, COUNT(*)::BIGINT AS freq
+            FROM (SELECT UNNEST({_W}) AS w FROM documents) GROUP BY 1),
+s1 AS (SELECT word, freq,
+              UNNEST(range(1, LENGTH(word) + 1)) AS pos,
+              UNNEST([word[i] for i in range(1, LENGTH(word) + 1)]) AS sym
+       FROM wt),
+p1 AS (SELECT word, freq, pos, sym,
+              LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       FROM s1),
+pc1 AS (SELECT sym AS sym1, nxt AS sym2, SUM(freq)::BIGINT AS cnt
+        FROM p1 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+top1 AS (SELECT 1 AS round,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym1, sym2)
+                     AS BIGINT) AS rank,
+                sym1, sym2, cnt
+         FROM pc1 ORDER BY cnt DESC, sym1, sym2 LIMIT 10),
+best1 AS (SELECT sym1 AS b1, sym2 AS b2
+          FROM pc1 ORDER BY cnt DESC, sym1, sym2 LIMIT 1),
+m1 AS (SELECT p.*, COALESCE(p.sym = b.b1 AND p.nxt = b.b2, FALSE) AS match
+       FROM p1 p CROSS JOIN best1 b),
+m2 AS (SELECT *, CASE WHEN match THEN
+                   ROW_NUMBER() OVER (PARTITION BY word, match ORDER BY pos)
+                 END AS mrn FROM m1),
+m3 AS (SELECT *, match AND
+                 (ROW_NUMBER() OVER (PARTITION BY word, match, pos - mrn
+                                     ORDER BY pos) % 2 = 1) AS merged
+       FROM m2),
+m4 AS (SELECT *, COALESCE(LAG(merged) OVER (PARTITION BY word ORDER BY pos),
+                          FALSE) AS consumed
+       FROM m3),
+s2 AS (SELECT word, freq,
+              ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+              CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+       FROM m4 WHERE NOT consumed),
+p2 AS (SELECT word, freq, pos, sym,
+              LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       FROM s2),
+pc2 AS (SELECT sym AS sym1, nxt AS sym2, SUM(freq)::BIGINT AS cnt
+        FROM p2 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+top2 AS (SELECT 2 AS round,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym1, sym2)
+                     AS BIGINT) AS rank,
+                sym1, sym2, cnt
+         FROM pc2 ORDER BY cnt DESC, sym1, sym2 LIMIT 10)
+SELECT * FROM top1 UNION ALL SELECT * FROM top2
+"""
+
+
+@register("corpus_bpe_pair_merge", _BPE_ORACLE)
+def corpus_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_merge_rounds(
+        load_table(spark, sf_dir, "documents"), rounds=2, topn=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC). Codebook = subspace slices of the 16
+# smallest-id vectors (sampling init — deterministic so the oracle can
+# rebuild it; kmeans_fit refines it in production). 4 subspaces × 16
+# dims × 16 centroids, 5 probes, top-10.
+# ---------------------------------------------------------------------------
+
+_PQ_ORACLE = """
+WITH e2 AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS d, x
+       FROM (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+                    UNNEST(range(1, len(embedding) + 1)) AS i
+             FROM embeddings)),
+cb AS (SELECT s, vec_id AS j, d, x AS c FROM e2 WHERE vec_id < 16),
+encd AS (
+  SELECT e.vec_id, e.s, cb.j, SUM((e.x - cb.c) * (e.x - cb.c)) AS d2
+  FROM e2 e JOIN cb ON e.s = cb.s AND e.d = cb.d
+  GROUP BY e.vec_id, e.s, cb.j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d2 ASC, j ASC) AS rn
+    FROM encd) WHERE rn = 1
+),
+pd AS (
+  SELECT vec_id AS probe_id, s, j, d2 AS pd2 FROM encd WHERE vec_id < 5
+),
+adc AS (
+  SELECT pd.probe_id, c.vec_id AS neighbor_id, SUM(pd.pd2) AS adc
+  FROM codes c JOIN pd ON c.s = pd.s AND c.code = pd.j
+  WHERE c.vec_id != pd.probe_id
+  GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY adc ASC, neighbor_id ASC)
+            AS BIGINT) AS rank,
+       ROUND(adc, 4) AS adc_dist
+FROM adc
+QUALIFY rank <= 10
+"""
+
+
+@register("similarity_pq_adc_topk", _PQ_ORACLE)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))

@@ -41,6 +41,9 @@ _DRAIN_WITH_COUNT = {
     "orders_merge_upsert",
     "orders_priority_scd2",
     "docs_tfidf_cosine_pairs",
+    # per-document score tables are corpus-sized
+    "docs_bigram_lm_score",
+    "docs_repetition_ngram_fracs",
 }
 
 HEADLINE = [
@@ -98,6 +101,11 @@ def main() -> None:
         "orders_priority_scd2",
         "embeddings_gram_matrix",
         "docs_tfidf_cosine_pairs",
+        # r2 corpus-model wave
+        "docs_bigram_lm_score",
+        "docs_repetition_ngram_fracs",
+        "corpus_bpe_pair_merge",
+        "similarity_pq_adc_topk",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

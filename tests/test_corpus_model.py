@@ -1,0 +1,181 @@
+"""Corpus-model wave (operators/lm.py, operators/bpe.py, PQ in
+operators/similarity.py): each kernel is checked against an
+independent in-process reference — pure-Python greedy BPE, numpy ADC,
+hand-computed LM probabilities — not just the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airline_dataset_hadoop_public_spark.operators.bpe import bpe_pair_merge_rounds
+from airline_dataset_hadoop_public_spark.operators.lm import (
+    bigram_lm_scores,
+    dup_ngram_char_fracs,
+)
+from airline_dataset_hadoop_public_spark.operators.similarity import pq_adc_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_case(spark):
+    # corpus: "a b a" and "b a". unigrams: a×3, b×2 → V=2
+    # bigrams: doc0: (a,b),(b,a); doc1: (b,a)
+    # c(a,b)=1, c(b,a)=2; c(a)=3, c(b)=2; k=0.5
+    docs = spark.createDataFrame([(0, "a b a"), (1, "b a")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in bigram_lm_scores(docs, k=0.5).collect()
+    }
+    p_ab = (1 + 0.5) / (3 + 0.5 * 2)
+    p_ba = (2 + 0.5) / (2 + 0.5 * 2)
+    assert out[0]["n_bigrams"] == 2
+    assert out[0]["lm_score"] == pytest.approx(
+        round((math.log(p_ab) + math.log(p_ba)) / 2, 4)
+    )
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["lm_score"] == pytest.approx(round(math.log(p_ba), 4))
+
+
+def test_bigram_lm_drops_short_docs_and_stays_jvm_side(spark):
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "two words here")], ["doc_id", "text"]
+    )
+    res = bigram_lm_scores(docs)
+    assert [r["doc_id"] for r in res.collect()] == [1]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan  # pure built-in expressions
+
+
+# ---------------------------------------------------------------------------
+# repetition fractions
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_fracs_hand_case(spark):
+    # "x y z x y z x y" → 3-grams: xyz,yzx,zxy,xyz,yzx,zxy → six grams,
+    # each appearing 2× → dup3_frac = 1.0
+    # 2-grams: xy×3, yz×2, zx×2 → top2 = "x y" (3 of 7, each len 3)
+    docs = spark.createDataFrame([(0, "x y z x y z x y")], ["doc_id", "text"])
+    row = dup_ngram_char_fracs(docs).collect()[0]
+    assert row["n_grams3"] == 6
+    assert row["dup3_frac"] == pytest.approx(1.0)
+    assert row["top2_frac"] == pytest.approx(round(3 * 3 / (7 * 3), 4))
+
+
+def test_dup_ngram_fracs_no_repetition(spark):
+    docs = spark.createDataFrame([(0, "a bb ccc dddd")], ["doc_id", "text"])
+    row = dup_ngram_char_fracs(docs).collect()[0]
+    assert row["dup3_frac"] == 0.0
+    # 2-grams: "a bb"(4), "bb ccc"(6), "ccc dddd"(8): top is the
+    # lexically smallest among count-1 ties → "a bb", mass 4/18
+    assert row["top2_frac"] == pytest.approx(round(4 / 18, 4))
+
+
+# ---------------------------------------------------------------------------
+# BPE vs pure-Python greedy reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_rounds(words: list[str], rounds: int) -> list[tuple]:
+    """Reference implementation: Sennrich-style pair stats + greedy
+    left-to-right merge, on word types with frequencies."""
+    from collections import Counter
+
+    freq = Counter(words)
+    seqs = {w: [c for c in w] for w in freq}
+    out = []
+    for r in range(1, rounds + 1):
+        stats: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freq[w]
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.extend(
+            (r, i + 1, p[0], p[1], c) for i, (p, c) in enumerate(ranked[:10])
+        )
+        if r < rounds:
+            (b1, b2), _ = ranked[0]
+            for w, syms in seqs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == b1 and syms[i + 1] == b2:
+                        merged.append(b1 + b2)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                seqs[w] = merged
+    return out
+
+
+@pytest.mark.parametrize(
+    "corpus",
+    [
+        # self-pair runs exercise the odd-offset parity path: "aaaa"
+        # must merge to (aa)(aa), "aaa" to (aa)a
+        ["aaaa aaa aa baaab", "aa aaaa abab abab"],
+        ["low lower lowest low low", "newer newest new low wider"],
+    ],
+)
+def test_bpe_matches_python_reference(spark, corpus):
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    got = [
+        (r["round"], r["rank"], r["sym1"], r["sym2"], r["cnt"])
+        for r in bpe_pair_merge_rounds(docs, rounds=2, topn=10)
+        .orderBy("round", "rank")
+        .collect()
+    ]
+    words = [w for line in corpus for w in line.split()]
+    assert got == _ref_bpe_rounds(words, 2)
+
+
+# ---------------------------------------------------------------------------
+# PQ vs numpy reference
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    m, dsub, ksub, nprobe, k = 4, 16, 16, 5, 10
+
+    codebook = X[:ksub].reshape(ksub, m, dsub)  # [j, s, d]
+    Xs = X.reshape(len(X), m, dsub)
+    # encode: argmin_j ||x_s - c_{s,j}||², tie → smallest j
+    d2 = ((Xs[:, None, :, :] - codebook[None, :, :, :]) ** 2).sum(-1)  # [n,j,s]
+    codes = d2.argmin(axis=1)  # [n, s]
+    expected = {}
+    for p in range(nprobe):
+        # ADC distance via the probe's own distance table
+        adc = d2[p][codes, np.arange(m)[None, :]].sum(axis=1)
+        order = sorted((adc[i], ids[i]) for i in range(len(X)) if ids[i] != p)
+        expected[p] = [(int(v), round(a, 4)) for a, v in order[:k]]
+
+    got: dict[int, list] = {}
+    for r in pq_adc_topk(emb).orderBy("probe_id", "rank").collect():
+        got.setdefault(r["probe_id"], []).append(
+            (r["neighbor_id"], r["adc_dist"])
+        )
+    for p in range(nprobe):
+        g_ids = [i for i, _ in got[p]]
+        e_ids = [i for i, _ in expected[p]]
+        assert g_ids == e_ids
+        for (gi, gd), (ei, ed) in zip(got[p], expected[p]):
+            assert gd == pytest.approx(ed, abs=2e-4)
+
+
+def test_pq_plan_broadcasts_and_avoids_vector_shuffle(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = pq_adc_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # codebook + dtable broadcast
+    assert "PythonUDF" not in plan
