@@ -36,15 +36,24 @@ from ..functions.scalar import tokens
 
 def _with_ngrams(d: DataFrame, n: int, out: str) -> DataFrame:
     """Space-joined word n-grams of the `ws` token array (docs with
-    fewer than n tokens produce an empty array)."""
-    parts = ", ".join("x" if j == 0 else f"element_at(ws, i + {j + 1})" for j in range(n))
+    fewer than n tokens produce an empty array).
+
+    `ws` is referenced exactly once and rebound as a lambda variable:
+    referencing the projected split() inside the n-gram lambda would
+    get it INLINED per element by CollapseProject — O(len²)
+    re-tokenization per document (13s → 1s at sf0.1; same pitfall as
+    operators/text.py quality_scores)."""
+    parts = ", ".join(
+        "x" if j == 0 else f"element_at(__t, i + {j + 1})" for j in range(n)
+    )
     return d.withColumn(
         out,
         F.expr(
-            f"CASE WHEN size(ws) >= {n} THEN "
-            f"transform(slice(ws, 1, size(ws) - {n - 1}), "
+            f"transform(array(ws), __t -> "
+            f"CASE WHEN size(__t) >= {n} THEN "
+            f"transform(slice(__t, 1, size(__t) - {n - 1}), "
             f"(x, i) -> concat_ws(' ', {parts})) "
-            f"ELSE array() END"
+            f"ELSE array() END)[0]"
         ),
     )
 
