@@ -170,3 +170,55 @@ def dup_ngram_char_fracs(
         d3.join(t2, "__id")
         .select(F.col("__id").alias(id_col), "n_grams3", "dup3_frac", "top2_frac")
     )
+
+
+def hashed_ngram_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Linear quality classifier over hashed uni+bigram features —
+    fasttext-style INFERENCE as a pure declarative plan (the shape a
+    distilled quality filter runs at 100 TB: explode features, map to
+    weight via hash arithmetic, mean-pool, sigmoid — one shuffle on
+    the doc key, no model table, no UDF).
+
+    Weights are pseudo-random but fixed, derived from md5 of the
+    bucket id (portable to the DuckDB oracle): w(b) ∈ [-1, 1] in
+    0.001 steps. p = sigmoid(mean(w)); keep = p ≥ 0.5.
+
+    Output: (id, n_feats, p_keep, keep).
+    """
+    d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
+    feats = _with_ngrams(d, 2, "bg").select(
+        "__id", F.explode(F.concat(F.col("ws"), F.col("bg"))).alias("f")
+    )
+    bk = (
+        F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(buckets)
+    )
+    wexpr = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), bk.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(2001)
+            - F.lit(1000)
+        )
+        / F.lit(1000.0)
+    )
+    scored = feats.withColumn("w", wexpr)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.sum("w") / F.count("*"))))
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(p, ndigits).alias("p_keep"),
+            (p >= 0.5).cast("int").alias("keep"),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "p_keep", "keep")
+    )

@@ -204,3 +204,168 @@ QUALIFY rank <= 10
 @register("similarity_pq_adc_topk", _PQ_ORACLE)
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram linear quality classifier (fasttext-inference shape):
+# explode uni+bigram features, md5-hash to 1024 buckets, md5-derived
+# fixed weights, mean-pool, sigmoid. Entirely hash arithmetic — no
+# model table to join, no UDF — the way a distilled filter scores
+# 100 TB.
+# ---------------------------------------------------------------------------
+
+_CLS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS ws FROM documents),
+f AS (SELECT doc_id,
+             UNNEST(list_concat(ws, [ws[i] || ' ' || ws[i + 1]
+                                     for i in range(1, len(ws))])) AS f
+      FROM t),
+b AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 1024 AS bk
+      FROM f),
+w AS (SELECT doc_id,
+             ((CAST(('0x' || substring(md5('w' || CAST(bk AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2001) - 1000) / 1000.0 AS w
+      FROM b)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_feats,
+       ROUND(1 / (1 + EXP(-(SUM(w) / COUNT(*)))), 4) AS p_keep,
+       CAST(1 / (1 + EXP(-(SUM(w) / COUNT(*)))) >= 0.5 AS INT) AS keep
+FROM w GROUP BY doc_id
+"""
+
+
+@register("docs_hashed_ngram_classifier", _CLS_ORACLE)
+def docs_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import hashed_ngram_classifier
+
+    return hashed_ngram_classifier(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest: documents arrive as 4 micro-batches
+# (doc_id % 4 buckets, arrival order pinned by file mtime); each batch
+# passes a quality gate (≥ 15 tokens), dedupes within-batch (min
+# doc_id per fingerprint), and anti-joins the accumulated sink before
+# appending — the incremental dedup ingestion loop of a training
+# corpus. The dedup key is the bag-of-words fingerprint (md5 of the
+# sorted distinct token set), which actually collides on this
+# templated corpus (446/500 distinct at sf0.01), so the anti-join path
+# is exercised, not just present. Survivor per fingerprint = argmin
+# (arrival bucket, doc_id), which the oracle states in closed form.
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_W} AS ws FROM documents),
+q AS (SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' '))
+                 AS content_hash
+      FROM t WHERE len(ws) >= 15)
+SELECT doc_id, content_hash, lang FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                               ORDER BY doc_id % 4, doc_id) AS rn
+  FROM q)
+WHERE rn = 1
+"""
+
+
+def _docs_bucket_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Mirror `documents` as 4 single-file buckets (doc_id % 4) whose
+    mtimes force arrival order bucket 0 → 3 (FileStreamSource orders
+    new files by modification time). Cache keyed by source identity,
+    like fixtures_streaming._events_stream_dir."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src_file)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "unknown"
+    path = os.path.join(scratch, "stream_src", f"{tag}_{fp}", "documents_buckets")
+    docs = load_table(spark, sf_dir, "documents")
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        base = os.stat(sf_dir).st_mtime
+        for b in range(4):
+            tmp = os.path.join(path, f"__tmp{b}")
+            (
+                docs.filter(F.col("doc_id") % 4 == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(path, f"bucket{b}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (base + 10 * b, base + 10 * b))
+        with open(marker, "w"):
+            pass
+    return path, docs.schema
+
+
+@register("streaming_corpus_ingest", _INGEST_ORACLE)
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src, schema = _docs_bucket_stream_dir(spark, sf_dir)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    parent = os.path.join(scratch, "corpus_ingest", tag)
+    shutil.rmtree(parent, ignore_errors=True)
+    sink = os.path.join(parent, uuid.uuid4().hex[:8])
+
+    def ingest(batch_df, batch_id: int) -> None:
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        batch = (
+            batch_df.filter(F.size(toks) >= 15)
+            .withColumn(
+                "content_hash",
+                F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min_by(F.struct("doc_id", "lang"), "doc_id").alias("__r")
+            )
+            .select(F.col("__r.doc_id").alias("doc_id"), "content_hash",
+                    F.col("__r.lang").alias("lang"))
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(sink).select("content_hash")
+            fresh = batch.join(seen, "content_hash", "left_anti")
+        except Exception:
+            fresh = batch  # first batch: sink does not exist yet
+        fresh.select("doc_id", "content_hash", "lang").write.mode(
+            "append"
+        ).parquet(sink)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink).select("doc_id", "content_hash", "lang")

@@ -44,6 +44,8 @@ _DRAIN_WITH_COUNT = {
     # per-document score tables are corpus-sized
     "docs_bigram_lm_score",
     "docs_repetition_ngram_fracs",
+    "docs_hashed_ngram_classifier",
+    "streaming_corpus_ingest",
 }
 
 HEADLINE = [
@@ -106,6 +108,8 @@ def main() -> None:
         "docs_repetition_ngram_fracs",
         "corpus_bpe_pair_merge",
         "similarity_pq_adc_topk",
+        "docs_hashed_ngram_classifier",
+        "streaming_corpus_ingest",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

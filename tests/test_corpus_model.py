@@ -179,3 +179,83 @@ def test_pq_plan_broadcasts_and_avoids_vector_shuffle(spark):
     plan = pq_adc_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # codebook + dtable broadcast
     assert "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram classifier vs hashlib reference
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_classifier_matches_hashlib(spark):
+    import hashlib
+
+    from airline_dataset_hadoop_public_spark.operators.lm import (
+        hashed_ngram_classifier,
+    )
+
+    texts = {0: "alpha beta gamma", 1: "one", 2: "x y x y"}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def ref(text):
+        ws = text.split()
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        s = 0.0
+        for f in feats:
+            bk = int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % 1024
+            w = (
+                int(hashlib.md5(f"w{bk}".encode()).hexdigest()[:15], 16) % 2001
+                - 1000
+            ) / 1000.0
+            s += w
+        p = 1.0 / (1.0 + math.exp(-(s / len(feats))))
+        return len(feats), round(p, 4), int(p >= 0.5)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["p_keep"], r["keep"])
+        for r in hashed_ngram_classifier(docs).collect()
+    }
+    for i, t in texts.items():
+        n, p, k = ref(t)
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(p, abs=1e-4)
+        assert got[i][2] == k
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingest: the 4-micro-batch run must equal the
+# closed-form batch rule (argmin (bucket, doc_id) per fingerprint
+# among quality-passing docs) and must actually drop documents
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ingest_equals_batch_rule(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_corpus_model import (
+        streaming_corpus_ingest,
+    )
+
+    got = streaming_corpus_ingest(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    q = docs.filter(F.size(toks) >= 15).select(
+        "doc_id",
+        "lang",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "content_hash"
+        ),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("doc_id") % 4, F.col("doc_id")
+    )
+    expect = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "lang")
+    )
+    n_docs = docs.count()
+    got_rows = {tuple(r) for r in got.collect()}
+    exp_rows = {tuple(r) for r in expect.collect()}
+    assert got_rows == exp_rows
+    assert len(got_rows) < n_docs  # the dedup/quality paths really fire
