@@ -369,3 +369,77 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(sink).select("doc_id", "content_hash", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet generation (anchor, positive, negative) — the
+# pair-construction step of embedding/retrieval training. Positives =
+# nearest same-fingerprint neighbor (bag-of-words collision, the same
+# key the ingest pipeline dedupes on); negatives = deterministic
+# hash-random draw over the dense doc_id domain, re-filtered so a
+# drawn negative never shares the anchor's fingerprint. Every step is
+# a join or hash aggregate; the corpus size rides as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_TRIPLET_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct({_W})), ' '))
+                      AS fp
+           FROM documents),
+n AS (SELECT COUNT(*) AS n FROM t),
+g AS (SELECT a.doc_id AS anchor_id, a.fp, MIN(b.doc_id) AS positive_id
+      FROM t a JOIN t b ON a.fp = b.fp AND b.doc_id > a.doc_id
+      GROUP BY 1, 2),
+w AS (SELECT anchor_id, fp, positive_id,
+             (anchor_id + 1 +
+              CAST(('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || 'neg'),
+                                      1, 15)) AS BIGINT) % (n.n - 1)) % n.n
+                 AS negative_id
+      FROM g CROSS JOIN n)
+SELECT anchor_id, positive_id, negative_id
+FROM w JOIN t tn ON w.negative_id = tn.doc_id
+WHERE tn.fp != w.fp
+"""
+
+
+@register("docs_contrastive_triplets", _TRIPLET_ORACLE)
+def docs_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
+    )
+    n = t.agg(F.count("*").alias("n"))
+    a, b = t.alias("a"), t.alias("b")
+    g = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("b.doc_id") > F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("anchor_id"), F.col("a.fp").alias("fp"))
+        .agg(F.min("b.doc_id").alias("positive_id"))
+    )
+    neg = (
+        F.col("anchor_id")
+        + 1
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("anchor_id").cast("string"), F.lit("neg"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (F.col("n") - 1)
+    ) % F.col("n")
+    w = g.crossJoin(F.broadcast(n)).withColumn("negative_id", neg)
+    tn = t.select(
+        F.col("doc_id").alias("negative_id"), F.col("fp").alias("fp_neg")
+    )
+    return (
+        w.join(tn, "negative_id")
+        .filter(F.col("fp_neg") != F.col("fp"))
+        .select("anchor_id", "positive_id", "negative_id")
+    )

@@ -259,3 +259,32 @@ def test_streaming_ingest_equals_batch_rule(spark):
     exp_rows = {tuple(r) for r in expect.collect()}
     assert got_rows == exp_rows
     assert len(got_rows) < n_docs  # the dedup/quality paths really fire
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplets: semantic invariants
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_triplets_invariants(spark):
+    from airline_dataset_hadoop_public_spark.plans.fixtures_corpus_model import (
+        docs_contrastive_triplets,
+    )
+
+    rows = docs_contrastive_triplets(spark, SF).collect()
+    assert rows  # fingerprint collisions exist in the fixture corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id",
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+                "fp"
+            ),
+        ).collect()
+    }
+    for r in rows:
+        a, p, n = r["anchor_id"], r["positive_id"], r["negative_id"]
+        assert fp[a] == fp[p] and p > a  # positive shares the fingerprint
+        assert fp[n] != fp[a] and n != a  # negative never does
