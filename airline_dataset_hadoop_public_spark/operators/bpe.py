@@ -166,3 +166,41 @@ def bpe_pair_merge_rounds(
             sym = _merge(sym, _best_pair(pairs))
     assert out is not None
     return out
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 2,
+) -> DataFrame:
+    """Tokenizer INFERENCE under a just-learned BPE vocab: learn
+    `merges` merges sequentially on the word-type table, then count
+    each document's tokens under the merged segmentation.
+
+    The per-word symbol counts form a vocabulary-sized dimension that
+    joins back onto the exploded document words — the corpus is
+    touched once for the type table and once for the final count;
+    every merge round runs on word TYPES only (the property that makes
+    tokenization O(vocab) not O(corpus) per merge).
+
+    Output: (id, n_words, n_tokens_bpe) — n_tokens_bpe ≤ chars,
+    shrinking as merges land.
+    """
+    sym = _initial_symbols(_word_types(docs, text_col))
+    for _ in range(merges):
+        pairs = cache_tracked(_pair_counts(sym))
+        sym = _merge(sym, _best_pair(pairs))
+    nsym = sym.groupBy("word").agg(F.count("*").alias("n_sym"))
+    doc_words = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("word")
+    )
+    return (
+        doc_words.join(nsym, "word")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_tokens_bpe"),
+        )
+        .select(F.col("__id").alias(id_col), "n_words", "n_tokens_bpe")
+    )

@@ -443,3 +443,79 @@ def docs_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fp_neg") != F.col("fp"))
         .select("anchor_id", "positive_id", "negative_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (tokenizer inference): learn 2 merges, then count each
+# document's tokens under the merged segmentation. The oracle unrolls
+# the same relational greedy merge per round (generated parametrically
+# below) and joins the per-word symbol counts back onto the exploded
+# document words.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_block(i: int) -> str:
+    """CTE block applying merge round `i`: consumes p{i}/pc{i},
+    produces s{i+1}/p{i+1}/pc{i+1}. Same gaps-and-islands greedy merge
+    as operators/bpe.py:_merge."""
+    return f"""
+best{i} AS (SELECT sym1 AS b1, sym2 AS b2
+            FROM pc{i} ORDER BY cnt DESC, sym1, sym2 LIMIT 1),
+ma{i} AS (SELECT p.*, COALESCE(p.sym = b.b1 AND p.nxt = b.b2, FALSE) AS match
+          FROM p{i} p CROSS JOIN best{i} b),
+mb{i} AS (SELECT *, CASE WHEN match THEN
+                      ROW_NUMBER() OVER (PARTITION BY word, match ORDER BY pos)
+                    END AS mrn FROM ma{i}),
+mc{i} AS (SELECT *, match AND
+                    (ROW_NUMBER() OVER (PARTITION BY word, match, pos - mrn
+                                        ORDER BY pos) % 2 = 1) AS merged
+          FROM mb{i}),
+md{i} AS (SELECT *, COALESCE(LAG(merged) OVER (PARTITION BY word ORDER BY pos),
+                             FALSE) AS consumed
+          FROM mc{i}),
+s{i + 1} AS (SELECT word, freq,
+                    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+             FROM md{i} WHERE NOT consumed),
+p{i + 1} AS (SELECT word, freq, pos, sym,
+                    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM s{i + 1}),
+pc{i + 1} AS (SELECT sym AS sym1, nxt AS sym2, SUM(freq)::BIGINT AS cnt
+              FROM p{i + 1} WHERE nxt IS NOT NULL GROUP BY 1, 2)"""
+
+
+_ENCODE_ORACLE = (
+    f"""
+WITH wt AS (SELECT w AS word, COUNT(*)::BIGINT AS freq
+            FROM (SELECT UNNEST({_W}) AS w FROM documents) GROUP BY 1),
+s1 AS (SELECT word, freq,
+              UNNEST(range(1, LENGTH(word) + 1)) AS pos,
+              UNNEST([word[i] for i in range(1, LENGTH(word) + 1)]) AS sym
+       FROM wt),
+p1 AS (SELECT word, freq, pos, sym,
+              LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       FROM s1),
+pc1 AS (SELECT sym AS sym1, nxt AS sym2, SUM(freq)::BIGINT AS cnt
+        FROM p1 WHERE nxt IS NOT NULL GROUP BY 1, 2),"""
+    + _bpe_merge_block(1)
+    + ","
+    + _bpe_merge_block(2)
+    + f""",
+nsym AS (SELECT word, COUNT(*)::BIGINT AS n_sym FROM s3 GROUP BY word),
+dw AS (SELECT doc_id, UNNEST({_W}) AS word FROM documents)
+SELECT dw.doc_id AS doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(n.n_sym)::BIGINT AS n_tokens_bpe
+FROM dw JOIN nsym n USING (word)
+GROUP BY dw.doc_id
+"""
+)
+
+
+@register("docs_bpe_encode_counts", _ENCODE_ORACLE)
+def docs_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_token_counts
+
+    return bpe_encode_token_counts(
+        load_table(spark, sf_dir, "documents"), merges=2
+    )

@@ -288,3 +288,50 @@ def test_contrastive_triplets_invariants(spark):
         a, p, n = r["anchor_id"], r["positive_id"], r["negative_id"]
         assert fp[a] == fp[p] and p > a  # positive shares the fingerprint
         assert fp[n] != fp[a] and n != a  # negative never does
+
+
+# ---------------------------------------------------------------------------
+# BPE encode vs Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_counts_match_python_reference(spark):
+    from collections import Counter
+
+    from airline_dataset_hadoop_public_spark.operators.bpe import (
+        bpe_encode_token_counts,
+    )
+
+    corpus = ["aaaa abab low lower", "low low newer aaaa abab abab"]
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+
+    # learn 2 merges with the reference learner, then segment
+    words = [w for line in corpus for w in line.split()]
+    freq = Counter(words)
+    seqs = {w: [c for c in w] for w in freq}
+    for _ in range(2):
+        stats: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freq[w]
+        (b1, b2), _ = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == b1 and syms[i + 1] == b2:
+                    merged.append(b1 + b2)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+
+    expect = {
+        d: (len(line.split()), sum(len(seqs[w]) for w in line.split()))
+        for d, line in enumerate(corpus)
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_bpe"])
+        for r in bpe_encode_token_counts(docs, merges=2).collect()
+    }
+    assert got == expect
