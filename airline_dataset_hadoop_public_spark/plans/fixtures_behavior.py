@@ -1,0 +1,192 @@
+"""Behavioral-analytics wave over the events/lineitem facts: seasonal
+anomaly detection, top event paths, market-basket association rules.
+(Extension surface — the reference's closest analog is its G2 grouped
+aggregates, reference README.md:232-374.)
+
+100 TB shape: all three are explode/window + hash-aggregate plans on
+bounded keys — per-user windows (bounded partitions), per-order pair
+expansion (bounded by order size), (type, hour) stats joins on
+dimension-sized keys.
+
+Float discipline (FIXTURES.md §F): every FILTER / ORDER decision here
+is exact integer arithmetic — the 2σ anomaly predicate is evaluated on
+sufficient statistics ((n·cnt − S1)²·(n−1) > 4·n·(n·S2 − S1²)), and
+lift/confidence rank on floor'd basis points — so no row-set or
+ordering decision ever sits on an engine-specific float boundary.
+Reported floats are then derived from the same exact integers with the
+same op order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly hours: per (event_type, hour-of-day) mean/variance
+# of hourly counts across days via exact sufficient statistics; flag
+# |cnt − mu| > 2σ. The z report is computed from the same integers
+# with the same op order on both engines.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH h AS (SELECT event_type,
+                  STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS d,
+                  CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                  COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+s AS (SELECT event_type, h, COUNT(*) AS n,
+             SUM(cnt)::BIGINT AS s1, SUM(cnt * cnt)::BIGINT AS s2
+      FROM h GROUP BY 1, 2)
+SELECT h.event_type AS event_type, h.d AS d, h.h AS h, h.cnt AS cnt,
+       ROUND(s.s1 / CAST(s.n AS DOUBLE), 4) AS mu,
+       ROUND((h.cnt - s.s1 / CAST(s.n AS DOUBLE))
+             / SQRT((s.n * s.s2 - s.s1 * s.s1)
+                    / CAST(s.n * (s.n - 1) AS DOUBLE)), 4) AS z
+FROM h JOIN s USING (event_type, h)
+WHERE s.n > 1 AND s.n * s.s2 - s.s1 * s.s1 > 0
+  AND (s.n * h.cnt - s.s1) * (s.n * h.cnt - s.s1) * (s.n - 1)
+      > 4 * s.n * (s.n * s.s2 - s.s1 * s.s1)
+"""
+
+
+@register("events_seasonal_anomaly_hours", _ANOMALY_ORACLE)
+def events_seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count("*").alias("cnt"))
+    s = h.groupBy("event_type", "h").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    n, s1, s2, cnt = F.col("n"), F.col("s1"), F.col("s2"), F.col("cnt")
+    dev = n * cnt - s1  # n·(cnt − mu), exact
+    varnum = n * s2 - s1 * s1  # n²·(n−1)/n · σ² numerator, exact
+    mu = s1 / n.cast("double")
+    sigma = F.sqrt(varnum / (n * (n - 1)).cast("double"))
+    return (
+        h.join(s, ["event_type", "h"])
+        .filter((n > 1) & (varnum > 0) & (dev * dev * (n - 1) > 4 * n * varnum))
+        .select(
+            "event_type",
+            "d",
+            "h",
+            "cnt",
+            F.round(mu, 4).alias("mu"),
+            F.round((cnt - mu) / sigma, 4).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top event-type trigram paths: per-user time-ordered sequences, two
+# lead() passes sharing one user_id exchange, global top-20 via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH o AS (SELECT user_id, event_type,
+                  LEAD(event_type, 1) OVER w AS e2,
+                  LEAD(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type AS e1, e2, e3, COUNT(*) AS n
+FROM o WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
+@register("events_top_trigram_paths", _TRIGRAM_ORACLE)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        o.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order baskets: distinct-part
+# membership, unordered pair supports, confidence and lift in exact
+# basis points (floor'd integer division — no float in any rank or
+# filter). Pair expansion is bounded by order size.
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM m),
+sup AS (SELECT l_partkey, COUNT(*) AS s FROM m GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+          FROM m a JOIN m b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2)
+SELECT p1, p2, n_both,
+       (n_both * 10000) // sa.s AS conf_bp,
+       (n_both * n.n_orders * 10000) // (sa.s * sb.s) AS lift_bp
+FROM pairs
+JOIN sup sa ON pairs.p1 = sa.l_partkey
+JOIN sup sb ON pairs.p2 = sb.l_partkey
+CROSS JOIN n
+ORDER BY lift_bp DESC, p1, p2 LIMIT 20
+"""
+
+
+@register("parts_copurchase_lift", _LIFT_ORACLE)
+def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select("l_orderkey", "l_partkey").distinct()
+    n = m.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    sup = m.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    # pair expansion in-partition (same trick as fixtures_graph):
+    # collect the order's distinct parts, emit sorted pairs
+    per_order = m.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "b -> struct(a AS p1, b AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sa = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("sb"))
+    r = (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.expr("(n_both * 10000) div sa").alias("conf_bp"),
+            F.expr("(n_both * n_orders * 10000) div (sa * sb)").alias("lift_bp"),
+        )
+    )
+    return r.orderBy(F.desc("lift_bp"), "p1", "p2").limit(20)

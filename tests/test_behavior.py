@@ -1,0 +1,122 @@
+"""Behavior wave (fixtures_behavior.py): hand-computed cases for the
+seasonal anomaly detector, trigram paths, and market-basket lift."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_dataset_hadoop_public_spark.plans.fixtures_behavior import (
+    events_seasonal_anomaly_hours,
+    events_top_trigram_paths,
+    parts_copurchase_lift,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_seasonal_anomaly_hand_case(spark, tmp_path, monkeypatch):
+    # hour 9 counts across 4 days: 2,2,2,14 → mu=5, σ²=(3·4+81)/3=…
+    # exact: n=4, S1=20, S2=216; varnum=4·216−400=464
+    # day 4 dev=4·14−20=36 → 36²·3=3888 > 4·4·464=7424? No → not 3888>7424
+    # make it starker: counts 2,2,2,30 → S1=36, S2=912, varnum=2352
+    # dev=4·30−36=84 → 84²·3=21168 > 16·2352=37632? still no (σ huge).
+    # With one wild day among uniform days, 2σ on n=4 is hard to beat —
+    # use 5 days: 2,2,2,2,22 → n=5 S1=30 S2=500 varnum=1600
+    # dev=5·22−30=80 → 80²·4=25600 > 20·1600=32000? no. z_max for
+    # n points has a known bound ((n−1)/√n ≈ 1.79 at n=5) — a single
+    # outlier can NEVER exceed 2σ below n=6. Use n=10, nine 2s one 22:
+    # S1=40, S2=520, varnum=3600; dev=10·22−40=180;
+    # 180²·9=291600 > 40·3600=144000 ✓ outlier flagged; a "2" day:
+    # dev=10·2−40=−20 → 400·9=3600 < 144000 ✓ not flagged.
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(10):
+        k = 22 if day == 9 else 2
+        for j in range(k):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=j), 1, "click", 0.0, "{}")
+            )
+            eid += 1
+    src = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(src)
+
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(
+        B, "load_table", lambda spark_, sf, name: spark_.read.parquet(src)
+    )
+    out = events_seasonal_anomaly_hours(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["d"], r["h"], r["cnt"]) == ("2024-01-10", 9, 22)
+    assert r["mu"] == pytest.approx(4.0)  # 40/10
+    # sigma = sqrt(3600/90) ≈ 6.3246; z = 18/6.3246
+    assert r["z"] == pytest.approx(round(18 / (3600 / 90) ** 0.5, 4))
+
+
+def test_trigram_paths_hand_case(spark, tmp_path, monkeypatch):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 0.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 1, "b", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 1, "c", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=3), 1, "a", 0.0, "{}"),
+        (4, base, 2, "a", 0.0, "{}"),
+        (5, base + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+        (6, base + dt.timedelta(minutes=2), 2, "c", 0.0, "{}"),
+    ]
+    src = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(src)
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(
+        B, "load_table", lambda spark_, sf, name: spark_.read.parquet(src)
+    )
+    got = [
+        (r["e1"], r["e2"], r["e3"], r["n"])
+        for r in events_top_trigram_paths(spark, "unused").collect()
+    ]
+    assert got == [("a", "b", "c", 2), ("b", "c", "a", 1)]
+
+
+def test_copurchase_lift_hand_case(spark, monkeypatch):
+    # orders: {1,2}, {1,2}, {1,3}, {2,3}, {3} → N=5
+    # sup: 1→3, 2→3, 3→3; pairs(≥2): (1,2)→2 only
+    # conf = 2/3 → 6666 bp; lift = 2·5/(3·3) = 10/9 → 11111 bp
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 3),
+        (13, 2), (13, 3),
+        (14, 3), (14, 3),  # duplicate line: DISTINCT collapses it
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(B, "load_table", lambda spark_, sf, name: li)
+    got = [tuple(r) for r in parts_copurchase_lift(spark, "unused").collect()]
+    assert got == [(1, 2, 2, 6666, 11111)]
+
+
+def test_lift_plan_expands_pairs_in_partition(spark, monkeypatch):
+    li = spark.createDataFrame([(1, 1), (1, 2)], ["l_orderkey", "l_partkey"])
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(B, "load_table", lambda spark_, sf, name: li)
+    plan = (
+        parts_copurchase_lift(spark, "unused")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no self-join of the membership table: pair expansion is the
+    # in-partition generate over the collected order basket
+    assert "Generate" in plan and "PythonUDF" not in plan
