@@ -190,3 +190,55 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r.orderBy(F.desc("lift_bp"), "p1", "p2").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis 2006):
+# each doc draws a deterministic md5-uniform u and ranks by
+# ln(u)/weight (equivalent to u^(1/w)); the global top-k IS a weighted
+# sample without replacement. One scan + TakeOrderedAndProject — the
+# data-mixing primitive (sample 100 docs proportional to length). The
+# only float is the rank key itself, computed from identical integer
+# inputs with the same op order on both engines; a flip would need two
+# keys within ~1 ulp, which distinct md5 draws do not produce.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+WITH t AS (SELECT doc_id, n_chars,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'es'),
+                                          1, 15)) AS BIGINT) AS h
+           FROM documents),
+k AS (SELECT doc_id, n_chars,
+             LN((h + 1) / 1152921504606846977.0) / n_chars AS k
+      FROM t)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_chars
+FROM k ORDER BY k DESC, doc_id LIMIT 100
+"""
+
+
+@register("docs_weighted_sample", _WSAMPLE_ORACLE)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("es"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(1152921504606846977.0)  # 15 hex digits → (0, 1)
+    key = F.log(u) / F.col("n_chars")
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("k"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "n_chars",
+    )

@@ -120,3 +120,25 @@ def test_lift_plan_expands_pairs_in_partition(spark, monkeypatch):
     # no self-join of the membership table: pair expansion is the
     # in-partition generate over the collected order basket
     assert "Generate" in plan and "PythonUDF" not in plan
+
+
+def test_weighted_sample_favors_long_docs(spark, monkeypatch):
+    """Statistical sanity: with weights n_chars, the ES top-k's mean
+    length exceeds the corpus mean (length-proportional inclusion),
+    and the result is a deterministic function of doc_id."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_behavior import (
+        docs_weighted_sample,
+    )
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    rows = [(i, 10 if i % 2 else 1000) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    monkeypatch.setattr(B, "load_table", lambda spark_, sf, name: docs)
+    out = docs_weighted_sample(spark, "unused").collect()
+    assert len(out) == 100
+    assert [r["rank"] for r in out[:3]] == [1, 2, 3]
+    long_frac = sum(1 for r in out if r["n_chars"] == 1000) / 100
+    assert long_frac > 0.8  # 100x weight ratio dominates the sample
+    # determinism: second run returns the identical sample
+    again = docs_weighted_sample(spark, "unused").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
