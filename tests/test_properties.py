@@ -341,3 +341,58 @@ def test_scd2_matches_run_length_reference(spark, events):
         assert [r["version"] for r in sorted(ent_rows, key=lambda r: r["version"])] == list(
             range(1, len(ent_rows) + 1)
         )
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=_bpe_words)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_relational_merge_matches_greedy_reference(spark, words):
+    """The gaps-and-islands + offset-parity merge must equal greedy
+    left-to-right for ANY corpus — the {a,b} alphabet maximizes
+    self-pair runs ('aaaa'), the only case where matches overlap."""
+    from collections import Counter
+
+    from airline_dataset_hadoop_public_spark.operators.bpe import (
+        bpe_pair_merge_rounds,
+    )
+
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    got = [
+        (r["round"], r["rank"], r["sym1"], r["sym2"], r["cnt"])
+        for r in bpe_pair_merge_rounds(docs, rounds=2, topn=10)
+        .orderBy("round", "rank")
+        .collect()
+    ]
+
+    freq = Counter(words)
+    seqs = {w: list(w) for w in freq}
+    expect = []
+    for r in (1, 2):
+        stats: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += freq[w]
+        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.extend(
+            (r, i + 1, p[0], p[1], c) for i, (p, c) in enumerate(ranked[:10])
+        )
+        if r == 1 and ranked:
+            (b1, b2), _ = ranked[0]
+            for w, syms in seqs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == b1 and syms[i + 1] == b2:
+                        merged.append(b1 + b2)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                seqs[w] = merged
+    assert got == expect
