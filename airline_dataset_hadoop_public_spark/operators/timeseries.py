@@ -197,3 +197,64 @@ def ewma_per_key(
         F.col("__z.__xs").alias(value_col),
         F.col("__z.__ys").alias(out),
     )
+
+
+def holt_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend),
+    exact recurrence with alpha = beta = 0.5 (both smoothing products
+    are exact halvings, so every fold step is a fixed sequence of
+    identically-rounded IEEE adds — the same bit-exactness contract as
+    ewma_per_key, see the alpha=0.5 note there):
+
+        l_0 = x_0, b_0 = 0
+        l_t = 0.5·x_t + 0.5·(l_{t-1} + b_{t-1})
+        b_t = 0.5·(l_t − l_{t-1}) + 0.5·b_{t-1}
+
+    Packed collect-fold shape: one shuffle on the key, one Arrow
+    kernel call for all series, posexplode back. Output adds
+    (level, trend) columns; rows ordered within key by (ts, value).
+    """
+    def fold_arrays(series: pd.Series) -> pd.Series:
+        outv = []
+        for xs in series:
+            x = np.asarray(xs, dtype=np.float64)
+            lv = np.empty_like(x)
+            tr = np.empty_like(x)
+            l = x[0]
+            b = 0.0
+            lv[0], tr[0] = l, b
+            for i in range(1, len(x)):
+                prev = l + b
+                l_new = 0.5 * x[i] + 0.5 * prev
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+                lv[i], tr[i] = l, b
+            outv.append(np.stack([lv, tr], axis=1))
+        return pd.Series(outv)
+
+    kernel = F.pandas_udf(fold_arrays, "array<array<double>>")
+    packed = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col), F.col(value_col)))
+        ).alias("__s")
+    )
+    folded = packed.select(
+        key_col,
+        F.expr(f"transform(__s, e -> e.{ts_col})").alias("__ts"),
+        F.expr(f"transform(__s, e -> e.{value_col})").alias("__xs"),
+    ).withColumn("__ys", kernel(F.col("__xs")))
+    return folded.select(
+        key_col,
+        F.posexplode(F.arrays_zip("__ts", "__xs", "__ys")).alias("__i", "__z"),
+    ).select(
+        key_col,
+        F.col("__z.__ts").alias(ts_col),
+        F.col("__z.__xs").alias(value_col),
+        F.col("__z.__ys")[0].alias("level"),
+        F.col("__z.__ys")[1].alias("trend"),
+    )

@@ -242,3 +242,56 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user Holt double exponential smoothing (level + trend) — the
+# forecasting complement of events_ewma_per_user (same packed
+# collect-fold shape, same alpha=beta=0.5 bit-exactness contract:
+# every fold step is halvings + identically-rounded adds, so outputs
+# are emitted UNROUNDED). The oracle folds the identical recurrence
+# with list_reduce carrying (level, trend) pairs in a flat list.
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         list(value ORDER BY ts, value) AS xs,
+         list(ts ORDER BY ts, value) AS tss
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, tss, xs,
+         list_reduce(
+           list_prepend([xs[1], 0.0],
+                        list_transform(xs[2:], x -> [x])),
+           (acc, x) -> list_concat(acc, [
+             0.5 * x[1] + 0.5 * (acc[len(acc) - 1] + acc[len(acc)]),
+             0.5 * ((0.5 * x[1] + 0.5 * (acc[len(acc) - 1] + acc[len(acc)]))
+                    - acc[len(acc) - 1]) + 0.5 * acc[len(acc)]
+           ])
+         ) AS ys
+  FROM s
+)
+SELECT user_id,
+       STRFTIME(UNNEST(tss), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       UNNEST(xs) AS value,
+       UNNEST([ys[2 * i - 1] for i in range(1, len(xs) + 1)]) AS level,
+       UNNEST([ys[2 * i] for i in range(1, len(xs) + 1)]) AS trend
+FROM folded
+"""
+
+
+@register("events_holt_level_trend", _HOLT_ORACLE)
+def events_holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_per_key(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        "level",
+        "trend",
+    )

@@ -142,3 +142,23 @@ def test_weighted_sample_favors_long_docs(spark, monkeypatch):
     # determinism: second run returns the identical sample
     again = docs_weighted_sample(spark, "unused").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_holt_hand_case(spark):
+    """x=[4,8,10]: l=[4,6,8.5], b=[0,1,1.75] under alpha=beta=0.5."""
+    from airline_dataset_hadoop_public_spark.operators.timeseries import (
+        holt_per_key,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=i), float(v))
+         for i, v in enumerate([4, 8, 10])],
+        ["user_id", "ts", "value"],
+    )
+    rows = holt_per_key(df, "user_id", "ts", "value").orderBy("ts").collect()
+    assert [(r["level"], r["trend"]) for r in rows] == [
+        (4.0, 0.0),
+        (6.0, 1.0),
+        (8.5, 1.75),
+    ]
