@@ -1,0 +1,102 @@
+"""Storage-layer wave: file provenance tracking at ingest and
+footer-statistics aggregation (parquet aggregate pushdown).
+
+(Extension surface — the reference's S-family reads monthly CSV files
+whose identity IS the provenance, reference README.md:90-107; these
+queries re-express that bookkeeping for a parquet lake.)
+
+100 TB notes: `input_file_name()` is metadata already attached to
+every scan task (zero extra I/O); the footer-stats aggregate reads NO
+data pages at all — MIN/MAX/COUNT come from parquet footers, which is
+how a 100 TB fleet answers "how many rows / what key range" in
+seconds. Both properties are pinned by plan tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .fixtures_corpus_model import _docs_bucket_stream_dir
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Per-file ingest provenance: read the 4-file bucket mirror of
+# `documents` (bucket b = doc_id % 4, one parquet file per bucket) and
+# account each file's contribution via input_file_name() — the lineage
+# ledger every multi-source ingest keeps. The oracle recomputes the
+# bucket assignment from the data.
+# ---------------------------------------------------------------------------
+
+_PROVENANCE_ORACLE = """
+SELECT CAST(doc_id % 4 AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("ingest_file_provenance", _PROVENANCE_ORACLE)
+def ingest_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, _ = _docs_bucket_stream_dir(spark, sf_dir)
+    d = spark.read.parquet(src).withColumn(
+        "bucket",
+        F.regexp_extract(F.input_file_name(), r"bucket(\d+)\.parquet", 1).cast(
+            "int"
+        ),
+    )
+    return d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Footer-statistics aggregate: MIN/MAX/COUNT answered from parquet
+# footers via DSv2 aggregate pushdown — no data pages read. The
+# session configs are scoped to the call and restored after plan
+# construction (Spark captures them at analysis time).
+# ---------------------------------------------------------------------------
+
+_FOOTER_ORACLE = """
+SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       COUNT(*) AS n_rows, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+"""
+
+
+@register("storage_footer_stats_agg", _FOOTER_ORACLE)
+def storage_footer_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    before = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+        spark.conf.get("spark.sql.sources.useV1SourceList", None),
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).agg(
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.count("*").alias("n_rows"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        # force analysis while the configs are active — the scan's
+        # pushed aggregation is decided here, not at execution
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", before[0])
+        if before[1] is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", before[1])

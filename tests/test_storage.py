@@ -1,0 +1,37 @@
+"""Storage wave (fixtures_storage.py): provenance columns and the
+footer-only aggregate contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_footer_stats_plan_reads_no_data_pages(spark):
+    from airline_dataset_hadoop_public_spark.plans.fixtures_storage import (
+        storage_footer_stats_agg,
+    )
+
+    df = storage_footer_stats_agg(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the scan carries the pushed aggregate — MIN/MAX/COUNT come from
+    # parquet footers, no data pages are decoded
+    assert "PushedAggregation: [MIN(doc_id)" in plan
+    row = df.collect()[0]
+    assert (row["min_id"], row["max_id"], row["n_rows"]) == (0, 499, 500)
+    # configs restored after the call
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
+
+
+def test_provenance_buckets_account_every_row(spark):
+    from airline_dataset_hadoop_public_spark.plans.fixtures_storage import (
+        ingest_file_provenance,
+    )
+
+    rows = ingest_file_provenance(spark, SF).collect()
+    assert sorted(r["bucket"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in rows) == 500
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["total_chars"] for r in rows) == total
