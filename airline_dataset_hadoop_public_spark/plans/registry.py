@@ -117,6 +117,7 @@ def _load_all() -> None:
     from . import fixtures_corpus_model  # noqa: F401
     from . import fixtures_behavior  # noqa: F401
     from . import fixtures_storage  # noqa: F401
+    from . import fixtures_streaming2  # noqa: F401
     try:
         from . import fixtures_extensions  # noqa: F401
     except ImportError:

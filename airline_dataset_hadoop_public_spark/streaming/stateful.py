@@ -63,3 +63,63 @@ def final_state(df: DataFrame, key_col: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "sum_value")).alias("__last"))
         .select(key_col, "__last.n_events", "__last.sum_value")
     )
+
+
+def running_extremes_tws(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, max) via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed state handles, timers,
+    RocksDB-backed). Same contract as ``running_count_sum``: update
+    mode, one emission per key per batch, so the final emission equals
+    the batch ground truth.
+
+    Requires the RocksDB state-store provider (the only provider
+    supporting the new state API); the caller's session is configured
+    here — Spark captures it when the streaming query starts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class Extremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("st", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (
+                self._st.get() if self._st.exists() else (0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf[value_col].max()))
+            self._st.update((n, mx))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Extremes(),
+        outputStructType=f"{key_col} bigint, n_events bigint, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -35,3 +35,28 @@ def test_provenance_buckets_account_every_row(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     total = docs.agg(F.sum("n_chars")).collect()[0][0]
     assert sum(r["total_chars"] for r in rows) == total
+
+
+def test_tws_running_extremes_or_documented_gate(spark):
+    """Runs the Spark 4 transformWithStateInPandas operator when the
+    environment has protobuf; otherwise asserts the capability gate is
+    the documented ImportError path (not silent absence)."""
+    import pytest as _pytest
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_streaming2 import (
+        _tws_available,
+        streaming_tws_running_extremes,
+    )
+
+    if not _tws_available():
+        from airline_dataset_hadoop_public_spark.plans.registry import queries
+
+        assert "streaming_tws_running_extremes" not in queries()
+        _pytest.skip("google.protobuf absent: TWS state server cannot start")
+    out = streaming_tws_running_extremes(spark, "/root/testdata/sf0.001")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    assert out.count() == batch.count()
