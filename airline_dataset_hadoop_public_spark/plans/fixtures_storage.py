@@ -100,3 +100,74 @@ def storage_footer_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", before[1])
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE JSON ingest with corrupt-record accounting: every 7th
+# line of a JSONL mirror is deterministically truncated; the reader
+# must park those rows in _corrupt_record (all data fields null) and
+# keep the rest. The JSON analog of the CSV DROPMALFORMED coverage
+# (ingest_csv_malformed_drop) — at 100 TB you quarantine, not drop.
+# The parsed frame is cached before aggregation per the documented
+# Spark caveat (queries referencing the corrupt column require a
+# materialized parse).
+# ---------------------------------------------------------------------------
+
+_CORRUPT_ORACLE = """
+WITH valid AS (SELECT lang, COUNT(*) AS n, SUM(n_chars)::BIGINT AS chars
+               FROM documents WHERE doc_id % 7 != 0 GROUP BY lang),
+bad AS (SELECT '__corrupt__' AS lang, COUNT(*) AS n, 0::BIGINT AS chars
+        FROM documents WHERE doc_id % 7 = 0)
+SELECT lang, n, chars FROM valid UNION ALL SELECT lang, n, chars FROM bad
+"""
+
+
+@register("ingest_json_corrupt_records", _CORRUPT_ORACLE)
+def ingest_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..runtime import cache_tracked
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "adhps_json_corrupt", tag)
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.substring(line, 1, 10), F.lit("<<<not json")),
+    ).otherwise(line)
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(root)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = cache_tracked(
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+    )
+    return parsed.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    ).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+    )
