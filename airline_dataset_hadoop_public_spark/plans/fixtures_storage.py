@@ -171,3 +171,74 @@ def ingest_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-level migration checksums: per-column null count, distinct
+# count, and an order-insensitive content checksum (sum of bounded
+# md5 integers over canonicalized string values) — the validation
+# ledger for any copy/migration/engine swap: equal checksums ⇒ equal
+# column content without moving either side's data. One scan: the
+# columns ride as an exploded (column, value) array. Doubles are
+# canonicalized to exact cents before hashing (engine float-to-string
+# rendering differs; integers do not).
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_COLS_SQL = """
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS s FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+"""
+
+_CHECKSUM_ORACLE = f"""
+WITH e AS ({_CHECKSUM_COLS_SQL})
+SELECT col AS column, COUNT(*) AS n_rows,
+       (COUNT(*) - COUNT(s))::BIGINT AS n_null,
+       COUNT(DISTINCT s) AS n_distinct,
+       SUM(CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+           % 1000000000)::BIGINT AS checksum
+FROM e GROUP BY col
+"""
+
+
+@register("dq_column_checksums", _CHECKSUM_ORACLE)
+def dq_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        (
+            "o_totalprice_cents",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        ),
+        ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(n).alias("column"), e.alias("s"))
+            for n, e in cols
+        ]
+    )
+    ex = orders.select(F.explode(arr).alias("c")).select("c.column", "c.s")
+    h = (
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(1_000_000_000)
+    )
+    return ex.groupBy("column").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("s")).alias("n_null"),
+        F.countDistinct("s").alias("n_distinct"),
+        F.sum(h).alias("checksum"),
+    )
