@@ -619,3 +619,99 @@ def simhash_pairs(
     )
     cross = _expand_rep_pairs(rep_pairs, grp, ["distance"])
     return intra.select("id_a", "id_b", "distance").unionByName(cross)
+
+
+def minhash_neardup_pairs_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    num_hashes: int = 96,
+    bands: int = 24,
+    max_bucket: int = 20_000,
+) -> DataFrame:
+    """Incremental near-dup maintenance: all pairs (id_a < id_b,
+    jaccard ≥ threshold) TOUCHING the delta — new docs vs the existing
+    corpus and vs each other — without re-pairing the base against
+    itself.
+
+    This is the production ingest loop for a growing corpus: the
+    banded signature frame of the base is the persisted LSH index
+    (here rebuilt, in production a materialized table keyed by
+    (band, bkey)); each arriving batch computes only its own
+    signatures, probes the index, and appends its bands. Work per
+    batch is O(|delta| + collisions), never O(|base|²).
+
+    Identical shingle sets collide in EVERY band (equal signatures),
+    so exact-duplicate delta docs are caught deterministically; the
+    near-dup recall math is the same 1-(1-t^r)^b as the batch
+    operator. Candidates are verified with exact Jaccard, as always.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    def hashed_sets(df: DataFrame) -> DataFrame:
+        sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+        return sh.withColumn(
+            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
+        ).select(id_col, "__hs")
+
+    def banded_of(hs: DataFrame) -> DataFrame:
+        return hs.select(
+            id_col,
+            F.size("__hs").alias("__len"),
+            F.posexplode(
+                _minhash_band_kernel(num_hashes, bands)("__hs")
+            ).alias("band", "bkey"),
+        )
+
+    base_hs = cache_tracked(hashed_sets(base))
+    delta_hs = cache_tracked(hashed_sets(delta))
+    idx = cache_tracked(banded_of(base_hs))  # the persisted index analog
+    probe = cache_tracked(banded_of(delta_hs))
+    union_b = idx.unionByName(probe)
+
+    big = (
+        union_b.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bkey")
+    )
+    probe_g = probe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    union_g = union_b.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+
+    pa = probe_g.select(
+        F.col(id_col).alias("__pa"), F.col("__len").alias("__la"), "band", "bkey"
+    )
+    pb = union_g.select(
+        F.col(id_col).alias("__pb"), F.col("__len").alias("__lb"), "band", "bkey"
+    )
+    cands = (
+        pa.join(pb, ["band", "bkey"])
+        .filter(
+            (F.col("__pa") != F.col("__pb"))
+            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
+            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
+        )
+        .select(
+            F.least("__pa", "__pb").alias("id_a"),
+            F.greatest("__pa", "__pb").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = base_hs.unionByName(delta_hs)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -242,3 +242,39 @@ def dq_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s").alias("n_distinct"),
         F.sum(h).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup maintenance: delta docs (doc_id % 5 = 0) vs the
+# existing corpus — the growing-corpus ingest loop (probe the
+# persisted LSH index, never re-pair the base with itself). Oracle =
+# exact Jaccard over all pairs touching the delta.
+# ---------------------------------------------------------------------------
+
+_W = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_INC_MINHASH_ORACLE = f"""
+WITH sh AS (SELECT doc_id, list_distinct({_W}) AS s FROM documents
+            WHERE len({_W}) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+FROM pairs WHERE u > 0 AND CAST(i AS DOUBLE) / u >= 0.9
+"""
+
+
+@register("dedup_minhash_incremental", _INC_MINHASH_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.minhash_neardup_pairs_incremental(
+        base, delta, "doc_id", "text", n=1, threshold=0.9,
+        num_hashes=96, bands=24,
+    )

@@ -60,3 +60,30 @@ def test_tws_running_extremes_or_documented_gate(spark):
         .count()
     )
     assert out.count() == batch.count()
+
+
+def test_incremental_minhash_equals_batch_restriction(spark):
+    """incremental(base, delta) == batch(base ∪ delta) restricted to
+    pairs touching delta — the maintenance contract."""
+    from airline_dataset_hadoop_public_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    inc = {
+        tuple(r)
+        for r in D.minhash_neardup_pairs_incremental(
+            base, delta, "doc_id", "text", n=1, threshold=0.9,
+            num_hashes=96, bands=24,
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in D.minhash_neardup_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.9,
+            num_hashes=96, bands=24,
+        ).collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert inc == full
+    assert inc  # the fixture corpus has delta-touching near-dups
