@@ -278,3 +278,53 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, delta, "doc_id", "text", n=1, threshold=0.9,
         num_hashes=96, bands=24,
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity over quasi-identifiers.
+# Every (nation, segment) equivalence class with fewer than k=5
+# members is a re-identification risk; l counts distinct values of the
+# sensitive attribute (order priority of the customer's orders) per
+# class. One aggregate per class + one join — the release-gate report
+# a 100 TB PII pipeline runs before publishing.
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH cls AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                    COUNT(*) AS k_size
+             FROM customer GROUP BY 1, 2),
+sens AS (SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+                COUNT(DISTINCT o.o_orderpriority) AS l_div
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY 1, 2)
+SELECT cls.nation AS nation, cls.segment AS segment, cls.k_size,
+       COALESCE(sens.l_div, 0) AS l_div,
+       CAST(cls.k_size < 5 AS INT) AS k_risk
+FROM cls LEFT JOIN sens ON cls.nation = sens.nation
+                        AND cls.segment = sens.segment
+"""
+
+
+@register("dq_k_anonymity", _KANON_ORACLE)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cls = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").alias("k_size"))
+    sens = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.countDistinct("o_orderpriority").alias("l_div"))
+    )
+    return cls.join(sens, ["nation", "segment"], "left").select(
+        "nation",
+        "segment",
+        "k_size",
+        F.coalesce("l_div", F.lit(0)).alias("l_div"),
+        (F.col("k_size") < 5).cast("int").alias("k_risk"),
+    )

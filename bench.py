@@ -46,6 +46,8 @@ _DRAIN_WITH_COUNT = {
     "docs_repetition_ngram_fracs",
     "docs_hashed_ngram_classifier",
     "streaming_corpus_ingest",
+    "dedup_minhash_incremental",
+    "events_holt_level_trend",
 }
 
 HEADLINE = [
@@ -110,6 +112,8 @@ def main() -> None:
         "similarity_pq_adc_topk",
         "docs_hashed_ngram_classifier",
         "streaming_corpus_ingest",
+        "dedup_minhash_incremental",
+        "events_holt_level_trend",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
