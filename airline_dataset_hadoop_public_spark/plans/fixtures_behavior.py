@@ -295,3 +295,75 @@ def events_holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level",
         "trend",
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test: deterministic variant assignment (user_id
+# parity), conversion = user emitted ≥14 purchase events (the fixture
+# corpus gives every user ≥1 of every type, so a count threshold is
+# the non-degenerate conversion). The two-
+# proportion pooled z statistic is computed from exact integer
+# sufficient statistics (n1, n2, c1, c2) with the same op order on
+# both engines; the integer inputs make the double arithmetic
+# identical, so ROUND(z, 4) is stable. Experimentation readout at
+# 100 TB = two hash aggregates, no shuffle of raw events beyond the
+# per-user collapse.
+# ---------------------------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH u AS (SELECT user_id,
+                  CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+                            >= 14 THEN 1 ELSE 0 END AS converted
+           FROM events GROUP BY user_id),
+s AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+             SUM(converted)::BIGINT AS c
+      FROM u GROUP BY 1),
+w AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 0 THEN c END) AS c1,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n2,
+             MAX(CASE WHEN variant = 1 THEN c END) AS c2
+      FROM s)
+SELECT n1, c1, n2, c2,
+       ROUND(c1 / CAST(n1 AS DOUBLE), 4) AS p1,
+       ROUND(c2 / CAST(n2 AS DOUBLE), 4) AS p2,
+       ROUND((c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE))
+             / SQRT(((c1 + c2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1 - (c1 + c2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / n2)), 4) AS z
+FROM w
+"""
+
+
+@register("events_ab_conversion_ztest", _ABTEST_ORACLE)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # every fixture user emits every event type, so "any purchase" is
+    # degenerate (pp = 1 → zero variance); convert on a count threshold
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
+        ).cast("int").alias("converted")
+    )
+    s = u.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("converted").alias("c")
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c2"),
+    )
+    n1, c1 = F.col("n1"), F.col("c1")
+    n2, c2 = F.col("n2"), F.col("c2")
+    p1 = c1 / n1.cast("double")
+    p2 = c2 / n2.cast("double")
+    pp = (c1 + c2) / (n1 + n2).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return w.select(
+        "n1", "c1", "n2", "c2",
+        F.round(p1, 4).alias("p1"),
+        F.round(p2, 4).alias("p2"),
+        F.round(z, 4).alias("z"),
+    )
