@@ -367,3 +367,41 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 4).alias("p2"),
         F.round(z, 4).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eventually-follows matrix (process mining): for each ordered type
+# pair (a, b), how many users have SOME a occurrence before SOME later
+# b occurrence — equivalently min_ts(a) < max_ts(b) per user, so the
+# quadratic-looking relation collapses to a per-(user, type) min/max
+# aggregate crossed within the bounded type domain (|types|² per
+# user, never |events|²). Complements the directly-follows transition
+# matrix (events_transition_matrix).
+# ---------------------------------------------------------------------------
+
+_EVENTUALLY_ORACLE = """
+WITH st AS (SELECT user_id, event_type,
+                   MIN(ts) AS mn, MAX(ts) AS mx
+            FROM events GROUP BY 1, 2)
+SELECT a.event_type AS e_from, b.event_type AS e_to,
+       COUNT(*) AS n_users
+FROM st a JOIN st b ON a.user_id = b.user_id
+WHERE a.mn < b.mx
+GROUP BY 1, 2
+"""
+
+
+@register("events_eventually_follows", _EVENTUALLY_ORACLE)
+def events_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    a = st.select("user_id", F.col("event_type").alias("e_from"), "mn")
+    b = st.select("user_id", F.col("event_type").alias("e_to"), "mx")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("mn") < F.col("mx"))
+        .groupBy("e_from", "e_to")
+        .agg(F.count("*").alias("n_users"))
+    )
