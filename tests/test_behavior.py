@@ -162,3 +162,53 @@ def test_holt_hand_case(spark):
         (6.0, 1.0),
         (8.5, 1.75),
     ]
+
+
+def test_eventually_follows_hand_case(spark, tmp_path, monkeypatch):
+    # user 1: a@0, b@1, a@2  → a⇝a (0<2), a⇝b (0<1), b⇝a (1<2),
+    #   plus b⇝b? min_b=1 < max_b=1 false. a⇝a: min_a=0 < max_a=2 ✓
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 0.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 1, "b", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 1, "a", 0.0, "{}"),
+    ]
+    src = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(src)
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(
+        B, "load_table", lambda spark_, sf, name: spark_.read.parquet(src)
+    )
+    got = {
+        (r["e_from"], r["e_to"]): r["n_users"]
+        for r in B.events_eventually_follows(spark, "unused").collect()
+    }
+    assert got == {("a", "a"): 1, ("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_ab_ztest_hand_case(spark, tmp_path, monkeypatch):
+    """2 users per variant; conversions (>=14 purchases): variant 0 →
+    1 of 2, variant 1 → 2 of 2. z = (0.5-1)/sqrt(0.75·0.25·(1/2+1/2))."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, n_purch in [(0, 20), (2, 3), (1, 15), (3, 14)]:
+        for j in range(n_purch):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=eid), uid, "purchase", 0.0, "{}")
+            )
+            eid += 1
+    src = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(src)
+    import airline_dataset_hadoop_public_spark.plans.fixtures_behavior as B
+
+    monkeypatch.setattr(
+        B, "load_table", lambda spark_, sf, name: spark_.read.parquet(src)
+    )
+    r = B.events_ab_conversion_ztest(spark, "unused").collect()[0]
+    assert (r["n1"], r["c1"], r["n2"], r["c2"]) == (2, 1, 2, 2)
+    import math
+
+    expect = (0.5 - 1.0) / math.sqrt(0.75 * 0.25 * (0.5 + 0.5))
+    assert r["z"] == pytest.approx(round(expect, 4))
