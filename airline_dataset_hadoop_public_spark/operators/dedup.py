@@ -621,8 +621,48 @@ def simhash_pairs(
     return intra.select("id_a", "id_b", "distance").unionByName(cross)
 
 
-def minhash_neardup_pairs_incremental(
+def minhash_build_index(
     base: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    num_hashes: int = 96,
+    bands: int = 24,
+) -> dict[str, DataFrame]:
+    """Build the persistable LSH index of a corpus: duplicate-group
+    table, per-representative hashed shingle sets, and the banded
+    signature frame. In production these three frames ARE the index —
+    materialized tables maintained across ingest batches (band frame
+    keyed by (band, bkey)); rebuilding happens only on parameter
+    changes. ``minhash_probe_index`` consumes them per delta batch.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh = _shingled(base, id_col, text_col, n).filter(F.size("__sh") > 0)
+    grp = cache_tracked(_collapse_identical(sh, id_col, fingerprint=True))
+    reps = cache_tracked(
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn(
+            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
+        )
+        .select(id_col, "__hs")
+    )
+    banded = reps.select(
+        id_col,
+        F.size("__hs").alias("__len"),
+        F.posexplode(
+            _minhash_band_kernel(num_hashes, bands)("__hs")
+        ).alias("band", "bkey"),
+    )
+    return {
+        "grp": grp.select("__rep", "__members"),
+        "reps": reps,
+        "banded": banded,
+    }
+
+
+def minhash_probe_index(
+    index: dict[str, DataFrame],
     delta: DataFrame,
     id_col: str,
     text_col: str,
@@ -632,47 +672,29 @@ def minhash_neardup_pairs_incremental(
     bands: int = 24,
     max_bucket: int = 20_000,
 ) -> DataFrame:
-    """Incremental near-dup maintenance: all pairs (id_a < id_b,
-    jaccard ≥ threshold) TOUCHING the delta — new docs vs the existing
-    corpus and vs each other — without re-pairing the base against
-    itself.
+    """Probe a prebuilt LSH index with a delta batch: all pairs
+    (id_a < id_b, jaccard >= threshold) touching the delta — new docs
+    vs the indexed corpus and vs each other. The incremental ingest
+    loop: per batch the work is O(|delta| + collisions), never
+    O(|base|²), and both sides are duplicate-group collapsed so the
+    collision volume is linear in DISTINCT shingle sets (without the
+    collapse a 4×-duplicated corpus showed 8× runtime for 16× output;
+    with it the 4× run is flat).
 
-    This is the production ingest loop for a growing corpus: the
-    banded signature frame of the base is the persisted LSH index
-    (here rebuilt, in production a materialized table keyed by
-    (band, bkey)); each arriving batch computes only its own
-    signatures, probes the index, and appends its bands. Work per
-    batch is O(|delta| + collisions), never O(|base|²).
-
-    Identical shingle sets collide in EVERY band (equal signatures),
-    so exact-duplicate delta docs are caught deterministically; the
-    near-dup recall math is the same 1-(1-t^r)^b as the batch
-    operator. Candidates are verified with exact Jaccard, as always.
+    Identical shingle sets produce identical signatures, so they
+    collide in EVERY band: exact-duplicate deltas (intra-delta groups,
+    or a delta group equal to an indexed group) are caught
+    deterministically. Candidates are verified with exact Jaccard.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    d = minhash_build_index(delta, id_col, text_col, n, num_hashes, bands)
+    grp_d, reps_d = d["grp"], d["reps"]
+    probe = cache_tracked(d["banded"])
+    idx = index["banded"]
+    intra = _intra_group_pairs(grp_d, "jaccard", 1.0)
 
-    def hashed_sets(df: DataFrame) -> DataFrame:
-        sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
-        return sh.withColumn(
-            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
-        ).select(id_col, "__hs")
-
-    def banded_of(hs: DataFrame) -> DataFrame:
-        return hs.select(
-            id_col,
-            F.size("__hs").alias("__len"),
-            F.posexplode(
-                _minhash_band_kernel(num_hashes, bands)("__hs")
-            ).alias("band", "bkey"),
-        )
-
-    base_hs = cache_tracked(hashed_sets(base))
-    delta_hs = cache_tracked(hashed_sets(delta))
-    idx = cache_tracked(banded_of(base_hs))  # the persisted index analog
-    probe = cache_tracked(banded_of(delta_hs))
     union_b = idx.unionByName(probe)
-
     big = (
         union_b.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -701,10 +723,10 @@ def minhash_neardup_pairs_incremental(
         )
         .distinct()
     )
-    sets = base_hs.unionByName(delta_hs)
+    sets = index["reps"].unionByName(reps_d)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
-    return (
+    rep_pairs = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
@@ -714,4 +736,30 @@ def minhash_neardup_pairs_incremental(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    grp_all = index["grp"].unionByName(grp_d)
+    cross = _expand_rep_pairs(rep_pairs, grp_all, ["jaccard"])
+    return intra.select("id_a", "id_b", "jaccard").unionByName(
+        cross.select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_neardup_pairs_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    num_hashes: int = 96,
+    bands: int = 24,
+    max_bucket: int = 20_000,
+) -> DataFrame:
+    """Build-then-probe convenience wrapper (see minhash_build_index /
+    minhash_probe_index — the fixture persists the index instead)."""
+    idx = minhash_build_index(base, id_col, text_col, n, num_hashes, bands)
+    idx["banded"] = cache_tracked(idx["banded"])
+    return minhash_probe_index(
+        idx, delta, id_col, text_col, n, threshold, num_hashes, bands,
+        max_bucket,
     )
