@@ -519,3 +519,98 @@ def docs_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_token_counts(
         load_table(spark, sf_dir, "documents"), merges=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full corpus-cleaning funnel in one query — raw →
+# exact dedup (min doc per content hash) → near-dup collapse (minhash
+# pairs → connected components → canonical doc) → quality gate
+# (≥15 tokens, ≥0.3 distinct fraction) — with doc/token counts per
+# stage, the ledger every training-data pipeline reports. The oracle
+# recomputes every stage including the CC fixpoint (recursive CTE);
+# all-pairs oracle ⇒ sf0.01 gate only, like the other dedup oracles.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, text, {_W} AS ws, md5(text) AS fp FROM documents),
+e AS (SELECT doc_id, ws FROM (
+        SELECT doc_id, ws, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM t) WHERE rn = 1),
+sh AS (SELECT doc_id, list_distinct(ws) AS s FROM e WHERE len(ws) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM e
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node),
+s2 AS (SELECT e.doc_id, e.ws FROM e JOIN comp ON e.doc_id = comp.node
+       WHERE comp.canonical = e.doc_id),
+q AS (SELECT * FROM s2
+      WHERE len(ws) >= 15
+        AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3)
+SELECT 0 AS stage, 'raw' AS name, COUNT(*) AS n_docs,
+       SUM(len(ws))::BIGINT AS n_tokens FROM t
+UNION ALL SELECT 1, 'exact_dedup', COUNT(*), SUM(len(ws))::BIGINT FROM e
+UNION ALL SELECT 2, 'neardup_collapse', COUNT(*), SUM(len(ws))::BIGINT FROM s2
+UNION ALL SELECT 3, 'quality_gate', COUNT(*), SUM(len(ws))::BIGINT FROM q
+"""
+
+
+@register("corpus_pipeline_funnel", _FUNNEL_ORACLE)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("ws"),
+        F.md5("text").alias("fp"),
+    )
+
+    def stage(df, i, name):
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ws")).alias("n_tokens"),
+        ).select("stage", "name", "n_docs", "n_tokens")
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    e = (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "ws")
+    )
+    pairs = D.minhash_neardup_pairs(
+        e, "doc_id", "text", n=1, threshold=0.9, num_hashes=96, bands=24
+    )
+    comp = D.connected_components(e.select("doc_id"), pairs, node_col="doc_id")
+    s2 = e.join(
+        comp.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    q = s2.filter(
+        (F.size("ws") >= 15)
+        & (F.size(F.array_distinct("ws")) / F.size("ws") >= 0.3)
+    )
+    return (
+        stage(t, 0, "raw")
+        .unionByName(stage(e, 1, "exact_dedup"))
+        .unionByName(stage(s2, 2, "neardup_collapse"))
+        .unionByName(stage(q, 3, "quality_gate"))
+    )
