@@ -288,7 +288,9 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
         fp = f"{int(st.st_mtime)}_{st.st_size}"
     except OSError:
         fp = "unknown"
-    path = os.path.join(scratch, "minhash_index", f"{tag}_{fp}")
+    # key includes the LSH params: a parameter change must invalidate
+    # the persisted index, not silently serve stale buckets
+    path = os.path.join(scratch, "minhash_index", f"{tag}_{fp}_n1_h96_b24")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
