@@ -45,12 +45,21 @@ def _word_types(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _initial_symbols(wt: DataFrame) -> DataFrame:
-    """(word, freq, pos, sym): one row per character position."""
+    """(word, freq, pos, sym): one row per character position.
+
+    The empty word must yield NO rows: Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), which
+    would emit two phantom ''-symbol rows per empty word and let a
+    ('','') pair enter the merge statistics."""
     return wt.select(
         "word",
         "freq",
         F.posexplode(
-            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+            F.expr(
+                "CASE WHEN length(word) > 0 THEN "
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+                "ELSE array() END"
+            )
         ).alias("pos0", "sym"),
     ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
 

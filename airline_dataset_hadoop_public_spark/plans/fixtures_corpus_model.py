@@ -15,11 +15,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.scalar import tokens
 from ..operators.bpe import bpe_pair_merge_rounds
 from ..operators.lm import bigram_lm_scores, dup_ngram_char_fracs
 from ..operators.similarity import pq_adc_topk
 from ..sources.catalog import load_table
 from .registry import register
+
+
+def _bow_fingerprint(toks):
+    """Bag-of-words content fingerprint: md5 of the sorted distinct
+    token set — the near-dup ingest/triplet key. One definition so the
+    streaming-ingest, triplet, and any future fixture stay in lock-step
+    with the oracle expression
+    md5(array_to_string(list_sort(list_distinct(ws)), ' '))."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 _W = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -280,18 +292,11 @@ def _docs_bucket_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, obje
 
     from pyspark.sql import functions as F
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
+    from ..runtime import scratch_dir, source_fingerprint
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src_file = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src_file)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        fp = "unknown"
-    path = os.path.join(scratch, "stream_src", f"{tag}_{fp}", "documents_buckets")
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = scratch_dir("stream_src", f"{tag}_{fp}", "documents_buckets")
     docs = load_table(spark, sf_dir, "documents")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
@@ -324,24 +329,19 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from ..runtime import scratch_dir
+
     src, schema = _docs_bucket_stream_dir(spark, sf_dir)
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    parent = os.path.join(scratch, "corpus_ingest", tag)
+    parent = scratch_dir("corpus_ingest", tag)
     shutil.rmtree(parent, ignore_errors=True)
     sink = os.path.join(parent, uuid.uuid4().hex[:8])
 
     def ingest(batch_df, batch_id: int) -> None:
-        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        toks = tokens("text")
         batch = (
             batch_df.filter(F.size(toks) >= 15)
-            .withColumn(
-                "content_hash",
-                F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
-            )
+            .withColumn("content_hash", _bow_fingerprint(toks))
             .groupBy("content_hash")
             .agg(
                 F.min_by(F.struct("doc_id", "lang"), "doc_id").alias("__r")
@@ -349,10 +349,13 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("__r.doc_id").alias("doc_id"), "content_hash",
                     F.col("__r.lang").alias("lang"))
         )
-        try:
+        # explicit existence check: a bare except here would also
+        # swallow REAL read errors (corrupt footer, transient FS) and
+        # silently skip cross-batch dedup
+        if os.path.exists(sink):
             seen = batch_df.sparkSession.read.parquet(sink).select("content_hash")
             fresh = batch.join(seen, "content_hash", "left_anti")
-        except Exception:
+        else:
             fresh = batch  # first batch: sink does not exist yet
         fresh.select("doc_id", "content_hash", "lang").write.mode(
             "append"
@@ -407,11 +410,7 @@ def docs_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    t = docs.select(
-        "doc_id",
-        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
-    )
+    t = docs.select("doc_id", _bow_fingerprint(tokens("text")).alias("fp"))
     n = t.agg(F.count("*").alias("n"))
     a, b = t.alias("a"), t.alias("b")
     g = (
@@ -576,7 +575,7 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         "text",
-        F.split(F.lower(F.trim("text")), r"\s+").alias("ws"),
+        tokens("text").alias("ws"),
         F.md5("text").alias("fp"),
     )
 

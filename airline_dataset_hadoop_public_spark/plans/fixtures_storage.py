@@ -276,21 +276,13 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     from ..operators import dedup as D
+    from ..runtime import scratch_dir, source_fingerprint
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src_file = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src_file)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        fp = "unknown"
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     # key includes the LSH params: a parameter change must invalidate
     # the persisted index, not silently serve stale buckets
-    path = os.path.join(scratch, "minhash_index", f"{tag}_{fp}_n1_h96_b24")
+    path = scratch_dir("minhash_index", f"{tag}_{fp}_n1_h96_b24")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)

@@ -25,8 +25,9 @@ from ..streaming.windows import (
 )
 from .registry import register
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch")
+from ..runtime import scratch_dir as _scratch_dir, source_fingerprint
+
+_SCRATCH = _scratch_dir()
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
@@ -38,12 +39,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     would silently diverge from the oracle's view of `events`.
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src_file = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src_file)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        fp = "unknown"
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
     path = os.path.join(_SCRATCH, "stream_src", f"{tag}_{fp}", "events")
     marker = os.path.join(path, "_SUCCESS")
     ev = load_table(spark, sf_dir, "events")

@@ -49,14 +49,26 @@ def streaming_tws_running_extremes(spark: SparkSession, sf_dir: str) -> DataFram
             .select("user_id", "__last.n_events", "__last.max_value")
         )
 
-    return run_file_stream_batch(
-        spark,
-        src,
-        schema,
-        lambda s: running_extremes_tws(spark, s, "user_id", "value"),
-        output_mode="update",
-        finalize=finalize,
-    )
+    # running_extremes_tws switches the session to the RocksDB state
+    # store (the only provider the new state API supports); restore the
+    # caller's provider once the query has drained so later streaming
+    # fixtures keep their configured backend
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    try:
+        return run_file_stream_batch(
+            spark,
+            src,
+            schema,
+            lambda s: running_extremes_tws(spark, s, "user_id", "value"),
+            output_mode="update",
+            finalize=finalize,
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
 
 
 if _tws_available():  # pragma: no cover - environment-dependent

@@ -48,3 +48,30 @@ def release_caches() -> int:
         except Exception:
             pass  # session already stopped — nothing pinned anyway
     return released
+
+
+# ---------------------------------------------------------------------------
+# Shared scratch-mirror conventions (stream mirrors, persisted indexes,
+# sink roots). One definition so every fixture invalidates the same way.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def scratch_dir(*parts: str) -> str:
+    """<repo-root>/.scratch/<parts...> — the gitignored mirror root."""
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".scratch",
+    )
+    return _os.path.join(root, *parts)
+
+
+def source_fingerprint(path: str) -> str:
+    """(mtime, size) identity of a source file, for mirror cache keys —
+    a regenerated fixture invalidates every derived mirror."""
+    try:
+        st = _os.stat(path)
+        return f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        return "unknown"

@@ -84,38 +84,6 @@ def test_dup_ngram_fracs_no_repetition(spark):
 # ---------------------------------------------------------------------------
 
 
-def _ref_bpe_rounds(words: list[str], rounds: int) -> list[tuple]:
-    """Reference implementation: Sennrich-style pair stats + greedy
-    left-to-right merge, on word types with frequencies."""
-    from collections import Counter
-
-    freq = Counter(words)
-    seqs = {w: [c for c in w] for w in freq}
-    out = []
-    for r in range(1, rounds + 1):
-        stats: Counter = Counter()
-        for w, syms in seqs.items():
-            for a, b in zip(syms, syms[1:]):
-                stats[(a, b)] += freq[w]
-        ranked = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
-        out.extend(
-            (r, i + 1, p[0], p[1], c) for i, (p, c) in enumerate(ranked[:10])
-        )
-        if r < rounds:
-            (b1, b2), _ = ranked[0]
-            for w, syms in seqs.items():
-                merged, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == b1 and syms[i + 1] == b2:
-                        merged.append(b1 + b2)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                seqs[w] = merged
-    return out
-
-
 @pytest.mark.parametrize(
     "corpus",
     [
@@ -134,7 +102,9 @@ def test_bpe_matches_python_reference(spark, corpus):
         .collect()
     ]
     words = [w for line in corpus for w in line.split()]
-    assert got == _ref_bpe_rounds(words, 2)
+    from bpe_reference import ref_bpe_learn
+
+    assert got == ref_bpe_learn(words, 2)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -296,35 +266,17 @@ def test_contrastive_triplets_invariants(spark):
 
 
 def test_bpe_encode_counts_match_python_reference(spark):
-    from collections import Counter
-
     from airline_dataset_hadoop_public_spark.operators.bpe import (
         bpe_encode_token_counts,
     )
+    from bpe_reference import ref_bpe_learn
 
     corpus = ["aaaa abab low lower", "low low newer aaaa abab abab"]
     docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
 
     # learn 2 merges with the reference learner, then segment
     words = [w for line in corpus for w in line.split()]
-    freq = Counter(words)
-    seqs = {w: [c for c in w] for w in freq}
-    for _ in range(2):
-        stats: Counter = Counter()
-        for w, syms in seqs.items():
-            for a, b in zip(syms, syms[1:]):
-                stats[(a, b)] += freq[w]
-        (b1, b2), _ = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        for w, syms in seqs.items():
-            merged, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == b1 and syms[i + 1] == b2:
-                    merged.append(b1 + b2)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            seqs[w] = merged
+    _, seqs = ref_bpe_learn(words, 2)
 
     expect = {
         d: (len(line.split()), sum(len(seqs[w]) for w in line.split()))
@@ -335,3 +287,23 @@ def test_bpe_encode_counts_match_python_reference(spark):
         for r in bpe_encode_token_counts(docs, merges=2).collect()
     }
     assert got == expect
+
+
+def test_bpe_ignores_empty_words(spark):
+    """A whitespace-only document tokenizes to [''] on the Spark side;
+    the empty word must contribute NO symbols (Spark's sequence(1, 0)
+    is the descending [1, 0], which once emitted phantom ('','')
+    pairs — regression for that)."""
+    from bpe_reference import ref_bpe_learn
+
+    corpus = ["ab ab", "   ", "ba"]
+    docs = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    got = [
+        (r["round"], r["rank"], r["sym1"], r["sym2"], r["cnt"])
+        for r in bpe_pair_merge_rounds(docs, rounds=2, topn=10)
+        .orderBy("round", "rank")
+        .collect()
+    ]
+    words = [w for line in corpus for w in line.split()]
+    assert got == ref_bpe_learn(words, 2)[0]
+    assert all(r[2] != "" and r[3] != "" for r in got)
