@@ -1,13 +1,19 @@
 from .aggregates import avg_by_key, distinct_union, explode_count, union_all_column
 from .argmin import argmin_by
+from .bpe import bpe_encode_token_counts, bpe_pair_merge_rounds
 from .dedup import (
     connected_components,
     exact_dedup,
+    minhash_build_index,
     minhash_neardup_pairs,
+    minhash_neardup_pairs_incremental,
+    minhash_probe_index,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signature,
 )
+from .graph import pagerank
+from .lm import bigram_lm_scores, dup_ngram_char_fracs, hashed_ngram_classifier
 from .generators import date_series, permutation_triplets
 from .range_join import asof_join, point_in_interval_join
 from .multimodal import extract_byte_features, sample_frames, with_binary_payload
@@ -18,8 +24,10 @@ from .similarity import (
     embedding_cosine_pairs,
     ivf_topk,
     kmeans_fit,
+    pq_adc_topk,
     unit_normalize,
 )
+from .timeseries import ewma_per_key, holt_per_key, resample_ffill
 from .skew import salted_join
 from .text import (
     bpe_token_counts,
@@ -39,6 +47,19 @@ from .topk import (
 
 __all__ = [
     "avg_by_key",
+    "bpe_encode_token_counts",
+    "bpe_pair_merge_rounds",
+    "bigram_lm_scores",
+    "dup_ngram_char_fracs",
+    "hashed_ngram_classifier",
+    "pagerank",
+    "minhash_build_index",
+    "minhash_neardup_pairs_incremental",
+    "minhash_probe_index",
+    "pq_adc_topk",
+    "ewma_per_key",
+    "holt_per_key",
+    "resample_ffill",
     "distinct_union",
     "explode_count",
     "union_all_column",
