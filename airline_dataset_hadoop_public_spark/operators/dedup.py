@@ -763,3 +763,100 @@ def minhash_neardup_pairs_incremental(
         idx, delta, id_col, text_col, n, threshold, num_hashes, bands,
         max_bucket,
     )
+
+
+def minhash_neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 20_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, canonical) near-dup clusters WITHOUT materializing the
+    quadratic pair report: label propagation runs on the collapsed
+    REPRESENTATIVE graph (one node per distinct shingle set, verified
+    rep-level edges), and every member inherits its representative's
+    component label. Output and all intermediate state are linear in
+    documents — on a corpus with a 10k-copy viral document the pair
+    report is ~50M rows, the cluster report is 15k.
+
+    Each group's representative is its min id and the component label
+    is the min representative, so the inherited label equals the min
+    doc id over the whole cluster — exactly the contract of running CC
+    over the expanded pair graph (equivalence is test-pinned).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    grp = cache_tracked(_collapse_identical(sh, id_col, fingerprint=True))
+    reps = cache_tracked(
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn(
+            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
+        )
+        .select(id_col, "__hs")
+    )
+    banded = cache_tracked(
+        reps.select(
+            id_col,
+            F.size("__hs").alias("__len"),
+            F.posexplode(
+                _minhash_band_kernel(num_hashes, bands)("__hs")
+            ).alias("band", "bkey"),
+        )
+    )
+    big = (
+        banded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bkey")
+    )
+    banded_g = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    ba = banded_g.select(
+        F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey"
+    )
+    bb = banded_g.select(
+        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey"
+    )
+    cands = (
+        ba.join(bb, ["band", "bkey"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
+            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = reps.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
+    b = reps.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
+    rep_edges = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+        .filter(
+            F.col("__i")
+            / (F.size("__ha") + F.size("__hb") - F.col("__i"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        reps.select(F.col(id_col).alias("node")).select("node"),
+        rep_edges,
+        node_col="node",
+        max_iter=max_iter,
+    )
+    # members inherit their representative's component label
+    return (
+        grp.select(F.col("__rep").alias("node"), "__members")
+        .join(comp, "node")
+        .select(
+            F.explode("__members").alias(id_col),
+            F.col("component").alias("canonical"),
+        )
+    )

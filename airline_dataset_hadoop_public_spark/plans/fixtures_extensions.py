@@ -133,16 +133,22 @@ SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
 
 @register("dedup_connected_canonical", _CANONICAL_ORACLE)
 def dedup_connected_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster path (r2): label propagation runs on the collapsed
+    REPRESENTATIVE graph and members inherit the label — linear state,
+    no quadratic pair materialization (a 10k-copy viral doc costs a
+    15k-row cluster report instead of ~50M pairs; see BASELINE.md
+    smoke). Tokenless docs (empty shingle set) are singleton
+    components, restored by the anti-join union."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_neardup_pairs(
+    clusters = D.minhash_neardup_clusters(
         docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=96, bands=24
+    ).select("doc_id", F.col("canonical").alias("canonical_id"))
+    singletons = (
+        docs.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("canonical_id"))
     )
-    comp = D.connected_components(
-        docs.select("doc_id"), pairs, node_col="doc_id"
-    )
-    return comp.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
-    )
+    return clusters.unionByName(singletons)
 
 
 # Full-value oracle: the registered query runs with portable_hash=True

@@ -87,3 +87,30 @@ def test_incremental_minhash_equals_batch_restriction(spark):
     }
     assert inc == full
     assert inc  # the fixture corpus has delta-touching near-dups
+
+
+def test_cluster_report_equals_pairs_plus_cc(spark):
+    """minhash_neardup_clusters (rep-graph CC, linear state) must equal
+    the expanded-pair path (pairs -> CC over all docs)."""
+    from airline_dataset_hadoop_public_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    new = {
+        (r["doc_id"], r["canonical"])
+        for r in D.minhash_neardup_clusters(
+            docs, "doc_id", "text", n=1, threshold=0.9,
+            num_hashes=96, bands=24,
+        ).collect()
+    }
+    pairs = D.minhash_neardup_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.9, num_hashes=96, bands=24
+    )
+    old = {
+        (r["node"], r["component"])
+        for r in D.connected_components(
+            docs.select("doc_id"), pairs, node_col="doc_id"
+        ).collect()
+    }
+    # the cluster path omits tokenless docs (none in this fixture) —
+    # compare on the full doc set
+    assert new == old
