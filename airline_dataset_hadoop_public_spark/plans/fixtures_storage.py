@@ -366,3 +366,43 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_div", F.lit(0)).alias("l_div"),
         (F.col("k_size") < 5).cast("int").alias("k_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN <expr>):
+# the declarative end of the §2.8 UDF spectrum — the body is a
+# Catalyst expression, so unlike Python UDFs it inlines into codegen
+# (no serialization boundary) while still giving analysts a reusable
+# named function. Registered per session; the query both defines and
+# exercises it.
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+           AS total_tokens,
+       MAX(len(string_split_regex(lower(trim(text)), '\\s+'))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+@register("sql_udf_token_stats", _SQL_UDF_ORACLE)
+def sql_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_sql_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_cnt(s STRING) "
+        "RETURNS BIGINT RETURN "
+        "CAST(size(split(lower(trim(s)), '\\\\s+')) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(tok_cnt(text)) AS total_tokens,
+               MAX(tok_cnt(text)) AS max_tokens
+        FROM __docs_sql_udf GROUP BY lang
+        """
+    )
