@@ -406,3 +406,112 @@ def sql_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_sql_udf GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of the marker-word
+# classifier against the labeled lang column, with exact basis-point
+# row fractions — the eval-harness readout that accompanies any
+# heuristic classifier in a data pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from .fixtures_extensions import _LANGID_ORACLE
+
+    return f"""
+WITH pred AS ({_LANGID_ORACLE}),
+j AS (SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+      FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2)
+SELECT true_lang, pred_lang, n,
+       CAST((n * 10000) // SUM(n) OVER (PARTITION BY true_lang) AS BIGINT)
+           AS row_frac_bp
+FROM j
+"""
+
+
+@register("text_langid_confusion", _langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.langid_scores(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    j = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    return j.withColumn(
+        "__tot", F.sum("n").over(Window.partitionBy("true_lang"))
+    ).select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("(n * 10000) div __tot").alias("row_frac_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish: stage an aggregate to a scratch table, AUDIT it
+# (row count, key uniqueness, checksum) before atomically publishing
+# (directory rename); readers only ever see audited data. The query
+# returns the published table + its audit verdict columns. The WAP
+# pattern is how a 100 TB lake gates bad pipeline runs out of
+# production tables.
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+WITH agg AS (SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+                        AS cents
+             FROM orders GROUP BY 1)
+SELECT priority, n_orders, cents, 1 AS audit_passed FROM agg
+"""
+
+
+@register("warehouse_write_audit_publish", _WAP_ORACLE)
+def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..runtime import scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = scratch_dir("wap", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    stage = os.path.join(root, f"__stage_{uuid.uuid4().hex[:8]}")
+    publish = os.path.join(root, "published")
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents"),
+    )
+    agg.write.mode("overwrite").parquet(stage)
+
+    # AUDIT the staged files (never the in-memory frame: the files are
+    # what readers will see): non-empty, unique keys, totals reconcile
+    staged = spark.read.parquet(stage)
+    audit = staged.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("priority").alias("keys"),
+        F.sum("n_orders").alias("n_total"),
+    ).collect()[0]
+    src_total = orders.count()
+    ok = (
+        audit["rows"] > 0
+        and audit["rows"] == audit["keys"]
+        and audit["n_total"] == src_total
+    )
+    if not ok:  # pragma: no cover - the gate this pattern exists for
+        raise RuntimeError(f"WAP audit failed: {audit}, source={src_total}")
+    os.rename(stage, publish)  # atomic publish
+    return spark.read.parquet(publish).withColumn(
+        "audit_passed", F.lit(1)
+    )
