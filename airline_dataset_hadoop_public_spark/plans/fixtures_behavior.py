@@ -405,3 +405,105 @@ def events_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("e_from", "e_to")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine similarity over the
+# order-basket co-occurrence matrix, top-3 neighbors per part. The
+# ranking key is the exact integer cos² in basis-points-squared
+# (n_both²·10⁸ // (sa·sb)) — no float ever decides an order — and the
+# reported cosine derives from the same integers. Same in-partition
+# pair expansion as the lift query; the per-item top-k is a bounded
+# window.
+# ---------------------------------------------------------------------------
+
+_ITEMCF_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT l_partkey, COUNT(*) AS s FROM m GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+          FROM m a JOIN m b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2),
+sym AS (SELECT p1 AS item, p2 AS neighbor, n_both FROM pairs
+        UNION ALL SELECT p2, p1, n_both FROM pairs),
+sc AS (SELECT sym.item, sym.neighbor, sym.n_both,
+              CAST((sym.n_both * sym.n_both * 100000000)
+                   // (sa.s * sb.s) AS BIGINT) AS cos2_bp2,
+              ROUND(sym.n_both / SQRT(sa.s * sb.s), 4) AS cosine
+       FROM sym
+       JOIN sup sa ON sym.item = sa.l_partkey
+       JOIN sup sb ON sym.neighbor = sb.l_partkey)
+SELECT item, neighbor, n_both, cos2_bp2, cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY cos2_bp2 DESC, neighbor) AS rnk
+      FROM sc)
+WHERE rnk <= 3
+"""
+
+
+@register("parts_itemitem_cf_topk", _ITEMCF_ORACLE)
+def parts_itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_per_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select("l_orderkey", "l_partkey").distinct()
+    sup = m.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    per_order = m.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "b -> struct(a AS p1, b AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_both"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_both"
+        )
+    )
+    sa = sup.select(F.col("l_partkey").alias("item"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("l_partkey").alias("neighbor"), F.col("s").alias("sb"))
+    sc = (
+        sym.join(sa, "item")
+        .join(sb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "n_both",
+            F.expr("(n_both * n_both * 100000000) div (sa * sb)").alias(
+                "cos2_bp2"
+            ),
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("sa") * F.col("sb")), 4
+            ).alias("cosine"),
+        )
+    )
+    top = top_k_per_group(
+        sc, ["item"], [F.desc("cos2_bp2"), F.asc("neighbor")], 3
+    )
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("item").orderBy(
+                F.desc("cos2_bp2"), F.asc("neighbor")
+            )
+        )
+        .cast("long"),
+    ).select("item", "neighbor", "n_both", "cos2_bp2", "cosine", "rank")

@@ -613,3 +613,100 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s2, 2, "neardup_collapse"))
         .unionByName(stage(q, 3, "quality_gate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-specific stopword discovery: tokens whose document frequency
+# exceeds 60% of the corpus — the data-driven stopword list a
+# tokenizer/indexing pipeline derives before building inverted
+# indexes. Exact integer threshold (df · 10 ≥ 6 · N).
+# ---------------------------------------------------------------------------
+
+_STOPWORD_ORACLE = f"""
+WITH t AS (SELECT doc_id, list_distinct({_W}) AS ws FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+df AS (SELECT w, COUNT(*) AS df FROM (SELECT doc_id, UNNEST(ws) AS w FROM t)
+       GROUP BY w)
+SELECT w, df.df,
+       CAST((df.df * 10000) // n.n_docs AS BIGINT) AS df_bp
+FROM df CROSS JOIN n
+WHERE df.df * 10 >= 6 * n.n_docs
+ORDER BY df.df DESC, w
+"""
+
+
+@register("corpus_stopword_discovery", _STOPWORD_ORACLE)
+def corpus_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
+    n = t.agg(F.count("*").alias("n_docs"))
+    df = (
+        t.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 10 >= 6 * F.col("n_docs"))
+        .select(
+            "w",
+            "df",
+            F.expr("(df * 10000) div n_docs").alias("df_bp"),
+        )
+        .orderBy(F.desc("df"), "w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation report: the quality profile that decides which
+# SOURCES stay in the training mix — doc counts, token stats, and
+# mean type-token/stopword ratios per `source`, every reported float
+# derived from exact integers with identical op order.
+# ---------------------------------------------------------------------------
+
+_SOURCE_QUALITY_ORACLE = f"""
+WITH t AS (SELECT source, {_W} AS ws FROM documents),
+d AS (SELECT source, len(ws) AS n_tok,
+             len(list_distinct(ws)) AS n_distinct,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','to','in',
+                                            'is','for'))) AS n_stop
+      FROM t)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tok)::BIGINT AS total_tokens,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens,
+       ROUND(SUM(n_distinct)::DOUBLE / SUM(n_tok), 4) AS mean_ttr,
+       ROUND(SUM(n_stop)::DOUBLE / SUM(n_tok), 4) AS mean_stop_frac
+FROM d GROUP BY source
+"""
+
+
+@register("docs_source_quality_report", _SOURCE_QUALITY_ORACLE)
+def docs_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.text import STOPWORDS_EN, _in_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.expr(
+            "transform(array(" + "split(lower(trim(text)), '\\\\s+')"
+            + "), __t -> struct("
+            "CAST(size(__t) AS BIGINT) AS n_tok, "
+            "CAST(size(array_distinct(__t)) AS BIGINT) AS n_distinct, "
+            f"CAST(size(filter(__t, w -> {_in_list('w', STOPWORDS_EN)})) AS BIGINT)"
+            " AS n_stop))[0]"
+        ).alias("__f"),
+    ).select("source", "__f.n_tok", "__f.n_distinct", "__f.n_stop")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        F.round(F.sum("n_distinct") / F.sum("n_tok"), 4).alias("mean_ttr"),
+        F.round(F.sum("n_stop") / F.sum("n_tok"), 4).alias("mean_stop_frac"),
+    )
