@@ -48,6 +48,7 @@ _DRAIN_WITH_COUNT = {
     "streaming_corpus_ingest",
     "dedup_minhash_incremental",
     "events_holt_level_trend",
+    "parts_itemitem_cf_topk",
 }
 
 HEADLINE = [
@@ -114,6 +115,8 @@ def main() -> None:
         "streaming_corpus_ingest",
         "dedup_minhash_incremental",
         "events_holt_level_trend",
+        "parts_itemitem_cf_topk",
+        "docs_source_quality_report",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
