@@ -312,26 +312,30 @@ def _minhash_band_kernel(num_hashes: int, bands: int):
         def band_keys(batch: pd.Series) -> pd.Series:
             if len(batch) == 0:
                 return pd.Series([], dtype="object")
-            # uint64 wraparound is the hash semantics, not an error
-            np.seterr(over="ignore")
-            lens = np.fromiter((len(x) for x in batch), dtype=np.int64)
-            flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in batch])
-            flat = flat.view(np.uint64)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            sig = np.empty((num_hashes, len(lens)), dtype=np.uint64)
-            for s in range(num_hashes):
-                vals = _splitmix64(flat ^ (np.uint64(s + 1) * _SM_GOLDEN))
-                sig[s] = np.minimum.reduceat(vals, starts)
-            bk = np.zeros((bands, len(lens)), dtype=np.uint64)
-            grouped = sig.reshape(bands, rpb, len(lens))
-            for b in range(bands):
-                acc = np.uint64(b + 1) * _SM_GOLDEN
-                h = np.full(len(lens), acc, dtype=np.uint64)
-                for r in range(rpb):
-                    h = _splitmix64(h ^ grouped[b, r])
-                bk[b] = h
-            out = np.ascontiguousarray(bk.T).view(np.int64)  # (ndocs, bands)
+            # uint64 wraparound is the hash semantics, not an error —
+            # scoped with errstate so the suppression does not leak to
+            # every other numpy kernel sharing this worker process
+            with np.errstate(over="ignore"):
+                lens = np.fromiter((len(x) for x in batch), dtype=np.int64)
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in batch]
+                )
+                flat = flat.view(np.uint64)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sig = np.empty((num_hashes, len(lens)), dtype=np.uint64)
+                for s in range(num_hashes):
+                    vals = _splitmix64(flat ^ (np.uint64(s + 1) * _SM_GOLDEN))
+                    sig[s] = np.minimum.reduceat(vals, starts)
+                bk = np.zeros((bands, len(lens)), dtype=np.uint64)
+                grouped = sig.reshape(bands, rpb, len(lens))
+                for b in range(bands):
+                    acc = np.uint64(b + 1) * _SM_GOLDEN
+                    h = np.full(len(lens), acc, dtype=np.uint64)
+                    for r in range(rpb):
+                        h = _splitmix64(h ^ grouped[b, r])
+                    bk[b] = h
+                out = np.ascontiguousarray(bk.T).view(np.int64)
             return pd.Series(list(out))
 
         @F.pandas_udf("array<bigint>")

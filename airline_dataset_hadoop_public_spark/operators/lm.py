@@ -31,31 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import tokens
-
-
-def _with_ngrams(d: DataFrame, n: int, out: str) -> DataFrame:
-    """Space-joined word n-grams of the `ws` token array (docs with
-    fewer than n tokens produce an empty array).
-
-    `ws` is referenced exactly once and rebound as a lambda variable:
-    referencing the projected split() inside the n-gram lambda would
-    get it INLINED per element by CollapseProject — O(len²)
-    re-tokenization per document (13s → 1s at sf0.1; same pitfall as
-    operators/text.py quality_scores)."""
-    parts = ", ".join(
-        "x" if j == 0 else f"element_at(__t, i + {j + 1})" for j in range(n)
-    )
-    return d.withColumn(
-        out,
-        F.expr(
-            f"transform(array(ws), __t -> "
-            f"CASE WHEN size(__t) >= {n} THEN "
-            f"transform(slice(__t, 1, size(__t) - {n - 1}), "
-            f"(x, i) -> concat_ws(' ', {parts})) "
-            f"ELSE array() END)[0]"
-        ),
-    )
+from ..functions.scalar import tokens, word_ngrams
+from ..runtime import cache_tracked
 
 
 def bigram_lm_scores(
@@ -77,7 +54,12 @@ def bigram_lm_scores(
 
     Output: (id, n_bigrams, lm_score) — lm_score rounded to `ndigits`.
     """
-    d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
+    # cached: `d` feeds both count tables and `bg` feeds both the
+    # bigram counts and the score join — uncached, the fact-sized
+    # tokenize + explode would run twice per consumer
+    d = cache_tracked(
+        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
+    )
 
     uni = (
         d.select(F.explode("ws").alias("w1"))
@@ -87,8 +69,8 @@ def bigram_lm_scores(
     # vocabulary size as a 1-row broadcast dimension, not a collect()
     vocab = uni.agg(F.count("*").alias("vsz"))
 
-    bg = (
-        _with_ngrams(d, 2, "bg")
+    bg = cache_tracked(
+        d.withColumn("bg", word_ngrams("ws", 2))
         .select("__id", F.explode("bg").alias("b"))
         .select(
             "__id",
@@ -134,7 +116,11 @@ def dup_ngram_char_fracs(
     (id, n_grams3, dup3_frac, top2_frac), fractions rounded.
     """
     d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
-    d = _with_ngrams(_with_ngrams(d, 3, "g3"), 2, "g2").filter(F.size("g3") > 0)
+    d = (
+        d.withColumn("g3", word_ngrams("ws", 3))
+        .withColumn("g2", word_ngrams("ws", 2))
+        .filter(F.size("g3") > 0)
+    )
 
     def gram_counts(col: str) -> DataFrame:
         return (
@@ -192,7 +178,7 @@ def hashed_ngram_classifier(
     Output: (id, n_feats, p_keep, keep).
     """
     d = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("ws"))
-    feats = _with_ngrams(d, 2, "bg").select(
+    feats = d.withColumn("bg", word_ngrams("ws", 2)).select(
         "__id", F.explode(F.concat(F.col("ws"), F.col("bg"))).alias("f")
     )
     bk = (

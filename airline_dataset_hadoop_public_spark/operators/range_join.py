@@ -41,7 +41,7 @@ def point_in_interval_join(
     b = F.lit(bucket_seconds)
     p = points.withColumn(
         "__b", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("long")
-    )
+    ).alias("__pt")
     i = intervals.withColumn(
         "__b",
         F.explode(
@@ -50,11 +50,26 @@ def point_in_interval_join(
                 F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
             )
         ),
+    ).alias("__iv")
+    # The range residual is PART of the join condition, not a
+    # post-filter: a post-filter evaluates NULL on an unmatched outer
+    # row's NULL start/end and silently drops it — 'left' would
+    # degrade to inner semantics.
+    cond = (
+        (F.col(f"__pt.{ts_col}") >= F.col(f"__iv.{start_col}"))
+        & (F.col(f"__pt.{ts_col}") <= F.col(f"__iv.{end_col}"))
+        & (F.col("__pt.__b") == F.col("__iv.__b"))
     )
-    joined = p.join(i, [*equi_keys, "__b"], how).filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    for k in equi_keys:
+        cond = cond & (F.col(f"__pt.{k}") == F.col(f"__iv.{k}"))
+    iv_cols = [
+        c for c in intervals.columns if c not in equi_keys
+    ]
+    joined = p.join(i, cond, how).select(
+        *[F.col(f"__pt.{c}") for c in points.columns],
+        *[F.col(f"__iv.{c}") for c in iv_cols],
     )
-    return joined.drop("__b")
+    return joined
 
 
 def asof_join(
@@ -81,22 +96,34 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    # ALL payload columns ride in ONE struct: filling them
+    # independently with last(ignorenulls) would mix fields from
+    # DIFFERENT right rows whenever a payload column is NULL (and an
+    # all-NULL first payload column would mis-drop the row on the
+    # inner filter). The struct is non-null exactly when a right row
+    # exists, and carries that row's fields verbatim, NULLs included.
     l = left.select(
         F.col(id_col).alias("__id"),
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-            for c in payload
-        ],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}"
+                for c in payload
+            )
+            + ">"
+        )
+        .alias("__p"),
     )
     r = right.select(
         F.lit(None).cast(left.schema[id_col].dataType).alias("__id"),
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -108,15 +135,12 @@ def asof_join(
         .select(
             "__id",
             "__side",
-            *[
-                F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
-                for c in payload
-            ],
+            F.last("__p", ignorenulls=True).over(w).alias("__p"),
         )
         .filter(F.col("__side") == 1)
         # inner semantics: left rows before any right row have no state
-        .filter(F.col(f"__p_{payload[0]}").isNotNull())
-        .select("__id", *[F.col(f"__p_{c}").alias(c) for c in payload])
+        .filter(F.col("__p").isNotNull())
+        .select("__id", *[F.col(f"__p.{c}").alias(c) for c in payload])
     )
     return left.join(
         filled.withColumnRenamed("__id", id_col), id_col, "inner"

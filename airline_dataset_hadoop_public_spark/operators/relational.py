@@ -52,9 +52,15 @@ def scd2_intervals(
     """
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     w = Window.partitionBy(entity_col).orderBy(*order)
+    # Null-safe change detection: lag(attr).isNull() is also true for a
+    # genuine NULL attr mid-partition (not just at the partition
+    # start), and `!=` against NULL yields NULL (counted as no-change)
+    # — either way runs merge or split wrongly around NULL values.
+    # Detect the partition start via lag(ts) (never NULL mid-partition
+    # given a non-null ts) and compare attrs null-safely.
     changed = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.lag(attr_col).over(w) != F.col(attr_col))
+        F.lag(ts_col).over(w).isNull()
+        | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
     ).cast("int")
     runs = df.withColumn(
         "__run",

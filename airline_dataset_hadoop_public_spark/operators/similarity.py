@@ -50,12 +50,17 @@ def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataF
     # let-bind the norm via transform(array(x), nm -> …)[0]: placed
     # directly inside the division lambda it would be re-evaluated per
     # vector element (O(d²) per row — see functions.scalar.word_ngrams
-    # for the same Catalyst inlining pitfall).
+    # for the same Catalyst inlining pitfall). An all-zero vector keeps
+    # its zeros (cosine 0 against everything) — dividing by the zero
+    # norm would make it an all-NaN vector, and Spark sorts NaN as the
+    # LARGEST double, so it would rank FIRST in every top-k.
     return df.withColumn(
         out,
         F.expr(
             f"transform(array({norm}), __nm -> "
-            f"transform({vec_col}, v -> CAST(v AS DOUBLE) / __nm))[0]"
+            f"transform({vec_col}, v -> "
+            f"CASE WHEN __nm = 0.0D THEN 0.0D "
+            f"ELSE CAST(v AS DOUBLE) / __nm END))[0]"
         ),
     )
 

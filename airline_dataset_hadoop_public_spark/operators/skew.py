@@ -39,6 +39,15 @@ def salted_join(
     """
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # right/full would emit each unmatched small-side row once PER
+        # SALT REPLICA — not the plain join's output. Salting the
+        # other way around (replicate skewed, salt small) is the shape
+        # for those; reject rather than silently diverge.
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got {how!r}"
+        )
     left = skewed.withColumn(
         "__salt", F.floor(F.rand(seed) * n_salt).cast("int")
     )

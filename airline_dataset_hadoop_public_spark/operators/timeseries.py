@@ -142,8 +142,12 @@ def ewma_per_key(
       too large to hold as one array cell.
     """
     if impl == "grouped_pandas":
+        # derive the output schema from the INPUT types — hardcoding
+        # 'long/timestamp/double' silently narrowed the accepted key
+        # and ts types versus the type-generic packed path
+        in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         schema = (
-            f"{key_col} long, {ts_col} timestamp, "
+            f"{key_col} {in_schema[key_col]}, {ts_col} {in_schema[ts_col]}, "
             f"{value_col} double, {out} double"
         )
 
