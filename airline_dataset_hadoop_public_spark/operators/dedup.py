@@ -346,6 +346,122 @@ def _minhash_band_kernel(num_hashes: int, bands: int):
     return _MINHASH_KERNELS[key]
 
 
+
+
+def _hashed_reps(grp: DataFrame, id_col: str) -> DataFrame:
+    """Representative id → sorted int64-hashed shingle set (cached).
+
+    One string hash per shingle; the same int-hash array backs BOTH
+    the signature kernel and exact-Jaccard verification (Jaccard over
+    64-bit hashed shingles equals Jaccard over the shingles up to a
+    ~2⁻⁶⁴ within-pair collision, and int array_intersect is far
+    cheaper than string array_intersect)."""
+    return cache_tracked(
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn(
+            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
+        )
+        .select(id_col, "__hs")
+    )
+
+
+def _banded(reps: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Banded signature frame: (id, set length, band, band key)."""
+    return reps.select(
+        id_col,
+        F.size("__hs").alias("__len"),
+        F.posexplode(
+            _minhash_band_kernel(num_hashes, bands)("__hs")
+        ).alias("band", "bkey"),
+    )
+
+
+def _rep_neardup_edges(
+    reps_probe: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    reps_universe: DataFrame | None = None,
+    banded_probe: DataFrame | None = None,
+    banded_universe: DataFrame | None = None,
+) -> DataFrame:
+    """Verified rep-level near-dup edges (id_a < id_b, jaccard ≥
+    threshold) — the one candidate/guard/verify pipeline behind the
+    pair report, the cluster report, and the incremental probe.
+
+    Self-join when ``reps_universe`` is None; otherwise probe ×
+    universe, where the universe must CONTAIN the probe reps (so
+    probe-probe pairs are found too). Pre-banded frames may be passed
+    (the persisted-index path); otherwise they are derived and cached
+    here. Stages: hot-bucket guard over the universe bands → bucket
+    equi-join → size filter (J ≥ t ⇒ t·|x| ≤ |y|, pruned BEFORE the
+    distinct) → exact-Jaccard verification on the hashed sets.
+    """
+    if banded_probe is None:
+        banded_probe = cache_tracked(
+            _banded(reps_probe, id_col, num_hashes, bands)
+        )
+    symmetric = reps_universe is None
+    if symmetric:
+        reps_universe = reps_probe
+        banded_universe = banded_probe
+    big = (
+        banded_universe.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bkey")
+    )
+    pa_frame = banded_probe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    pb_frame = (
+        pa_frame
+        if symmetric
+        else banded_universe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    )
+    pa = pa_frame.select(
+        F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey"
+    )
+    pb = pb_frame.select(
+        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey"
+    )
+    id_pred = (
+        (F.col("id_a") < F.col("id_b"))
+        if symmetric
+        else (F.col("id_a") != F.col("id_b"))
+    )
+    cands = (
+        pa.join(pb, ["band", "bkey"])
+        .filter(
+            id_pred
+            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
+            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = reps_universe.select(
+        F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha")
+    )
+    b = reps_universe.select(
+        F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -359,83 +475,21 @@ def minhash_neardup_pairs(
     """Near-duplicate (id_a < id_b) pairs via MinHash+LSH banding,
     verified with exact Jaccard ≥ threshold.
 
-    Signature + band keys: Arrow numpy kernel over the int-hashed
-    shingle arrays (see ``_minhash_band_kernel``). Bucket join on
-    (band_idx, band_key); buckets above `max_bucket` are dropped
-    (quadratic-blowup guard for degenerate corpora).
+    LSH runs over distinct shingle sets only (duplicate-group
+    collapse, keyed by representative); signature + band keys come
+    from one Arrow numpy kernel (``_minhash_band_kernel``); the
+    candidate/guard/verify pipeline is the shared
+    ``_rep_neardup_edges``. Intra-group pairs carry Jaccard exactly
+    1.0; verified rep pairs expand to all member combinations.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
     grp = _collapse_identical(sh, id_col, fingerprint=True).transform(cache_tracked)
     intra = _intra_group_pairs(grp, "jaccard", 1.0)
-    # LSH over distinct shingle sets only, keyed by group representative.
-    # Signature: hash each shingle to int64 once, then derive the H
-    # MinHash functions as xxhash64(seed, base) int permutations — one
-    # string hash per shingle instead of H. The same int-hash array
-    # also backs verification: Jaccard over 64-bit hashed shingles
-    # equals Jaccard over the shingles themselves up to a ~2⁻⁶⁴
-    # within-pair collision probability, and int array_intersect is
-    # far cheaper than string array_intersect.
-    reps = (
-        grp.select(F.col("__rep").alias(id_col), "__sh")
-        .withColumn("__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))")))
-        .select(id_col, "__hs")
-        .transform(cache_tracked)
-    )
-    # Signature + band keys in one Arrow numpy kernel. The hash family
-    # only has to be a good uniform 64-bit family — candidates are
-    # verified with EXACT Jaccard below and the oracle computes exact
-    # pairs, so swapping the interpreted per-(seed, shingle) xxhash64
-    # lambdas (~32M evals at sf0.1, the pipeline's dominant CPU cost)
-    # for vectorized splitmix64 mixing changes only the (provably
-    # ~1-1e-15 recall) candidate set, not the result.
-    banded = reps.select(
-        id_col,
-        F.size("__hs").alias("__len"),
-        F.posexplode(
-            _minhash_band_kernel(num_hashes, bands)("__hs")
-        ).alias("band", "bkey"),
-    )
-    # Cached: the bucket-size guard and BOTH sides of the bucket
-    # self-join consume this frame — uncached, the signature kernel
-    # runs three times.
-    banded = banded.transform(cache_tracked)
-    big = (
-        banded.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "bkey")
-    )
-    banded = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    ba = banded.select(F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey")
-    bb = banded.select(F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey")
-    # size filter: J(x,y) ≥ t ⇒ t·|x| ≤ |y| — prunes size-incompatible
-    # collisions before the distinct (no recall loss), which is most of
-    # the candidate volume on self-similar corpora.
-    cands = (
-        ba.join(bb, ["band", "bkey"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
-            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = reps.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
-    b = reps.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
-    rep_pairs = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
-        .withColumn(
-            "jaccard",
-            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    reps = _hashed_reps(grp, id_col)
+    rep_pairs = _rep_neardup_edges(
+        reps, id_col, threshold, num_hashes, bands, max_bucket
     )
     cross = _expand_rep_pairs(rep_pairs, grp, ["jaccard"])
     return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
@@ -644,24 +698,11 @@ def minhash_build_index(
         raise ValueError("num_hashes must be divisible by bands")
     sh = _shingled(base, id_col, text_col, n).filter(F.size("__sh") > 0)
     grp = cache_tracked(_collapse_identical(sh, id_col, fingerprint=True))
-    reps = cache_tracked(
-        grp.select(F.col("__rep").alias(id_col), "__sh")
-        .withColumn(
-            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
-        )
-        .select(id_col, "__hs")
-    )
-    banded = reps.select(
-        id_col,
-        F.size("__hs").alias("__len"),
-        F.posexplode(
-            _minhash_band_kernel(num_hashes, bands)("__hs")
-        ).alias("band", "bkey"),
-    )
+    reps = _hashed_reps(grp, id_col)
     return {
         "grp": grp.select("__rep", "__members"),
         "reps": reps,
-        "banded": banded,
+        "banded": _banded(reps, id_col, num_hashes, bands),
     }
 
 
@@ -688,58 +729,26 @@ def minhash_probe_index(
     Identical shingle sets produce identical signatures, so they
     collide in EVERY band: exact-duplicate deltas (intra-delta groups,
     or a delta group equal to an indexed group) are caught
-    deterministically. Candidates are verified with exact Jaccard.
+    deterministically. Candidate/guard/verify logic is the shared
+    ``_rep_neardup_edges`` (probe × universe form).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     d = minhash_build_index(delta, id_col, text_col, n, num_hashes, bands)
     grp_d, reps_d = d["grp"], d["reps"]
     probe = cache_tracked(d["banded"])
-    idx = index["banded"]
     intra = _intra_group_pairs(grp_d, "jaccard", 1.0)
 
-    union_b = idx.unionByName(probe)
-    big = (
-        union_b.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "bkey")
-    )
-    probe_g = probe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    union_g = union_b.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-
-    pa = probe_g.select(
-        F.col(id_col).alias("__pa"), F.col("__len").alias("__la"), "band", "bkey"
-    )
-    pb = union_g.select(
-        F.col(id_col).alias("__pb"), F.col("__len").alias("__lb"), "band", "bkey"
-    )
-    cands = (
-        pa.join(pb, ["band", "bkey"])
-        .filter(
-            (F.col("__pa") != F.col("__pb"))
-            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
-            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
-        )
-        .select(
-            F.least("__pa", "__pb").alias("id_a"),
-            F.greatest("__pa", "__pb").alias("id_b"),
-        )
-        .distinct()
-    )
-    sets = index["reps"].unionByName(reps_d)
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
-    rep_pairs = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
-        .withColumn(
-            "jaccard",
-            F.col("__i") / (F.size("__ha") + F.size("__hb") - F.col("__i")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    rep_pairs = _rep_neardup_edges(
+        reps_d,
+        id_col,
+        threshold,
+        num_hashes,
+        bands,
+        max_bucket,
+        reps_universe=index["reps"].unionByName(reps_d),
+        banded_probe=probe,
+        banded_universe=index["banded"].unionByName(probe),
     )
     grp_all = index["grp"].unionByName(grp_d)
     cross = _expand_rep_pairs(rep_pairs, grp_all, ["jaccard"])
@@ -783,10 +792,11 @@ def minhash_neardup_clusters(
     """(id, canonical) near-dup clusters WITHOUT materializing the
     quadratic pair report: label propagation runs on the collapsed
     REPRESENTATIVE graph (one node per distinct shingle set, verified
-    rep-level edges), and every member inherits its representative's
-    component label. Output and all intermediate state are linear in
-    documents — on a corpus with a 10k-copy viral document the pair
-    report is ~50M rows, the cluster report is 15k.
+    rep-level edges from the shared ``_rep_neardup_edges``), and every
+    member inherits its representative's component label. Output and
+    all intermediate state are linear in documents — on a corpus with
+    a 10k-copy viral document the pair report is ~50M rows, the
+    cluster report is 15k.
 
     Each group's representative is its min id and the component label
     is the min representative, so the inherited label equals the min
@@ -797,60 +807,12 @@ def minhash_neardup_clusters(
         raise ValueError("num_hashes must be divisible by bands")
     sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
     grp = cache_tracked(_collapse_identical(sh, id_col, fingerprint=True))
-    reps = cache_tracked(
-        grp.select(F.col("__rep").alias(id_col), "__sh")
-        .withColumn(
-            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
-        )
-        .select(id_col, "__hs")
-    )
-    banded = cache_tracked(
-        reps.select(
-            id_col,
-            F.size("__hs").alias("__len"),
-            F.posexplode(
-                _minhash_band_kernel(num_hashes, bands)("__hs")
-            ).alias("band", "bkey"),
-        )
-    )
-    big = (
-        banded.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "bkey")
-    )
-    banded_g = banded.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    ba = banded_g.select(
-        F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey"
-    )
-    bb = banded_g.select(
-        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey"
-    )
-    cands = (
-        ba.join(bb, ["band", "bkey"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
-            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = reps.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
-    b = reps.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
-    rep_edges = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
-        .filter(
-            F.col("__i")
-            / (F.size("__ha") + F.size("__hb") - F.col("__i"))
-            >= threshold
-        )
-        .select("id_a", "id_b")
-    )
+    reps = _hashed_reps(grp, id_col)
+    rep_edges = _rep_neardup_edges(
+        reps, id_col, threshold, num_hashes, bands, max_bucket
+    ).select("id_a", "id_b")
     comp = connected_components(
-        reps.select(F.col(id_col).alias("node")).select("node"),
+        reps.select(F.col(id_col).alias("node")),
         rep_edges,
         node_col="node",
         max_iter=max_iter,
