@@ -142,6 +142,7 @@ def bpe_pair_merge_rounds(
     text_col: str = "text",
     rounds: int = 2,
     topn: int = 10,
+    probe=None,
 ) -> DataFrame:
     """Learn `rounds` BPE merges; report each round's top-`topn` pair
     counts (the table a tokenizer trainer would inspect).
@@ -150,10 +151,24 @@ def bpe_pair_merge_rounds(
     rank is by (cnt desc, sym1 asc, sym2 asc). Round r counts are
     taken BEFORE round r's merge is applied (so round 1 rank 1 is the
     first merge learned, round 2 rank 1 the second, …).
+
+    `probe(round, sym)` — optional observer invoked with each round's
+    post-checkpoint symbol frame; lets tests assert the lineage bound
+    on the REAL loop instead of a mirror of it.
     """
     sym = _initial_symbols(_word_types(docs, text_col))
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
+        if r > 1:
+            # truncate per-round lineage like connected_components does:
+            # without this the plan (and closure serialization / analysis
+            # time) grows linearly with rounds, and a production tokenizer
+            # run (30k merges) would be lineage-bound long before it was
+            # compute-bound. localCheckpoint materializes the word-type
+            # symbol table — vocabulary-sized, not corpus-sized.
+            sym = sym.localCheckpoint(eager=True)
+        if probe is not None:
+            probe(r, sym)
         # used twice per round (top-n report + argmax for the merge)
         pairs = cache_tracked(_pair_counts(sym))
         # distributed top-n: orderBy+limit is TakeOrderedAndProject
@@ -197,7 +212,10 @@ def bpe_encode_token_counts(
     shrinking as merges land.
     """
     sym = _initial_symbols(_word_types(docs, text_col))
-    for _ in range(merges):
+    for i in range(merges):
+        if i > 0:
+            # per-round lineage truncation — see bpe_pair_merge_rounds
+            sym = sym.localCheckpoint(eager=True)
         pairs = cache_tracked(_pair_counts(sym))
         sym = _merge(sym, _best_pair(pairs))
     nsym = sym.groupBy("word").agg(F.count("*").alias("n_sym"))

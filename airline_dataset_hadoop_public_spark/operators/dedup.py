@@ -630,8 +630,6 @@ def simhash_pairs(
     per chunk, then exact popcount verification. (Manku/Jain/Sarma,
     WWW'07 — the standard web-scale simhash dedup layout.)
     """
-    chunks = max_distance + 1
-    width = 64 // chunks
     sigs = simhash_signature(df, id_col, text_col, n, portable_hash=portable_hash)
     # Collapse identical signatures: distance is a pure function of the
     # signature, so candidate generation runs once per distinct value
@@ -641,6 +639,23 @@ def simhash_pairs(
         "distance", F.col("distance").cast("long")
     )
     reps = grp.select(F.col("__rep").alias(id_col), "simhash")
+    rep_pairs = _simhash_rep_edges(reps, id_col, max_distance, max_bucket)
+    cross = _expand_rep_pairs(rep_pairs, grp, ["distance"])
+    return intra.select("id_a", "id_b", "distance").unionByName(cross)
+
+
+def _simhash_rep_edges(
+    reps: DataFrame,
+    id_col: str,
+    max_distance: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Verified (id_a < id_b, distance ≤ k) pairs over REPRESENTATIVE
+    signatures — the shared candidate/guard/verify stage behind both
+    the pair report (simhash_pairs) and the cluster report
+    (simhash_clusters), mirroring ``_rep_neardup_edges`` for minhash."""
+    chunks = max_distance + 1
+    width = 64 // chunks
     chunked = reps.select(
         id_col,
         "simhash",
@@ -675,8 +690,52 @@ def simhash_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
     )
-    cross = _expand_rep_pairs(rep_pairs, grp, ["distance"])
-    return intra.select("id_a", "id_b", "distance").unionByName(cross)
+    return rep_pairs
+
+
+def simhash_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    max_distance: int = 3,
+    max_bucket: int = 20_000,
+    portable_hash: bool = False,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, canonical) SimHash near-dup clusters WITHOUT materializing
+    the quadratic pair report — the dedup ACTION a 100 TB corpus runs.
+
+    Label propagation runs on the collapsed SIGNATURE graph (one node
+    per distinct 64-bit signature's representative, verified rep-level
+    edges from the shared ``_simhash_rep_edges``); members inherit the
+    representative's component label, so state and output stay linear
+    in documents even when one document has millions of copies.
+    Mirrors ``minhash_neardup_clusters``: each group's representative
+    is its min id and the component label is the min representative,
+    so the inherited label equals the min doc id over the cluster —
+    the same contract as CC over the expanded pair graph.
+    """
+    sigs = simhash_signature(df, id_col, text_col, n, portable_hash=portable_hash)
+    grp = cache_tracked(_collapse_identical(sigs, id_col, key="simhash"))
+    reps = grp.select(F.col("__rep").alias(id_col), "simhash")
+    rep_edges = _simhash_rep_edges(reps, id_col, max_distance, max_bucket).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(
+        reps.select(F.col(id_col).alias("node")),
+        rep_edges,
+        node_col="node",
+        max_iter=max_iter,
+    )
+    return (
+        grp.select(F.col("__rep").alias("node"), "__members")
+        .join(comp, "node")
+        .select(
+            F.explode("__members").alias(id_col),
+            F.col("component").alias("canonical"),
+        )
+    )
 
 
 def minhash_build_index(

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def point_in_interval_join(
@@ -109,12 +110,11 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None)
         .cast(
-            "struct<"
-            + ", ".join(
-                f"{c}: {right.schema[c].dataType.simpleString()}"
-                for c in payload
+            # programmatic StructType, not a DDL string: payload names
+            # needing quoting (spaces, dots, hyphens) stay intact
+            StructType(
+                [StructField(c, right.schema[c].dataType) for c in payload]
             )
-            + ">"
         )
         .alias("__p"),
     )

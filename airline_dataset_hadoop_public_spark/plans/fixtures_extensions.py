@@ -191,6 +191,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash dedup ACTION (r3): clusters without the quadratic pair
+# report — label propagation on the collapsed signature graph, members
+# inherit the label (mirrors dedup_connected_canonical's minhash
+# path). Oracle: the portable md5 signature pipeline + all-pairs
+# Hamming ≤ 3 ground-truth edges + recursive-CTE component fixpoint;
+# docs with no tokens are singleton components (reach seeds all docs).
+_SIMHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, UNNEST(list_distinct({_W})) AS tok
+  FROM documents WHERE len({_W}) > 0),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+@register("dedup_simhash_clusters", _SIMHASH_CLUSTERS_ORACLE)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.simhash_clusters(
+        docs, "doc_id", "text", n=1, max_distance=3, portable_hash=True
+    ).select("doc_id", F.col("canonical").alias("canonical_id"))
+    singletons = (
+        docs.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return clusters.unionByName(singletons)
+
+
 _EMB_NEARDUP_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -38,48 +38,46 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# The driver verifies a prefix window of the registry (r01 checked the
-# first 50 of 115 in registration order), so exposure order is a
-# coverage decision, not cosmetics. Round-robin: families with no
-# CORRECTNESS row yet go first; families fully green in the previous
-# round go last. Names in _PINNED_FIRST jump the queue (e.g. a query
-# whose oracle was red last round and must re-verify).
-_PINNED_FIRST: list[str] = [
-    "tpch_q12_priority_late_shipping",  # r01 hash mismatch (oracle cast fix)
-    "tpch_q19_disjunctive_brand_revenue",  # r01: outside checked window
-    "tpch_q22_dormant_rich_customers",  # r01: outside checked window
-]
-
-_MODULE_ORDER: list[str] = [
-    "fixtures_ingest",  # S1-S4 CSV path: first driver exposure
-    "fixtures_extensions",  # dedup / similarity / text / multimodal
-    "fixtures_streaming",
-    "fixtures_product_analytics",
-    "fixtures_training_prep",
-    "fixtures_ingest_extra",  # r2 additions: json + malformed-drop
-    "fixtures_timeseries",
-    "fixtures_tpch_wave2",
-    "fixtures_tpch_wave3",
-    "fixtures_tpch_extra",  # green r01 (minus pinned q12)
-    "fixtures_parity",  # green r01
-    "fixtures_analytics",  # green r01
-]
+# The driver verifies a prefix window of the registry (50 queries per
+# round), so exposure order is a coverage decision, not cosmetics.
+# Mechanical packer: queries with no driver-green CORRECTNESS row yet
+# (plans/driver_history.py, regenerated each round by
+# scripts/update_driver_history.py) go first, dealt round-robin across
+# fixture modules — breadth before depth, so every never-verified
+# family lands inside the window before any family gets a second slot.
+# Modules with more unverified queries enter the robin first, so the
+# window's partial last cycle favors the deepest backlogs. Names in
+# _PINNED_FIRST jump the queue (e.g. a query whose oracle was red last
+# round and must re-verify). Already-verified queries close the list
+# in registration order.
+_PINNED_FIRST: list[str] = []
 
 
 def _ordered() -> list[tuple[str, QueryDef]]:
-    def key(item: tuple[str, QueryDef]) -> tuple[int, int]:
-        name, d = item
-        if name in _PINNED_FIRST:
-            return (0, _PINNED_FIRST.index(name))
-        try:
-            fam = _MODULE_ORDER.index(d.module)
-        except ValueError:
-            fam = len(_MODULE_ORDER)
-        return (1 + fam, 0)
+    from .driver_history import DRIVER_VERIFIED
 
     items = list(REGISTRY.items())
-    # stable sort keeps registration order within each family
-    return sorted(items, key=key)
+    pinned = [it for it in items if it[0] in _PINNED_FIRST]
+    pinned.sort(key=lambda it: _PINNED_FIRST.index(it[0]))
+    rest = [it for it in items if it[0] not in _PINNED_FIRST]
+
+    fresh: dict[str, list[tuple[str, QueryDef]]] = {}
+    verified: list[tuple[str, QueryDef]] = []
+    for name, d in rest:  # registration order preserved within buckets
+        if name in DRIVER_VERIFIED:
+            verified.append((name, d))
+        else:
+            fresh.setdefault(d.module, []).append((name, d))
+
+    # deepest-backlog modules first; module name breaks ties stably
+    queues = sorted(fresh.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    robin: list[tuple[str, QueryDef]] = []
+    while any(q for _, q in queues):
+        for _, q in queues:
+            if q:
+                robin.append(q.pop(0))
+
+    return pinned + robin + verified
 
 
 def queries() -> dict[str, QueryFn]:

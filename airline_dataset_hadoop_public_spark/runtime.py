@@ -20,6 +20,8 @@ queries.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 
 # Strong references on purpose: the persisted blocks live in the JVM
@@ -54,8 +56,6 @@ def release_caches() -> int:
 # Shared scratch-mirror conventions (stream mirrors, persisted indexes,
 # sink roots). One definition so every fixture invalidates the same way.
 # ---------------------------------------------------------------------------
-
-import os as _os
 
 
 def scratch_dir(*parts: str) -> str:

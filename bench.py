@@ -117,6 +117,8 @@ def main() -> None:
         "events_holt_level_trend",
         "parts_itemitem_cf_topk",
         "docs_source_quality_report",
+        # r3 additions
+        "dedup_simhash_clusters",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
@@ -131,6 +133,17 @@ def main() -> None:
             qs[name](spark, warm_sf).count()
         except Exception:
             pass  # a warmup failure must not break the measured run
+    # Persisted-index fixtures: materialize their index at the
+    # MEASURED sf during warmup. On a cold scratch dir, pass 1 would
+    # otherwise pay the one-time index build; min-of-2 hides that only
+    # when pass 2 lands, and the recorded number should be the
+    # production per-batch probe cost either way.
+    for name in ("dedup_minhash_incremental",):
+        if name in names:
+            try:
+                qs[name](spark, sf_dir).count()
+            except Exception:
+                pass
     # drop warmup cache entries (the dedup operators cache their
     # collapsed-group frames) so the measured run starts clean
     spark.catalog.clearCache()

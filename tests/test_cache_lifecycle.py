@@ -14,13 +14,17 @@ from conftest import SF_SMOKE
 from airline_dataset_hadoop_public_spark.runtime import cache_tracked, release_caches
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_ids(spark) -> set:
+    """Ids of currently pinned RDDs. Set-based comparisons (new - base)
+    keep the assertions immune to the ContextCleaner asynchronously
+    GCing localCheckpoint RDDs left over from OTHER tests mid-test —
+    absolute counts flaked exactly that way."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
 def test_release_after_cached_dedup_query(spark):
     release_caches()  # start clean regardless of test ordering
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     from airline_dataset_hadoop_public_spark.plans.fixtures_extensions import (
         dedup_minhash_neardup,
         text_winnowing_overlap,
@@ -28,24 +32,24 @@ def test_release_after_cached_dedup_query(spark):
 
     dedup_minhash_neardup(spark, SF_SMOKE).count()
     text_winnowing_overlap(spark, SF_SMOKE).count()
-    assert _n_persistent(spark) > base  # the plans do cache
+    assert _persistent_ids(spark) - base  # the plans do cache
     release_caches()
-    assert _n_persistent(spark) == base  # ...and release fully
+    assert not (_persistent_ids(spark) - base)  # ...and release fully
 
 
 def test_entry_wrapper_releases_between_queries(spark):
     import __spark_entry__ as e
 
     release_caches()
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     qs = e.queries()
     qs["dedup_simhash"](spark, SF_SMOKE).count()
-    assert _n_persistent(spark) > base
+    assert _persistent_ids(spark) - base
     # running the NEXT query through the wrapper frees the previous one
     qs["g1q1_top10_popularity"](spark, SF_SMOKE).count()
-    assert _n_persistent(spark) <= base + 1  # only simhash's successor, if any
+    assert len(_persistent_ids(spark) - base) <= 1  # only simhash's successor, if any
     release_caches()
-    assert _n_persistent(spark) == base
+    assert not (_persistent_ids(spark) - base)
 
 
 def test_cache_tracked_is_reusable_after_release(spark):

