@@ -157,7 +157,11 @@ def test_winnowing_kernel_is_arrow_and_scan_pruned(spark, qs):
     """The r2 vectorized kernels must stay Arrow-batched (ArrowEvalPython,
     never row-at-a-time BatchEvalPython) and must not widen the scan:
     only (doc_id, text) feed the winnowing pipeline."""
-    plan = _plan(qs["text_winnowing_fingerprints"](spark, SF))
+    from airline_dataset_hadoop_public_spark.plans.fixtures_extensions import (
+        text_winnowing_fingerprints,
+    )
+
+    plan = _plan(text_winnowing_fingerprints(spark, SF))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     read = plan.split("ReadSchema")[1].splitlines()[0]
