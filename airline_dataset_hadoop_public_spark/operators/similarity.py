@@ -296,6 +296,37 @@ def cosine_pairs_within_cells(
     )
 
 
+def semantic_dedup_flags(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (cluster-then-prune, the
+    layout of Abbas et al. 2023, arXiv:2303.09540): within each
+    nearest-centroid cell, a vector is DROPPED when a smaller-id
+    vector in the same cell sits above the cosine threshold — the
+    min-id neighborhood representative survives.
+
+    Output: (id, dropped) for EVERY input vector — the linear-output
+    dedup action (the pair report stays quarantined in
+    ``cosine_pairs_within_cells``). All state is bounded by the
+    in-cell pair set; the drop set is a distinct projection of it.
+    """
+    pairs = cosine_pairs_within_cells(
+        vectors, centroids, id_col, vec_col, threshold
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return vectors.select(id_col).join(dropped, id_col, "left").select(
+        id_col, F.coalesce("__drop", F.lit(False)).alias("dropped")
+    )
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

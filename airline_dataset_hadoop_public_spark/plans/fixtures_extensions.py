@@ -285,6 +285,34 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_within_cells(emb, centroids, threshold=0.4)
 
 
+# SemDeDup decision (r3): the linear-output semantic-dedup ACTION on
+# top of the in-cell pair machinery — every vector flagged kept/dropped
+# (dropped ⇔ a smaller-id in-cell sibling above the cosine threshold).
+_SEMANTIC_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+SELECT e.vec_id, (e.vec_id IN (SELECT vec_id FROM dropped)) AS dropped
+FROM e
+"""
+
+
+@register("dedup_semantic_keeplist", _SEMANTIC_DEDUP_ORACLE)
+def dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return S.semantic_dedup_flags(emb, centroids, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -603,3 +603,138 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(F.round(F.expr(dot), 4).alias(f"p{j}"))
     return emb.select("vec_id", *outs)
+
+
+# ---------------------------------------------------------------------------
+# Epoch reshuffle + shard assignment (r3) — the training-order step of
+# a data pipeline: a deterministic seeded global shuffle expressed as
+# ordering by a portable per-(epoch, doc) hash, then shard = hash mod
+# n_shards and pos = rank within the shard. At 100 TB this is ONE
+# shuffle (the repartition+sort a data loader's shard files need);
+# no RNG state, so any epoch's order is reproducible from (seed).
+# ---------------------------------------------------------------------------
+
+_N_SHARDS, _EPOCH_SEED = 8, "ep1"
+
+_RESHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id,
+       hv % {_N_SHARDS} AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("docs_epoch_reshuffle_shards", _RESHUFFLE_ORACLE)
+def docs_epoch_reshuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(
+        f"CAST(conv(substring(md5('{_EPOCH_SEED}:' || CAST(doc_id AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    h = docs.select("doc_id", hv.alias("hv")).withColumn(
+        "shard_id", F.col("hv") % _N_SHARDS
+    )
+    w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (r3) — "take the best documents until
+# the token budget is spent": rank by an INTEGER quality key
+# (stopword-ratio basis points, §G discipline — float ranks diverge
+# between engines) with an md5 tie-break, select every doc whose
+# global running token total fits the budget. Scale shape: the
+# running total decomposes through a ~10k-row quality-bucket
+# dimension (broadcast) — full buckets are decided by the bucket
+# cumsum alone, and only the single boundary bucket runs a per-doc
+# prefix window. No global sort of the corpus.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 20_000
+
+_BUDGET_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(floor(10000.0 * len(list_filter(w, x -> x IN ({{stoplist}})))
+                    / len(w)) AS BIGINT) AS q_bp,
+         md5(CAST(doc_id AS VARCHAR)) AS tie
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) > 0)
+SELECT doc_id, n_tokens, q_bp,
+       (SUM(n_tokens) OVER (ORDER BY q_bp DESC, tie, doc_id)
+        <= {_BUDGET_TOKENS}) AS selected
+FROM f
+"""
+
+
+from ..operators.text import STOPWORDS_EN as _STOPWORDS_EN
+
+
+@register(
+    "corpus_token_budget_select",
+    _BUDGET_ORACLE.format(
+        stoplist=", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+    ),
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+    feat = (
+        "transform(array(split(lower(trim(text)), '\\\\s+')), toks -> struct("
+        "CAST(size(toks) AS BIGINT) AS n_tokens, "
+        f"size(filter(toks, t -> t IN ({stop}))) AS stop_hits))[0]"
+    )
+    f = (
+        docs.withColumn("__f", F.expr(feat))
+        .filter(F.col("__f.n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("__f.n_tokens").alias("n_tokens"),
+            F.floor(
+                10000.0 * F.col("__f.stop_hits") / F.col("__f.n_tokens")
+            ).cast("long").alias("q_bp"),
+            F.md5(F.col("doc_id").cast("string")).alias("tie"),
+        )
+    )
+    # bucket dimension: total tokens per quality value, cumsum of the
+    # STRICTLY better buckets (tiny table — the global window is over
+    # ≤10001 rows, never the corpus)
+    buckets = (
+        f.groupBy("q_bp")
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("__btot").over(
+                    Window.orderBy(F.desc("q_bp")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    j = f.join(F.broadcast(buckets), "q_bp")
+    run = F.col("__before") + F.sum("n_tokens").over(
+        Window.partitionBy("q_bp")
+        .orderBy("tie", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "q_bp",
+        (run <= _BUDGET_TOKENS).alias("selected"),
+    )

@@ -119,6 +119,9 @@ def main() -> None:
         "docs_source_quality_report",
         # r3 additions
         "dedup_simhash_clusters",
+        "dedup_semantic_keeplist",
+        "docs_epoch_reshuffle_shards",
+        "corpus_token_budget_select",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
