@@ -293,3 +293,54 @@ def test_g3q1_fit_comparison_golden(spark):
     # report inf SSE rather than a bogus curve
     assert out["lognormal"]["params"] is None
     assert out["pareto"]["params"] is None
+
+
+def test_semantic_dedup_flags_min_id_survives(spark):
+    """Identical vectors in one cell: only the smallest id is kept;
+    an isolated vector is never dropped."""
+    from airline_dataset_hadoop_public_spark.operators.similarity import (
+        semantic_dedup_flags,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # dup of 1 -> dropped
+        (3, [0.99, 0.01]), # near 1 -> dropped
+        (4, [0.0, 1.0]),   # own cell, isolated -> kept
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = vecs.filter(F.col("vec_id").isin(1, 4))
+    got = {
+        r["vec_id"]: r["dropped"]
+        for r in semantic_dedup_flags(vecs, cents, threshold=0.9).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_token_budget_select_is_prefix_of_quality_order(spark):
+    """The selected set must be exactly the maximal budget-fitting
+    prefix of the (quality desc, md5 tie, doc_id) order — the contract
+    the bucket-decomposed plan must preserve. Recomputed independently
+    in Python from the plan's own output columns on the sf0.001
+    fixture."""
+    import hashlib
+
+    from conftest import SF_SMOKE
+
+    from airline_dataset_hadoop_public_spark.plans import fixtures_training_prep as T
+
+    res = T.corpus_token_budget_select(spark, SF_SMOKE).collect()
+    ordered = sorted(
+        res,
+        key=lambda r: (
+            -r["q_bp"],
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+            r["doc_id"],
+        ),
+    )
+    run, budget = 0, T._BUDGET_TOKENS
+    for r in ordered:
+        run += r["n_tokens"]
+        assert r["selected"] == (run <= budget), r
+    # the fixture budget bites partway through: both outcomes present
+    assert any(r["selected"] for r in res) and not all(r["selected"] for r in res)
