@@ -374,3 +374,133 @@ def test_bpe_relational_merge_matches_greedy_reference(spark, words):
     expect, _ = ref_bpe_learn(words, 2)
     assert got == expect
 
+
+
+# ---------------------------------------------------------------------------
+# r3 decision operators vs plain-Python ground truth
+# ---------------------------------------------------------------------------
+
+_vec_corpus = st.lists(
+    st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+    min_size=2,
+    max_size=14,
+).filter(lambda vs: all(any(x != 0 for x in v) for v in vs))
+
+
+@given(vecs=_vec_corpus)
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_python_reference(spark, vecs):
+    """semantic_dedup_flags == the brute-force rule: assign to argmax-
+    cosine centroid (centroid-id tie-break), drop iff a smaller-id
+    same-cell vector has cosine >= threshold. Integer vectors keep
+    cosine exact enough that no pair sits on the threshold."""
+    import math
+
+    from hypothesis import assume
+
+    from airline_dataset_hadoop_public_spark.operators.similarity import (
+        semantic_dedup_flags,
+    )
+
+    thr = 0.75
+    ids = list(range(1, len(vecs) + 1))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    n_cent = min(2, len(vecs))
+    cents = {i: vecs[i - 1] for i in ids[:n_cent]}
+    # no cosine may sit numerically on the threshold or on an
+    # assignment tie — fold-order ulps would flip the discrete outcome
+    for v in vecs:
+        sims = [cos(v, c) for c in cents.values()]
+        assume(all(abs(s1 - s2) > 1e-9 for i, s1 in enumerate(sims)
+                   for s2 in sims[i + 1:]))
+    assign = {}
+    for i, v in zip(ids, vecs):
+        best = max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        assign[i] = best
+    for i, v in zip(ids, vecs):
+        for j, w in zip(ids, vecs):
+            if i < j and assign[i] == assign[j]:
+                assume(abs(cos(v, w) - thr) > 1e-9)
+    expect = {
+        j: any(
+            i < j and assign[i] == assign[j] and cos(vi, vecs[j - 1]) >= thr
+            for i, vi in zip(ids, vecs)
+        )
+        for j in ids
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["dropped"]
+        for r in semantic_dedup_flags(
+            df, df.filter(F.col("vec_id") <= n_cent), threshold=thr
+        ).collect()
+    }
+    assert got == expect
+
+
+_budget_docs = st.lists(
+    st.integers(0, 3).flatmap(
+        lambda k: st.tuples(st.just(k), st.integers(1, 9))
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_budget_docs)
+@settings(**_SETTINGS)
+def test_token_budget_bucket_decomposition_matches_global_prefix(spark, docs):
+    """The broadcast-bucket decomposition inside corpus_token_budget_select
+    must equal the global 'running total <= B' prefix rule. Exercised on
+    the raw frame shape (q_bp, n_tokens, tie) the plan builds."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    budget = 25
+    rows = [
+        (i + 1, 2500 * q, n, hashlib.md5(str(i + 1).encode()).hexdigest())
+        for i, (q, n) in enumerate(docs)
+    ]
+    # plain-Python global prefix
+    run, expect = 0, {}
+    for doc_id, q_bp, n, tie in sorted(rows, key=lambda r: (-r[1], r[3], r[0])):
+        run += n
+        expect[doc_id] = run <= budget
+    f = spark.createDataFrame(
+        rows, "doc_id long, q_bp long, n_tokens long, tie string"
+    )
+    buckets = (
+        f.groupBy("q_bp")
+        .agg(F.sum("n_tokens").alias("__btot"))
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("__btot").over(
+                    Window.orderBy(F.desc("q_bp")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    runc = F.col("__before") + F.sum("n_tokens").over(
+        Window.partitionBy("q_bp")
+        .orderBy("tie", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["doc_id"]: r["sel"]
+        for r in f.join(F.broadcast(buckets), "q_bp")
+        .select("doc_id", (runc <= budget).alias("sel"))
+        .collect()
+    }
+    assert got == expect
