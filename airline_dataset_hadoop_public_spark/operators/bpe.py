@@ -158,6 +158,7 @@ def bpe_pair_merge_rounds(
     """
     sym = _initial_symbols(_word_types(docs, text_col))
     out: DataFrame | None = None
+    prev_pairs: DataFrame | None = None
     for r in range(1, rounds + 1):
         if r > 1:
             # truncate per-round lineage like connected_components does:
@@ -167,13 +168,23 @@ def bpe_pair_merge_rounds(
             # compute-bound. localCheckpoint materializes the word-type
             # symbol table — vocabulary-sized, not corpus-sized.
             sym = sym.localCheckpoint(eager=True)
+            if prev_pairs is not None:
+                # the checkpoint above materialized everything derived
+                # from the previous round's pair table (its best pair is
+                # baked into sym, its report rows are checkpointed
+                # below) — release it NOW, or a long merge run pins one
+                # vocabulary-sized cache per round for its whole life
+                prev_pairs.unpersist()
         if probe is not None:
             probe(r, sym)
         # used twice per round (top-n report + argmax for the merge)
         pairs = cache_tracked(_pair_counts(sym))
         # distributed top-n: orderBy+limit is TakeOrderedAndProject
         # (per-partition heaps), then the rank window runs on `topn`
-        # rows — never a global sort of the pair table
+        # rows — never a global sort of the pair table. The report rows
+        # (≤ topn) are checkpointed eagerly so the returned union holds
+        # tiny materialized branches, not references to every round's
+        # pair/symbol frames.
         ranked = (
             pairs.orderBy(F.desc("cnt"), F.asc("sym1"), F.asc("sym2"))
             .limit(topn)
@@ -184,10 +195,12 @@ def bpe_pair_merge_rounds(
                 .cast("long"),
             )
             .select(F.lit(r).alias("round"), "rank", "sym1", "sym2", "cnt")
+            .localCheckpoint(eager=True)
         )
         out = ranked if out is None else out.unionByName(ranked)
         if r < rounds:
             sym = _merge(sym, _best_pair(pairs))
+        prev_pairs = pairs
     assert out is not None
     return out
 
@@ -212,12 +225,17 @@ def bpe_encode_token_counts(
     shrinking as merges land.
     """
     sym = _initial_symbols(_word_types(docs, text_col))
+    prev_pairs = None
     for i in range(merges):
         if i > 0:
-            # per-round lineage truncation — see bpe_pair_merge_rounds
+            # per-round lineage truncation + cache release — see
+            # bpe_pair_merge_rounds
             sym = sym.localCheckpoint(eager=True)
+            if prev_pairs is not None:
+                prev_pairs.unpersist()
         pairs = cache_tracked(_pair_counts(sym))
         sym = _merge(sym, _best_pair(pairs))
+        prev_pairs = pairs
     nsym = sym.groupBy("word").agg(F.count("*").alias("n_sym"))
     doc_words = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("word")

@@ -517,6 +517,8 @@ def connected_components(
     1M-long chain at 100 TB would never finish); hook+shortcut is
     O(log diameter) (cf. the MapReduce CC literature, Kiveris et al.).
     Converged when no label changes; `max_iter` is a safety bound.
+    Edge endpoints missing from `nodes` act as relays (labels propagate
+    through them) but are excluded from the output.
     Per-round lineage is truncated with localCheckpoint — without it
     the plan doubles each iteration. The convergence check is a
     driver-side count (one scalar), not a data collect.
@@ -540,14 +542,28 @@ def connected_components(
     )
     spark = nodes.sparkSession
     n_edges = sym.count()
+    # Label seed = declared nodes ∪ edge endpoints: an endpoint the
+    # caller's node table omits must still RELAY labels (without a seed
+    # row its `old` is null, the convergence count ignores it, and the
+    # loop can stop one round early with the relay half-propagated —
+    # splitting a genuinely connected component). The output is
+    # restricted back to the declared node set at the end.
+    declared = nodes.select(F.col(node_col).alias("node"))
+    seed = (
+        declared.unionByName(sym.select(F.col("a").alias("node")))
+        .distinct()
+    )
+    labels = seed.select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    n_nodes = labels.count()
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    target = max(2, min(int(prev), n_edges // 100_000 + 2))
+    # sized by the LARGER of nodes and edges: a sparse graph (many
+    # nodes, few edges) still shuffles the full label table every round
+    target = max(2, min(int(prev), max(n_nodes, n_edges) // 100_000 + 2))
     spark.conf.set(key, str(target))
     try:
-        labels = nodes.select(
-            F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-        ).localCheckpoint(eager=True)
         for _ in range(max_iter):
             # hook: min over self + neighbors
             msgs = sym.join(
@@ -585,7 +601,11 @@ def connected_components(
                 break
     finally:
         spark.conf.set(key, prev)
-    return labels.select("node", F.col("lbl").alias("component"))
+    # undeclared relay endpoints served propagation; only declared
+    # nodes appear in the result
+    return labels.join(declared, "node").select(
+        "node", F.col("lbl").alias("component")
+    )
 
 
 def simhash_signature(

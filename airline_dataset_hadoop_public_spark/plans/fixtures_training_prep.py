@@ -680,6 +680,7 @@ FROM f
 
 
 from ..operators.text import STOPWORDS_EN as _STOPWORDS_EN
+from ..operators.text import _in_list as _stop_in_list
 
 
 @register(
@@ -690,11 +691,12 @@ from ..operators.text import STOPWORDS_EN as _STOPWORDS_EN
 )
 def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    stop = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+    # same let-bound single-tokenization shape as text.quality_scores,
+    # with the stopword membership rendered by the one shared helper
     feat = (
         "transform(array(split(lower(trim(text)), '\\\\s+')), toks -> struct("
         "CAST(size(toks) AS BIGINT) AS n_tokens, "
-        f"size(filter(toks, t -> t IN ({stop}))) AS stop_hits))[0]"
+        f"size(filter(toks, t -> {_stop_in_list('t', _STOPWORDS_EN)})) AS stop_hits))[0]"
     )
     f = (
         docs.withColumn("__f", F.expr(feat))

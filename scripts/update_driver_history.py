@@ -1,10 +1,12 @@
 """Regenerate plans/driver_history.py from the driver's CORRECTNESS files.
 
 Run at the start of each round, after the driver drops CORRECTNESS_r{N}.json
-in the repo root.  A query counts as driver-verified when any round's row
-has no ``err`` and all recorded match flags true.  The registry packer
-(plans/registry.py) then fronts the still-unverified queries so the next
-50-query window adds maximal new evidence.
+in the repo root.  LATEST ROUND WINS per query: a query is
+driver-verified iff its most recent row has no ``err`` and all recorded
+match flags true — a regression in a later round EVICTS the name, so
+the registry packer (plans/registry.py) fronts it again for re-verify
+instead of parking it behind the fresh queries forever.  (A red query
+can also be forced to the head of the window via registry._PINNED_FIRST.)
 
 Usage: python scripts/update_driver_history.py [repo_root]
 """
@@ -33,16 +35,18 @@ def main() -> None:
     root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
-    green: set[str] = set()
+    status: dict[str, bool] = {}
+    # lexicographic order matches round order (zero-padded r{NN});
+    # later files overwrite earlier per-query status
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if row.get("err") is not None:
-                continue
             flags = [v for k, v in row.items() if k.endswith("_match")]
-            if flags and all(flags):
-                green.add(name)
+            status[name] = (
+                row.get("err") is None and bool(flags) and all(flags)
+            )
+    green = {name for name, ok in status.items() if ok}
     out = os.path.join(
         root, "airline_dataset_hadoop_public_spark", "plans", "driver_history.py"
     )

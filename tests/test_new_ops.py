@@ -344,3 +344,19 @@ def test_token_budget_select_is_prefix_of_quality_order(spark):
         assert r["selected"] == (run <= budget), r
     # the fixture budget bites partway through: both outcomes present
     assert any(r["selected"] for r in res) and not all(r["selected"] for r in res)
+
+
+def test_connected_components_relays_through_undeclared_endpoints(spark):
+    """An edge endpoint absent from `nodes` must still relay labels
+    (1-99, 99-5 connects 1 and 5) and must NOT leak into the output."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (5,)], "node long")
+    edges = spark.createDataFrame([(1, 99), (99, 5)], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 5: 1}
