@@ -542,21 +542,11 @@ def connected_components(
     )
     spark = nodes.sparkSession
     n_edges = sym.count()
-    # Label seed = declared nodes ∪ edge endpoints: an endpoint the
-    # caller's node table omits must still RELAY labels (without a seed
-    # row its `old` is null, the convergence count ignores it, and the
-    # loop can stop one round early with the relay half-propagated —
-    # splitting a genuinely connected component). The output is
-    # restricted back to the declared node set at the end.
     declared = nodes.select(F.col(node_col).alias("node"))
-    seed = (
-        declared.unionByName(sym.select(F.col("a").alias("node")))
-        .distinct()
-    )
-    labels = seed.select(
+    labels = declared.select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
-    n_nodes = labels.count()
+    n_nodes = labels.count()  # near-free scan of the materialized RDD
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     # sized by the LARGER of nodes and edges: a sparse graph (many
@@ -595,7 +585,14 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = new_labels.filter(F.col("lbl") < F.col("old")).count()
+            # a node's FIRST appearance (an edge endpoint the caller's
+            # node table omits — old is null) must count as a change:
+            # such relays join the label table mid-run, and stopping
+            # the round they appear would leave their labels
+            # half-propagated (a connected component would split)
+            changed = new_labels.filter(
+                (F.col("lbl") < F.col("old")) | F.col("old").isNull()
+            ).count()
             labels = new_labels.select("node", "lbl")
             if changed == 0:
                 break
