@@ -504,3 +504,61 @@ def test_token_budget_bucket_decomposition_matches_global_prefix(spark, docs):
         .collect()
     }
     assert got == expect
+
+
+_graph = st.tuples(
+    st.integers(2, 18),  # n declared nodes
+    st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=30),
+)
+
+
+@given(g=_graph)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, g):
+    """Pointer-jumping CC vs a plain-Python union-find, on random graphs
+    that include chains, self-loops, duplicate edges, and endpoints
+    OUTSIDE the declared node set (relay semantics: labels propagate
+    through them; output restricted to declared nodes)."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n, edge_list = g
+    declared = list(range(n))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for x in declared:
+        find(x)
+    for a, b in edge_list:
+        union(a, b)
+    # component label = min id in the component (declared OR relay
+    # endpoint) — the operator's min-id contract
+    min_of_root: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        min_of_root[r] = min(min_of_root.get(r, x), x)
+    expect = {x: min_of_root[find(x)] for x in declared}
+
+    nodes = spark.createDataFrame([(i,) for i in declared], "node long")
+    if edge_list:
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    else:
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == expect
