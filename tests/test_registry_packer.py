@@ -1,0 +1,78 @@
+"""Window-packer invariants (plans/registry.py): the driver verifies a
+50-query prefix, so these properties ARE the coverage guarantee —
+pinned here so future registrations can't silently break them."""
+
+from __future__ import annotations
+
+WINDOW = 50
+
+
+def _ordered():
+    from airline_dataset_hadoop_public_spark.plans import registry
+
+    registry._load_all()
+    return registry._ordered()
+
+
+def test_window_is_all_unverified_while_backlog_exceeds_window():
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_VERIFIED,
+    )
+
+    items = _ordered()
+    unverified = [n for n, _ in items if n not in DRIVER_VERIFIED]
+    window = [n for n, _ in items[:WINDOW]]
+    if len(unverified) >= WINDOW:
+        assert all(n not in DRIVER_VERIFIED for n in window)
+    else:
+        # backlog smaller than the window: all of it must be in front
+        assert window[: len(unverified)] == unverified
+
+
+def test_every_backlogged_family_lands_in_the_window():
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_VERIFIED,
+    )
+
+    items = _ordered()
+    backlog_families = {
+        d.module for n, d in items if n not in DRIVER_VERIFIED
+    }
+    window_families = {d.module for _, d in items[:WINDOW]}
+    if len(backlog_families) <= WINDOW:
+        assert backlog_families <= window_families
+
+
+def test_registration_order_is_preserved_within_each_family():
+    from collections import defaultdict
+
+    from airline_dataset_hadoop_public_spark.plans import registry
+
+    registry._load_all()
+    reg_order = defaultdict(list)
+    for n, d in registry.REGISTRY.items():  # dict = registration order
+        reg_order[d.module].append(n)
+    seen = defaultdict(list)
+    for n, d in _ordered():
+        seen[d.module].append(n)
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_VERIFIED,
+    )
+
+    for mod, names in seen.items():
+        # within a family, unverified and verified sublists each keep
+        # registration order (the packer never reorders inside a bucket)
+        unv = [n for n in names if n not in DRIVER_VERIFIED]
+        ver = [n for n in names if n in DRIVER_VERIFIED]
+        ref = reg_order[mod]
+        assert unv == [n for n in ref if n not in DRIVER_VERIFIED]
+        assert ver == [n for n in ref if n in DRIVER_VERIFIED]
+
+
+def test_queries_and_oracles_align():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 150  # the registry never silently shrinks
