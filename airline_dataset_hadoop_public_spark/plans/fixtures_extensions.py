@@ -30,10 +30,8 @@ from ..operators import text as X
 from ..operators.aggregates import avg_by_key
 from ..sources.catalog import load_table
 from ..sources.serving import point_read, write_serving
+from ..runtime import scratch_dir
 from .registry import register
-
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch")
 
 # DuckDB fragments shared by the text oracles.
 _W = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -826,7 +824,7 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, ["c_mktsegment", "o_orderpriority"], "o_totalprice", "avg_price"
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_SCRATCH, "serving", tag, "seg_priority_avg")
+    path = scratch_dir("serving", tag, "seg_priority_avg")
     write_serving(result, path, ["c_mktsegment"])
     return point_read(spark, path, c_mktsegment="BUILDING").select(
         "c_mktsegment", "o_orderpriority", "avg_price"

@@ -202,16 +202,24 @@ GROUP BY w.doc_id
 
 @register("docs_ngram_span_dedup", _SPAN_ORACLE)
 def docs_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _span_report(load_table(spark, sf_dir, "documents"))
+
+
+def _span_report(docs: DataFrame) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty like
+    # DuckDB's generate_series(1, 0) — and its 0 element would crash
+    # slice(t, 0, k). Docs shorter than one window must produce NO
+    # window rows (they then drop from the report on both sides, same
+    # as the oracle's empty wins CTE).
     wins = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.lit(0), F.size("t") - (_WIN_K - 1)),
-                ),
+                F.when(
+                    F.size("t") >= _WIN_K,
+                    F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1)),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
                 lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, _WIN_K))),
             )
         ).alias("wh"),

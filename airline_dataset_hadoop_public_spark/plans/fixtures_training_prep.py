@@ -462,10 +462,11 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_idx, start_tok, chunk_tokens, chunk_text) —
     stride-{_CHUNK_S} windows of {_CHUNK_W} whitespace tokens."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("n"),
+    # one split per row: derive n from the bound array, not a second
+    # independently-evaluated split (CollapseProject would otherwise
+    # tokenize twice in the scan stage)
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
     )
     starts = t.select(
         "doc_id",

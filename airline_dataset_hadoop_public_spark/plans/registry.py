@@ -116,12 +116,13 @@ def _load_all() -> None:
     from . import fixtures_behavior  # noqa: F401
     from . import fixtures_storage  # noqa: F401
     from . import fixtures_streaming2  # noqa: F401
-    try:
-        from . import fixtures_extensions  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import fixtures_streaming  # noqa: F401
-    except ImportError:
-        pass
+    # Unconditional on purpose: neither module has an optional
+    # dependency, and a blanket `except ImportError` here would
+    # silently deregister a whole query family on any transitive
+    # import typo — the driver's rounds would then pass vacuously.
+    # Env-gated registration belongs INSIDE a module, probing the
+    # specific dependency (see fixtures_streaming2._tws_available).
+    from . import fixtures_extensions  # noqa: F401
+    from . import fixtures_streaming  # noqa: F401
+
     _LOADED = True

@@ -360,3 +360,21 @@ def test_connected_components_relays_through_undeclared_endpoints(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 5: 1}
+
+
+def test_ngram_span_dedup_short_docs_produce_no_windows(spark):
+    """Docs with fewer tokens than one window must yield zero window
+    rows, not crash: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    (unlike DuckDB's empty generate_series) and its 0 element would
+    abort slice(). Regression for the r3 review finding."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_resolution import (
+        _span_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h i j k l")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_windows"] for r in _span_report(df).collect()}
+    assert 1 not in got  # short doc: no windows, absent from the report
+    assert got[2] == 12 - 8 + 1
