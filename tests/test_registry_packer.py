@@ -75,4 +75,29 @@ def test_queries_and_oracles_align():
     qs = e.queries()
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 150  # the registry never silently shrinks
+    assert len(qs) >= 175  # the registry never silently shrinks
+    # one sentinel per fixture module: a swallowed import error that
+    # deregistered a whole family must fail HERE, not pass vacuously
+    sentinels = {
+        "ingest_csv_roundtrip",  # fixtures_ingest
+        "ingest_jsonl_roundtrip",  # fixtures_ingest_extra
+        "g1q1_top10_popularity",  # fixtures_parity
+        "events_batch_sessionization",  # fixtures_analytics
+        "tpch_q5_local_supplier_revenue",  # fixtures_tpch_extra
+        "tpch_q7_volume_shipping",  # fixtures_tpch_wave2
+        "tpch_q2_min_cost_supplier",  # fixtures_tpch_wave3
+        "events_cohort_retention",  # fixtures_product_analytics
+        "docs_pack_sequences",  # fixtures_training_prep
+        "events_resample_15m_ffill",  # fixtures_timeseries
+        "warehouse_bucketed_join",  # fixtures_scale_patterns
+        "orders_bloom_semijoin_reduction",  # fixtures_resolution
+        "parts_copurchase_pagerank",  # fixtures_graph
+        "events_type_streaks_udtf",  # fixtures_procedural
+        "corpus_bpe_pair_merge",  # fixtures_corpus_model
+        "events_eventually_follows",  # fixtures_behavior
+        "dedup_minhash_incremental",  # fixtures_storage
+        "dedup_minhash_neardup",  # fixtures_extensions
+        "streaming_tumbling_counts",  # fixtures_streaming
+    }
+    missing = sentinels - set(qs)
+    assert not missing, f"family sentinel(s) vanished: {sorted(missing)}"
