@@ -274,8 +274,15 @@ def cosine_pairs_within_cells(
     are missed); the oracle replicates the identical assignment +
     in-cell pairing, so the gate checks the algorithm.
     """
-    assigned = unit_normalize(
-        assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
+    from ..runtime import cache_tracked
+
+    # both sides of the in-cell self-join read the assignment; without
+    # the cache the nearest-centroid scoring (a vectors x centroids
+    # broadcast loop) runs twice over the full corpus
+    assigned = cache_tracked(
+        unit_normalize(
+            assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
+        )
     )
     a = assigned.select(
         F.col("centroid_id"),
