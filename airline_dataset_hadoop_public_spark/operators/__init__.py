@@ -13,7 +13,12 @@ from .dedup import (
     simhash_signature,
 )
 from .graph import pagerank
-from .lm import bigram_lm_scores, dup_ngram_char_fracs, hashed_ngram_classifier
+from .lm import (
+    bigram_lm_scores,
+    dsir_importance_weights,
+    dup_ngram_char_fracs,
+    hashed_ngram_classifier,
+)
 from .generators import date_series, permutation_triplets
 from .range_join import asof_join, point_in_interval_join
 from .multimodal import extract_byte_features, sample_frames, with_binary_payload
@@ -24,10 +29,12 @@ from .similarity import (
     embedding_cosine_pairs,
     ivf_topk,
     kmeans_fit,
+    mutual_knn_graph,
     pq_adc_topk,
     unit_normalize,
 )
 from .timeseries import ewma_per_key, holt_per_key, resample_ffill
+from .sketches import kmv_distinct_per_key
 from .skew import salted_join
 from .text import (
     bpe_token_counts,
@@ -50,6 +57,7 @@ __all__ = [
     "bpe_encode_token_counts",
     "bpe_pair_merge_rounds",
     "bigram_lm_scores",
+    "dsir_importance_weights",
     "dup_ngram_char_fracs",
     "hashed_ngram_classifier",
     "pagerank",
@@ -83,7 +91,9 @@ __all__ = [
     "embedding_cosine_pairs",
     "ivf_topk",
     "kmeans_fit",
+    "mutual_knn_graph",
     "unit_normalize",
+    "kmv_distinct_per_key",
     "salted_join",
     "bpe_token_counts",
     "fingerprints",

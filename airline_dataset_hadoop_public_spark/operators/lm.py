@@ -208,3 +208,95 @@ def hashed_ngram_classifier(
         )
         .select(F.col("__id").alias(id_col), "n_feats", "p_keep", "keep")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document DSIR importance weights (Data Selection via
+    Importance Resampling, Xie et al. 2023, arXiv:2302.03169): featurize
+    every document as a bag of HASHED unigrams+bigrams, fit target and
+    raw feature distributions with Laplace smoothing, and weight each
+    document by its summed feature log-likelihood ratio
+
+        w(d) = Σ_f n_f(d) · [ln p_target(f) − ln p_raw(f)]
+
+    Documents that look like the `target` slice (a boolean Column over
+    `docs`, e.g. lang == 'en') score high; the resampling step keeps
+    the high-weight tail. This is the hashed-n-gram cheap proxy for
+    model-based quality filtering — the published shape for selecting
+    pretraining data at corpus scale.
+
+    Scale shape: one tokenize+explode pass builds (doc, bucket, n)
+    facts; the two distributions are `buckets`-sized aggregates of that
+    fact (map-side combine); the log-ratio table is broadcast back onto
+    the facts, so the weight is one keyed aggregate per document —
+    no corpus-sized shuffle beyond the feature explode itself. The
+    feature space is fixed at `buckets` regardless of corpus size
+    (that is the point of hashing) and the md5-derived bucket matches
+    the repo's portable-hash convention for engine-identical results.
+
+    Output: (id, is_target, n_feats, dsir_weight) for every document
+    with ≥1 token.
+    """
+    d = cache_tracked(
+        docs.select(
+            F.col(id_col),
+            target.alias("is_target"),
+            tokens(text_col).alias("__t"),
+        ).filter(F.size("__t") > 0)
+    )
+    feats = d.select(
+        id_col,
+        "is_target",
+        F.explode(
+            F.concat(F.col("__t"), word_ngrams("__t", 2))
+        ).alias("__f"),
+    ).withColumn(
+        "__b",
+        F.conv(F.substring(F.md5("__f"), 1, 8), 16, 10).cast("long")
+        % buckets,
+    )
+    doc_feats = feats.groupBy(id_col, "is_target", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    raw = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = (
+        feats.filter("is_target")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    counts = raw.join(tgt, "__b", "left").select(
+        "__b", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
+    )
+    totals = counts.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.col("__tt") + buckets).cast("double")
+            )
+            - F.log(
+                (F.col("__cr") + 1).cast("double")
+                / (F.col("__tr") + buckets).cast("double")
+            )
+        ).alias("__lr"),
+    )
+    return (
+        doc_feats.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum("__n").alias("n_feats"),
+            F.round(F.sum(F.col("__n") * F.col("__lr")), ndigits).alias(
+                "dsir_weight"
+            ),
+        )
+    )

@@ -81,3 +81,31 @@ def scd2_intervals(
         .withColumn("version", F.col("__run").cast("long"))
         .drop("__run")
     )
+
+
+def bin_pack_manifest(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Sorted-scan bin packing over a FILE MANIFEST: walk the files in
+    `order_col` order and start a new output group whenever the bytes
+    accumulated BEFORE a file cross a `target_bytes` boundary — the
+    small-file compaction planner every parquet lake runs (Iceberg's
+    binPack rewrite / Delta OPTIMIZE plan the same greedy shape).
+
+    Emits the input rows with a `compaction_group` id. The unpartitioned
+    running-sum window is deliberate: it ranges over the MANIFEST (one
+    row per file — ~10^5 rows for a 100 TB table at 1 GB files), never
+    over data, so the single-partition sort is metadata-sized. The
+    planner's output feeds a group-keyed rewrite that IS distributed.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(size_col).over(w)
+    return files.withColumn(
+        "compaction_group",
+        F.floor((cum - F.col(size_col)) / F.lit(target_bytes)).cast("long"),
+    )

@@ -591,3 +591,67 @@ def pq_adc_topk(
         .alias("rank"),
         F.round("adc", ndigits).alias("adc_dist"),
     )
+
+
+def mutual_knn_graph(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph within IVF cells: an edge
+    (id_a < id_b, cosine) survives only when each endpoint ranks in
+    the OTHER's in-cell top-k by cosine. The symmetric-kNN graph is
+    the substrate for density/cluster-based curation (it is what
+    SemDeDup-style pruning and graph clustering consume); mutuality is
+    the standard asymmetry filter — hub vectors collect thousands of
+    inbound kNN edges, but only mutual ones survive, which bounds
+    degree by k.
+
+    Scale shape: nearest-centroid assignment (vectors × broadcast
+    centroids), in-cell pair scoring (the same cell-bounded quadratic
+    as cosine_pairs_within_cells), a grouped top-k rank window keyed
+    by source vector, then a self-join of the (n·k)-sized directed
+    edge list with itself reversed — every stage is keyed, bounded,
+    and shuffle-partitioned; nothing is all-pairs across cells.
+    """
+    from ..runtime import cache_tracked
+
+    assigned = cache_tracked(
+        unit_normalize(
+            assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
+        )
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("__vb"),
+    )
+    by_src = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
+    directed = cache_tracked(
+        a.join(b, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("__cos", dot_product("__va", "__vb"))
+        .withColumn("__rn", F.row_number().over(by_src))
+        .filter(F.col("__rn") <= k)
+        .select("src", "dst", "__cos")
+    )
+    reverse = directed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        directed.join(reverse, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            F.round("__cos", ndigits).alias("cosine"),
+        )
+    )

@@ -908,3 +908,42 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph over IVF cells: the symmetric neighbor graph
+# cluster/density curation consumes (degree bounded by k — hub vectors
+# keep only reciprocated edges). Same cell assignment as the IVF
+# near-dup queries; the oracle replicates assignment, per-source
+# in-cell top-k, and the reciprocity join.
+# ---------------------------------------------------------------------------
+
+_MUTUAL_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+nbr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.v, b.v) AS cs
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+topk AS (
+  SELECT src, dst, cs FROM nbr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                             ORDER BY cs DESC, dst) <= 5)
+SELECT t.src AS id_a, t.dst AS id_b, ROUND(t.cs, 4) AS cosine
+FROM topk t JOIN topk r ON r.src = t.dst AND r.dst = t.src
+WHERE t.src < t.dst
+"""
+
+
+@register("embeddings_mutual_knn_graph", _MUTUAL_KNN_ORACLE)
+def embeddings_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return S.mutual_knn_graph(emb, centroids, k=5)

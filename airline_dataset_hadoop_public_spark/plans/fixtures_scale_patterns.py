@@ -648,3 +648,50 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch with built-in error report: per event type, the
+# (k-1)/U_(k) K-Minimum-Values estimate of distinct users next to the
+# exact count. Deterministic given the md5-derived hash, so the
+# ESTIMATOR itself is value-checked by the oracle (HLL's
+# approx_count_distinct can only be range-checked —
+# streaming_approx_distinct_users covers that side). At 100 TB the
+# per-key state is k hashes: mergeable across partitions, days, and
+# engines.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+_KMV_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+           FROM events),
+h AS (SELECT event_type, v,
+             CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS hv
+      FROM d),
+r AS (SELECT event_type, v, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv, v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h),
+kth AS (SELECT event_type, hv, n_exact FROM r
+        WHERE rn = LEAST({_KMV_K}, n_exact)),
+est AS (SELECT event_type, n_exact,
+               CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                    ELSE {_KMV_K - 1}.0
+                         / (CAST(hv AS DOUBLE) / POWER(2.0, 60))
+               END AS e
+        FROM kth)
+SELECT event_type, n_exact,
+       ROUND(e, 4) AS kmv_estimate,
+       ROUND(ABS(e - n_exact) / n_exact, 4) AS rel_err
+FROM est
+"""
+
+
+@register("events_kmv_distinct_users", _KMV_ORACLE)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_per_key(ev, "event_type", "user_id", k=_KMV_K)

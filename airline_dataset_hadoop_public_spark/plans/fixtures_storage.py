@@ -515,3 +515,57 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(publish).withColumn(
         "audit_passed", F.lit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan: derive a monthly file manifest from
+# `orders` (one "file" per order month, bytes estimated at a fixed row
+# width), then greedy sorted-scan bin-packing into ~target-sized
+# compaction groups (operators/relational.py:bin_pack_manifest). The
+# report states, per planned output file: input-file count, total
+# bytes, and the month range it covers — exactly what an Iceberg
+# binPack / Delta OPTIMIZE planner emits before the rewrite jobs
+# launch. The window runs over the manifest (≤ ~100 rows here, ~10^5
+# at 100 TB), never over data.
+# ---------------------------------------------------------------------------
+
+_ROW_BYTES = 128
+_TARGET_BYTES = 256 * 1024
+
+_COMPACTION_ORACLE = f"""
+WITH manifest AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS file_month,
+         COUNT(*) * {_ROW_BYTES} AS bytes
+  FROM orders GROUP BY 1),
+packed AS (
+  SELECT file_month, bytes,
+         CAST(FLOOR((SUM(bytes) OVER (ORDER BY file_month
+                     ROWS UNBOUNDED PRECEDING) - bytes)
+                    / {_TARGET_BYTES}.0) AS BIGINT) AS compaction_group
+  FROM manifest)
+SELECT compaction_group,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(file_month) AS first_month,
+       MAX(file_month) AS last_month
+FROM packed GROUP BY 1
+"""
+
+
+@register("storage_compaction_bin_pack", _COMPACTION_ORACLE)
+def storage_compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import bin_pack_manifest
+
+    orders = load_table(spark, sf_dir, "orders")
+    manifest = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("file_month")
+    ).agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    packed = bin_pack_manifest(
+        manifest, "bytes", "file_month", _TARGET_BYTES
+    )
+    return packed.groupBy("compaction_group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("file_month").alias("first_month"),
+        F.max("file_month").alias("last_month"),
+    )

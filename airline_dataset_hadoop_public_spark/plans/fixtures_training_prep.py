@@ -741,3 +741,61 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_bp",
         (run <= _BUDGET_TOKENS).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): hashed
+# unigram+bigram bag features, Laplace-smoothed target/raw
+# distributions, per-doc summed log-likelihood ratio. Target slice =
+# English documents; a doc's weight says "how target-like is this
+# text" — the resampling step of the published pipeline keeps the
+# high-weight tail. Oracle mirrors tokenization, bigram construction,
+# md5 bucketing, smoothing, and the per-doc sum exactly.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) > 0),
+feats AS (
+  SELECT doc_id, is_target,
+         UNNEST(list_concat(
+           w, [w[i] || ' ' || w[i + 1] for i in range(1, len(w))])) AS f
+  FROM toks),
+b AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % {_DSIR_B} AS bk
+  FROM feats),
+doc_feats AS (
+  SELECT doc_id, is_target, bk, COUNT(*) AS n
+  FROM b GROUP BY 1, 2, 3),
+raw AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY 1),
+tgt AS (SELECT bk, COUNT(*) AS ct FROM b WHERE is_target GROUP BY 1),
+counts AS (
+  SELECT raw.bk, cr, COALESCE(ct, 0) AS ct
+  FROM raw LEFT JOIN tgt ON raw.bk = tgt.bk),
+totals AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM counts),
+ratio AS (
+  SELECT bk,
+         ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {_DSIR_B} AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {_DSIR_B} AS DOUBLE)) AS lr
+  FROM counts CROSS JOIN totals)
+SELECT doc_id, is_target,
+       CAST(SUM(n) AS BIGINT) AS n_feats,
+       ROUND(SUM(n * lr), 4) AS dsir_weight
+FROM doc_feats JOIN ratio USING (bk)
+GROUP BY 1, 2
+"""
+
+
+@register("docs_dsir_importance_weights", _DSIR_ORACLE)
+def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B
+    )

@@ -122,6 +122,11 @@ def main() -> None:
         "dedup_semantic_keeplist",
         "docs_epoch_reshuffle_shards",
         "corpus_token_budget_select",
+        # r3b additions (curation wave)
+        "events_kmv_distinct_users",
+        "storage_compaction_bin_pack",
+        "embeddings_mutual_knn_graph",
+        "docs_dsir_importance_weights",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
