@@ -366,3 +366,71 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("gopher_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap retention: each user's activity compressed to ONE 64-bit
+# presence mask (bit d = active on day d), then day-offset retention
+# read off with pure bitwise ops — popcount(mask & (mask >> d)) counts
+# the user's (day, day+d) active pairs. This is the roaring-bitmap
+# retention layout every large analytics store uses (per-user state is
+# one word; the whole analysis is map-side bit_or + byte-wide
+# arithmetic, no self-join of the fact table — contrast
+# events_cohort_retention, which joins facts to firsts). The 30-day
+# fixture span fits one BIGINT; at production span the mask is an
+# array of words keyed by epoch-week, same algebra per word
+# (the bloom fixture at fixtures_resolution.py:43 shows the multi-word
+# layout).
+# ---------------------------------------------------------------------------
+
+_BITMAP_EPOCH = "2024-01-01"
+
+_BITMAP_RETENTION_ORACLE = f"""
+WITH idx AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_BITMAP_EPOCH}', CAST(ts AS DATE)) AS d
+  FROM events),
+m AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << CAST(d AS INT)) AS mask
+  FROM idx WHERE d >= 0 AND d < 63
+  GROUP BY user_id),
+x AS (
+  SELECT o.d AS offset_days, user_id,
+         mask & (mask >> CAST(o.d AS INT)) AS ov
+  FROM m CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS d) o)
+SELECT offset_days,
+       CAST(COUNT(*) FILTER (WHERE ov <> 0) AS BIGINT) AS n_users_retained,
+       CAST(COALESCE(SUM(bit_count(ov)), 0) AS BIGINT) AS n_day_pairs,
+       ROUND(COUNT(*) FILTER (WHERE ov <> 0)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS retained_user_frac
+FROM x GROUP BY 1
+"""
+
+
+@register("events_bitmap_retention", _BITMAP_RETENTION_ORACLE)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    idx = events.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit(_BITMAP_EPOCH).cast("date")
+        ).alias("d"),
+    ).filter((F.col("d") >= 0) & (F.col("d") < 63))
+    masks = idx.select(
+        "user_id",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))").alias("m"),
+    ).groupBy("user_id").agg(F.bit_or("m").alias("mask"))
+    offsets = spark.range(1, 8).select(F.col("id").cast("int").alias("offset_days"))
+    x = masks.crossJoin(F.broadcast(offsets)).withColumn(
+        "ov", F.expr("mask & shiftright(mask, offset_days)")
+    )
+    return x.groupBy("offset_days").agg(
+        F.count_if(F.col("ov") != 0).alias("n_users_retained"),
+        F.coalesce(F.sum(F.bit_count("ov")), F.lit(0))
+        .cast("long")
+        .alias("n_day_pairs"),
+        F.round(
+            F.count_if(F.col("ov") != 0) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("retained_user_frac"),
+    )

@@ -127,6 +127,7 @@ def main() -> None:
         "storage_compaction_bin_pack",
         "embeddings_mutual_knn_graph",
         "docs_dsir_importance_weights",
+        "events_bitmap_retention",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

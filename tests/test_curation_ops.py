@@ -202,3 +202,46 @@ def test_dsir_ratio_join_is_broadcast(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bucket ratio table broadcast
+
+
+# ---------------------------------------------------------------------------
+# bitmap retention
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_retention_matches_pair_recount(spark):
+    """The bitwise formulation equals the naive (day, day+d) pair count
+    computed from the raw user-day set in plain Python."""
+    import datetime
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_product_analytics import (
+        events_bitmap_retention,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.offset_days: r for r in events_bitmap_retention(spark, sf).collect()
+    }
+    epoch = datetime.date(2024, 1, 1)
+    raw = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    days_by_user: dict[int, set[int]] = {}
+    for r in raw:
+        days_by_user.setdefault(r.user_id, set()).add((r.day - epoch).days)
+    for d in (1, 3, 7):
+        pairs = sum(
+            sum(1 for x in ds if x + d in ds) for ds in days_by_user.values()
+        )
+        retained = sum(
+            1 for ds in days_by_user.values() if any(x + d in ds for x in ds)
+        )
+        assert out[d].n_day_pairs == pairs
+        assert out[d].n_users_retained == retained
+        assert out[d].retained_user_frac == round(
+            retained / len(days_by_user), 4
+        )
