@@ -244,13 +244,11 @@ def dsir_importance_weights(
     Output: (id, is_target, n_feats, dsir_weight) for every document
     with ≥1 token.
     """
-    d = cache_tracked(
-        docs.select(
-            F.col(id_col),
-            target.alias("is_target"),
-            tokens(text_col).alias("__t"),
-        ).filter(F.size("__t") > 0)
-    )
+    d = docs.select(
+        F.col(id_col),
+        target.alias("is_target"),
+        tokens(text_col).alias("__t"),
+    ).filter(F.size("__t") > 0)
     feats = d.select(
         id_col,
         "is_target",
@@ -262,14 +260,19 @@ def dsir_importance_weights(
         F.conv(F.substring(F.md5("__f"), 1, 8), 16, 10).cast("long")
         % buckets,
     )
-    doc_feats = feats.groupBy(id_col, "is_target", "__b").agg(
-        F.count(F.lit(1)).alias("__n")
+    # the ONE fact-sized pass: everything below aggregates doc_feats
+    # (≤ docs × buckets rows), so the tokenize/explode/hash never
+    # re-runs — the distributions are sums of the per-doc counts
+    doc_feats = cache_tracked(
+        feats.groupBy(id_col, "is_target", "__b").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
     )
-    raw = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    raw = doc_feats.groupBy("__b").agg(F.sum("__n").alias("__cr"))
     tgt = (
-        feats.filter("is_target")
+        doc_feats.filter("is_target")
         .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+        .agg(F.sum("__n").alias("__ct"))
     )
     counts = raw.join(tgt, "__b", "left").select(
         "__b", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")

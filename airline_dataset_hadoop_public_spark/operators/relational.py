@@ -86,14 +86,19 @@ def scd2_intervals(
 def bin_pack_manifest(
     files: DataFrame,
     size_col: str,
-    order_col: str,
+    order_cols: str | Sequence[str],
     target_bytes: int,
 ) -> DataFrame:
     """Sorted-scan bin packing over a FILE MANIFEST: walk the files in
-    `order_col` order and start a new output group whenever the bytes
+    `order_cols` order and start a new output group whenever the bytes
     accumulated BEFORE a file cross a `target_bytes` boundary — the
     small-file compaction planner every parquet lake runs (Iceberg's
     binPack rewrite / Delta OPTIMIZE plan the same greedy shape).
+
+    `order_cols` must be a TOTAL order over the manifest (include a
+    tie-break column such as the file path): the ROWS-frame running
+    sum is order-sensitive, so ties would make group assignment
+    nondeterministic across runs and engines.
 
     Emits the input rows with a `compaction_group` id. The unpartitioned
     running-sum window is deliberate: it ranges over the MANIFEST (one
@@ -101,7 +106,8 @@ def bin_pack_manifest(
     over data, so the single-partition sort is metadata-sized. The
     planner's output feeds a group-keyed rewrite that IS distributed.
     """
-    w = Window.orderBy(order_col).rowsBetween(
+    order = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = F.sum(size_col).over(w)

@@ -617,8 +617,6 @@ def mutual_knn_graph(
     edge list with itself reversed — every stage is keyed, bounded,
     and shuffle-partitioned; nothing is all-pairs across cells.
     """
-    from ..runtime import cache_tracked
-
     assigned = cache_tracked(
         unit_normalize(
             assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col

@@ -55,7 +55,15 @@ def kmv_distinct_per_key(
     """
     if k < 2:
         raise ValueError("k must be >= 2 for the (k-1)/U_(k) estimator")
-    d = df.select(key_col, F.col(value_col).cast("string").alias("__v")).distinct()
+    # NULL is not a value: COUNT(DISTINCT) semantics, and Spark's
+    # default NULLS-FIRST ascending sort would otherwise hand rank 1
+    # to the null hash and shift the k-th order statistic off by one
+    # (DuckDB sorts NULLS LAST, so the engines would also disagree)
+    d = (
+        df.select(key_col, F.col(value_col).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
     h = d.withColumn(
         "__hv", F.conv(F.substring(F.md5("__v"), 1, 15), 16, 10).cast("long")
     )

@@ -665,7 +665,7 @@ _KMV_K = 32
 
 _KMV_ORACLE = f"""
 WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
 h AS (SELECT event_type, v,
              CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS hv
       FROM d),

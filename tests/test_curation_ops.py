@@ -86,6 +86,20 @@ def test_kmv_is_mergeable_order_statistic(spark):
     assert out.kmv_estimate == round((k - 1) / (union_kth / 2.0**60), 4)
 
 
+def test_kmv_ignores_null_values(spark):
+    """NULL is not a value (COUNT(DISTINCT) semantics): a null must
+    not occupy a rank slot or shift the k-th order statistic."""
+    k = 4
+    vals = [str(i) for i in range(10)]
+    rows = [Row(k="a", v=v) for v in vals] + [Row(k="a", v=None)]
+    out = kmv_distinct_per_key(
+        spark.createDataFrame(rows, "k string, v string"), "k", "v", k=k
+    ).collect()[0]
+    kth = sorted(_md5_60(v) for v in vals)[k - 1]
+    assert out.n_exact == 10
+    assert out.kmv_estimate == round((k - 1) / (kth / 2.0**60), 4)
+
+
 # ---------------------------------------------------------------------------
 # bin packing
 # ---------------------------------------------------------------------------
