@@ -316,3 +316,66 @@ def ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (Spark 4 native XML source): documents → XML tree
+# (rowTag doc) → explicit-schema read → per-(lang, source) profile
+# with an md5-derived content checksum over (doc_id, text) — the
+# checksum proves the TEXT survived XML escaping byte-for-byte (the
+# interesting failure mode for an XML exchange format; entity escaping
+# of &<>'" and surrounding-whitespace trimming are where naive
+# pipelines corrupt corpora). The oracle computes the same profile
+# straight from the parquet table, so any write/read drift breaks the
+# value hash. ignoreSurroundingSpaces is disabled on read: text is
+# data here, not markup.
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substring(
+              md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))
+            AS BIGINT)) AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("ingest_xml_roundtrip", _XML_ORACLE)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp(sf_dir, "documents_xml")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "corpus")
+        .option("rowTag", "doc")
+        .save(root)
+    )
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        .load(root)
+    )
+    checksum = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), "text")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return raw.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(checksum).cast("long").alias("text_checksum"),
+    )

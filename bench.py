@@ -128,6 +128,7 @@ def main() -> None:
         "embeddings_mutual_knn_graph",
         "docs_dsir_importance_weights",
         "events_bitmap_retention",
+        "ingest_xml_roundtrip",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
