@@ -259,3 +259,60 @@ def test_bitmap_retention_matches_pair_recount(spark):
         assert out[d].retained_user_frac == round(
             retained / len(days_by_user), 4
         )
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_curation_ops_empty_inputs(spark):
+    """Empty frames flow through every r3b operator without error and
+    yield empty results (the all-filtered partition every 100 TB run
+    contains somewhere)."""
+    empty_kv = spark.createDataFrame([], "k string, v string")
+    assert kmv_distinct_per_key(empty_kv, "k", "v", k=4).count() == 0
+
+    empty_manifest = spark.createDataFrame([], "f string, bytes long")
+    assert (
+        bin_pack_manifest(empty_manifest, "bytes", "f", 100).count() == 0
+    )
+
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(_vec_rows([(0, [1.0, 0.0])]))
+    assert mutual_knn_graph(empty_vec, cent, k=2).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    assert (
+        dsir_importance_weights(
+            empty_docs, F.col("lang") == "en", buckets=16
+        ).count()
+        == 0
+    )
+
+
+def test_dsir_no_target_docs_still_scores(spark):
+    """An all-raw corpus (empty target slice) degrades to the uniform
+    Laplace target distribution — weights are finite and defined."""
+    rows = [
+        Row(doc_id=i, text="alpha beta gamma", lang="es") for i in range(6)
+    ]
+    out = dsir_importance_weights(
+        spark.createDataFrame(rows), F.col("lang") == "en", buckets=16
+    ).collect()
+    assert len(out) == 6
+    assert all(r.dsir_weight is not None for r in out)
+
+
+def test_mutual_knn_k_larger_than_cell(spark):
+    """k exceeding the cell population returns the full mutual graph,
+    not an error (every pair is mutual when everyone lists everyone)."""
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2])]
+    emb = spark.createDataFrame(_vec_rows(vecs))
+    cent = spark.createDataFrame(_vec_rows([(0, [1.0, 0.0])]))
+    out = mutual_knn_graph(emb, cent, k=50).collect()
+    assert len(out) == 3  # C(3,2) pairs, all reciprocal
