@@ -316,3 +316,42 @@ def test_mutual_knn_k_larger_than_cell(spark):
     cent = spark.createDataFrame(_vec_rows([(0, [1.0, 0.0])]))
     out = mutual_knn_graph(emb, cent, k=50).collect()
     assert len(out) == 3  # C(3,2) pairs, all reciprocal
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip escaping
+# ---------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_preserves_adversarial_text(spark, tmp_path):
+    """The fixture corpus is plain words, so this pins what it cannot:
+    entity-escaped characters, quotes, unicode, and surrounding
+    whitespace all survive the XML write/read cycle byte-for-byte
+    (ignoreSurroundingSpaces=false, as ingest_xml_roundtrip sets)."""
+    texts = [
+        "a & b < c > d \"quoted\" 'apos'",
+        "  leading and trailing  ",
+        "unicode: é中文 — dash",
+        "&amp; literal entity-looking text &#38;",
+        "tabs\tand  double  spaces",
+        "multi\nline\ntext",
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    path = str(tmp_path / "xmlrt")
+    (
+        spark.createDataFrame(rows)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "corpus")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema("doc_id bigint, text string")
+        .load(path)
+    )
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == {i: t for i, t in enumerate(texts)}
