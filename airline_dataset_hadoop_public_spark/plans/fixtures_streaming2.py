@@ -75,3 +75,73 @@ if _tws_available():  # pragma: no cover - environment-dependent
     register("streaming_tws_running_extremes", _TWS_ORACLE)(
         streaming_tws_running_extremes
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store introspection (Spark 4 `statestore` batch source): run a
+# stateful running-count stream over the events mirror with a
+# PERSISTENT checkpoint, then read the checkpoint's state store back
+# as a batch DataFrame. The operational surface every production
+# streaming deployment needs — "what is in my state right now" for
+# debugging, auditing, and state-size capacity planning — answered
+# without touching the running query. The oracle is exact: a complete
+# running count's state IS the batch aggregate of everything ingested.
+# Checkpoint is cached per source fingerprint (same discipline as the
+# stream mirrors / LSH index): re-invocations skip the drain and only
+# read state; a regenerated corpus invalidates it.
+# ---------------------------------------------------------------------------
+
+_STATE_INTROSPECTION_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def _drained_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import uuid
+
+    from ..runtime import scratch_dir, source_fingerprint
+    from .fixtures_streaming import _events_stream_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    ckpt = scratch_dir("state_ckpt", f"{tag}_{fp}", "running_counts")
+    # ALWAYS resume-and-drain, never short-circuit on a marker: with an
+    # existing checkpoint and no new files this is a no-op incremental
+    # resume (the production micro-batch restart path), and starting a
+    # streaming query is what registers the session's
+    # StateStoreCoordinator — the `statestore` batch source cannot load
+    # state in a session where no streaming query has ever run
+    # (RpcEndpointNotFoundException otherwise).
+    src, schema = _events_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"stateintro_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ckpt
+
+
+@register("streaming_state_introspection", _STATE_INTROSPECTION_ORACLE)
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = _drained_state_checkpoint(spark, sf_dir)
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    # state rows: (key struct, value struct, partition_id) — one per
+    # grouping key, held by whichever shuffle partition owns the key.
+    # The value struct carries the PHYSICAL aggregate name (`count`),
+    # not the plan alias — state schemas outlive query cosmetics.
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

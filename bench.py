@@ -129,6 +129,7 @@ def main() -> None:
         "docs_dsir_importance_weights",
         "events_bitmap_retention",
         "ingest_xml_roundtrip",
+        "streaming_state_introspection",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
