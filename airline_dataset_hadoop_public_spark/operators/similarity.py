@@ -274,8 +274,6 @@ def cosine_pairs_within_cells(
     are missed); the oracle replicates the identical assignment +
     in-cell pairing, so the gate checks the algorithm.
     """
-    from ..runtime import cache_tracked
-
     # both sides of the in-cell self-join read the assignment; without
     # the cache the nearest-centroid scoring (a vectors x centroids
     # broadcast loop) runs twice over the full corpus

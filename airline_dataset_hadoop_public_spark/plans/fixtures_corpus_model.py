@@ -292,11 +292,10 @@ def _docs_bucket_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, obje
 
     from pyspark.sql import functions as F
 
-    from ..runtime import scratch_dir, source_fingerprint
+    from ..runtime import scratch_dir, source_scratch_key
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    path = scratch_dir("stream_src", f"{tag}_{fp}", "documents_buckets")
+    key = source_scratch_key(sf_dir, "documents.parquet")
+    path = scratch_dir("stream_src", key, "documents_buckets")
     docs = load_table(spark, sf_dir, "documents")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):

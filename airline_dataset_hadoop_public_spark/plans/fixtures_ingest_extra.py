@@ -336,7 +336,8 @@ SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(('0x' || substring(
-              md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))
+              md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')),
+              1, 8))
             AS BIGINT)) AS BIGINT) AS text_checksum
 FROM documents
 GROUP BY 1, 2
@@ -365,9 +366,19 @@ def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .load(root)
     )
+    # the XML source reads an empty element back as NULL — fold both
+    # NULL and '' to '' on the checksum input (the oracle's || chain
+    # must do the same, otherwise an empty-text row would null out the
+    # Spark-side term while the oracle contributes a real md5)
     checksum = F.conv(
         F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), "text")),
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.coalesce("text", F.lit("")),
+                )
+            ),
             1,
             8,
         ),

@@ -276,13 +276,12 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     from ..operators import dedup as D
-    from ..runtime import scratch_dir, source_fingerprint
+    from ..runtime import scratch_dir, source_scratch_key
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = source_scratch_key(sf_dir, "documents.parquet")
     # key includes the LSH params: a parameter change must invalidate
     # the persisted index, not silently serve stale buckets
-    path = scratch_dir("minhash_index", f"{tag}_{fp}_n1_h96_b24")
+    path = scratch_dir("minhash_index", f"{key}_n1_h96_b24")
     marker = os.path.join(path, "_READY")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)

@@ -25,7 +25,7 @@ from ..streaming.windows import (
 )
 from .registry import register
 
-from ..runtime import scratch_dir as _scratch_dir, source_fingerprint
+from ..runtime import scratch_dir as _scratch_dir, source_scratch_key
 
 _SCRATCH = _scratch_dir()
 
@@ -38,9 +38,8 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     regenerated fixture corpus invalidates the mirror — a stale mirror
     would silently diverge from the oracle's view of `events`.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    path = os.path.join(_SCRATCH, "stream_src", f"{tag}_{fp}", "events")
+    key = source_scratch_key(sf_dir, "events.parquet")
+    path = os.path.join(_SCRATCH, "stream_src", key, "events")
     marker = os.path.join(path, "_SUCCESS")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.exists(marker):

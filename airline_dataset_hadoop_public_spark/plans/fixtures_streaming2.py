@@ -101,12 +101,9 @@ def _drained_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     import os
     import uuid
 
-    from ..runtime import scratch_dir, source_fingerprint
+    from ..runtime import scratch_dir, source_fingerprint, source_scratch_key
     from .fixtures_streaming import _events_stream_dir
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    ckpt = scratch_dir("state_ckpt", f"{tag}_{fp}", "running_counts")
     # ALWAYS resume-and-drain, never short-circuit on a marker: with an
     # existing checkpoint and no new files this is a no-op incremental
     # resume (the production micro-batch restart path), and starting a
@@ -115,6 +112,17 @@ def _drained_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     # state in a session where no streaming query has ever run
     # (RpcEndpointNotFoundException otherwise).
     src, schema = _events_stream_dir(spark, sf_dir)
+    # The checkpoint key includes the MIRROR's own identity, not just
+    # the corpus fingerprint: a rebuilt mirror (deleted scratch, new
+    # random part-file names) would look like unseen input to a
+    # resumed file stream and double-count every event. Keying on the
+    # mirror's _SUCCESS stamp orphans the old checkpoint instead.
+    mirror_id = source_fingerprint(os.path.join(src, "_SUCCESS"))
+    ckpt = scratch_dir(
+        "state_ckpt",
+        f"{source_scratch_key(sf_dir, 'events.parquet')}_{mirror_id}",
+        "running_counts",
+    )
     stream = spark.readStream.schema(schema).parquet(src)
     name = f"stateintro_{uuid.uuid4().hex[:12]}"
     q = (
@@ -130,6 +138,9 @@ def _drained_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         q.processAllAvailable()
     finally:
         q.stop()
+        # the memory sink is never read (state is read from the
+        # checkpoint) — drop it or each invocation leaks a temp view
+        spark.catalog.dropTempView(name)
     return ckpt
 
 

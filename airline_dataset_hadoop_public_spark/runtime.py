@@ -75,3 +75,14 @@ def source_fingerprint(path: str) -> str:
         return f"{int(st.st_mtime)}_{st.st_size}"
     except OSError:
         return "unknown"
+
+
+def source_scratch_key(sf_dir: str, table_file: str) -> str:
+    """``<sf-tag>_<mtime>_<size>`` cache key for scratch mirrors
+    derived from one fixture table. Every mirror keyed this way is
+    ORPHANED (not corrupted) by a regenerated corpus: the key changes,
+    the old directory is simply never read again. One definition so
+    the stream mirrors, the persisted LSH index, and the state
+    checkpoint can never drift onto different invalidation rules."""
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    return f"{tag}_{source_fingerprint(_os.path.join(sf_dir, table_file))}"
