@@ -562,3 +562,131 @@ def test_connected_components_matches_union_find(spark, g):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r3b curation operators vs plain-Python references
+# ---------------------------------------------------------------------------
+
+_kmv_vals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200)),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=_kmv_vals, k=st.integers(2, 12))
+@settings(**_SETTINGS)
+def test_kmv_matches_python_order_statistic(spark, rows, k):
+    import hashlib
+
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        kmv_distinct_per_key,
+    )
+
+    df = spark.createDataFrame([Row(g=g, v=str(v)) for g, v in rows])
+    got = {
+        r["g"]: (r["n_exact"], r["kmv_estimate"])
+        for r in kmv_distinct_per_key(df, "g", "v", k=k).collect()
+    }
+    by_key = defaultdict(set)
+    for g, v in rows:
+        by_key[g].add(str(v))
+    for g, vals in by_key.items():
+        n = len(vals)
+        if n < k:
+            expect = float(n)
+        else:
+            hs = sorted(
+                int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+                for v in vals
+            )
+            expect = round((k - 1) / (hs[k - 1] / 2.0**60), 4)
+        assert got[g] == (n, expect)
+
+
+_manifest = st.lists(st.integers(1, 400), min_size=1, max_size=40)
+
+
+@given(sizes=_manifest, target=st.integers(50, 300))
+@settings(**_SETTINGS)
+def test_bin_pack_matches_python_greedy(spark, sizes, target):
+    from airline_dataset_hadoop_public_spark.operators.relational import (
+        bin_pack_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [Row(f=f"{i:04d}", b=s) for i, s in enumerate(sizes)]
+    )
+    got = [
+        r["compaction_group"]
+        for r in bin_pack_manifest(df, "b", "f", target)
+        .orderBy("f")
+        .collect()
+    ]
+    cum, expect = 0, []
+    for s in sizes:
+        expect.append(cum // target)
+        cum += s
+    assert got == expect
+
+
+_corpus = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_corpus)
+@settings(**_SETTINGS)
+def test_dsir_matches_python_reference(spark, docs):
+    import hashlib
+    import math
+
+    from airline_dataset_hadoop_public_spark.operators.lm import (
+        dsir_importance_weights,
+    )
+
+    B = 16
+    rows = [
+        Row(doc_id=i, text=" ".join(toks), lang="en" if t else "xx")
+        for i, (toks, t) in enumerate(docs)
+    ]
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_weight"])
+        for r in dsir_importance_weights(
+            spark.createDataFrame(rows), F.col("lang") == "en", buckets=B
+        ).collect()
+    }
+
+    def feats(toks):
+        grams = list(toks) + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        ]
+
+    raw, tgt = defaultdict(int), defaultdict(int)
+    per_doc = {}
+    for i, (toks, is_t) in enumerate(docs):
+        fs = feats(toks)
+        per_doc[i] = (fs, is_t)
+        for b in fs:
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    for i, (fs, _) in per_doc.items():
+        w = sum(
+            math.log((tgt[b] + 1) / (tt + B))
+            - math.log((raw[b] + 1) / (tr + B))
+            for b in fs
+        )
+        assert got[i][0] == len(fs)
+        assert abs(got[i][1] - round(w, 4)) <= 1e-4  # fold-order slack
