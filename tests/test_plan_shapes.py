@@ -219,3 +219,54 @@ def test_ewma_grouped_pandas_variant(spark):
 def test_dq_orphan_check_is_broadcast_anti_join(spark, qs):
     plan = _plan(qs["dq_constraint_report"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# r3b curation-wave plan contracts
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_prunes_scan_to_two_columns(spark, qs):
+    plan = _plan(qs["events_kmv_distinct_users"](spark, SF))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in read and "event_type" in read
+    assert "value" not in read and "props" not in read  # pruned
+
+
+def test_compaction_window_runs_post_aggregate_only(spark, qs):
+    plan = _plan(qs["storage_compaction_bin_pack"](spark, SF))
+    # the SinglePartition exchange must sit ABOVE the manifest
+    # aggregate (window over ~80 rows), never below it (window over
+    # the fact table): after the first HashAggregate in execution
+    # order there is no further SinglePartition exchange
+    single = plan.index("Exchange SinglePartition")
+    first_agg = plan.rindex("HashAggregate")  # deepest = first executed
+    assert single < first_agg  # plan prints top-down: single is above
+
+
+def test_dsir_broadcasts_ratio_table(spark, qs):
+    plan = _plan(qs["docs_dsir_importance_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the tokenize/explode/hash pass materializes once
+    assert "InMemoryTableScan" in plan
+
+
+def test_mutual_knn_caches_and_keys_incell_join(spark, qs):
+    plan = _plan(qs["embeddings_mutual_knn_graph"](spark, SF))
+    assert "InMemoryTableScan" in plan  # assignment + directed edges
+    # the pair join must be KEYED on the cell — never an unkeyed
+    # vectors x vectors product (the centroid-scoring cross join deep
+    # inside the cached assignment is vectors x broadcast centroids,
+    # which is fine; an uncached plan would surface a second one)
+    assert "Join [centroid_id" in plan or "Join [src" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_retention_prunes_scan(spark, qs):
+    plan = _plan(qs["events_bitmap_retention"](spark, SF))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "user_id" in read and "ts" in read
+    assert "props" not in read and "event_type" not in read
+    # offsets dimension joins broadcast, never shuffles the mask table
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
