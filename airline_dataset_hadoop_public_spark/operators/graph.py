@@ -103,3 +103,107 @@ def pagerank(
         contrib.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph, via DEGREE-ORDERED edge orientation (Suri &
+    Vassilvitskii, WWW 2011 — the canonical scalable triangle join).
+
+    Orienting every edge from its lower-(degree, id) endpoint to its
+    higher one bounds each node's out-degree by O(sqrt(m)) regardless
+    of how skewed the raw degree distribution is — the wedge join
+    (out-edges self-joined on their source) is therefore O(m^1.5)
+    total instead of sum(deg^2), which is what makes a hub node with
+    10^6 neighbors survivable at 100 TB. Each triangle is generated
+    exactly once, at its orientation-minimal vertex, then credited to
+    all three corners.
+
+    Output: (node, degree, triangles, clustering) with clustering =
+    2*t / (d*(d-1)) rounded to 4 (0.0 for degree < 2).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    from ..runtime import cache_tracked
+
+    canon = cache_tracked(canon)
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    # orientation key: (degree, id) — a TOTAL order, so in any
+    # triangle the closing edge's direction is fully determined and
+    # the closing join is a pure two-column equi-join (an either-way
+    # OR-join here would plan as a nested loop and sink the scale
+    # story)
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = cache_tracked(
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                ku < kv,
+                F.struct(
+                    F.col("u").alias("a"), F.col("v").alias("b"), kv.alias("kb")
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"), F.col("u").alias("b"), ku.alias("kb")
+                )
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b", "e.kb")
+    )
+    o1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("x"), F.col("kb").alias("kx"))
+    o2 = oriented.select(F.col("a").alias("p"), F.col("b").alias("y"), F.col("kb").alias("ky"))
+    # emit each wedge once, corners ordered by the ORIENTATION key, so
+    # the closing edge (if present) is oriented exactly x' -> y'
+    wedges = o1.join(o2, "p").filter(F.col("kx") < F.col("ky"))
+    closer = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("__hit")
+    )
+    tri = (
+        wedges.join(closer, ["x", "y"])
+        .select("p", "x", "y")
+    )
+    per_node = (
+        tri.select(F.col("p").alias("n"))
+        .unionAll(tri.select(F.col("x").alias("n")))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(0.0),
+                4,
+            ).alias("clustering"),
+        )
+    )

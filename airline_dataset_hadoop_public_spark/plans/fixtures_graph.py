@@ -137,3 +137,50 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") * F.lit(float(n_nodes)), 4).alias("rank_scaled"),
     )
     return scored.orderBy(F.desc("rank_scaled"), "partkey").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts + local clustering coefficient over the co-purchase
+# graph, via degree-ordered orientation (Suri & Vassilvitskii WWW'11):
+# out-degree after orientation is O(sqrt m) even under hub skew, so
+# the wedge join is O(m^1.5) total — the property that keeps a
+# 10^6-neighbor hub survivable. The oracle counts the same triangles
+# naively (id-canonical a<b<c three-way join): orientation is a
+# physical strategy, the triangle set is the logical result. The
+# oracle's naive join is quadratic-in-degree — excluded at sf0.1 like
+# the other all-pairs oracles.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+d AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+per AS (
+  SELECT a AS n FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+pc AS (SELECT n, COUNT(*) AS tri FROM per GROUP BY 1)
+SELECT CAST(d.n AS BIGINT) AS node,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(pc.tri, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(pc.tri, 0) / (d.deg * (d.deg - 1.0))
+                  ELSE 0.0 END, 4) AS clustering
+FROM d LEFT JOIN pc ON pc.n = d.n
+"""
+
+
+@register("parts_copurchase_triangles", _TRIANGLES_ORACLE)
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_counts(edges, "src", "dst")

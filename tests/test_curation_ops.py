@@ -355,3 +355,45 @@ def test_xml_roundtrip_preserves_adversarial_text(spark, tmp_path):
     )
     got = {r.doc_id: r.text for r in back.collect()}
     assert got == {i: t for i, t in enumerate(texts)}
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {1,2,3,4} plus a pendant 5: every K4 vertex closes 3
+    triangles (clustering 1.0), the pendant closes none."""
+    from airline_dataset_hadoop_public_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4] + [Row(src=4, dst=5)]
+    )
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    for n in (1, 2, 3):
+        assert (out[n].degree, out[n].triangles, out[n].clustering) == (3, 3, 1.0)
+    assert (out[4].degree, out[4].triangles) == (4, 3)
+    assert out[4].clustering == 0.5  # 3 of the 6 neighbor pairs close
+    assert (out[5].degree, out[5].triangles, out[5].clustering) == (1, 0, 0.0)
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    """Duplicate and reversed input edges collapse to one undirected
+    edge set; a triangle is never double-counted."""
+    from airline_dataset_hadoop_public_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + tri  # reversed + repeated
+    out = {
+        r.node: r.triangles
+        for r in triangle_counts(
+            spark.createDataFrame([Row(src=a, dst=b) for a, b in noisy])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
