@@ -145,13 +145,16 @@ def triangle_counts(
     )
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
-    # orientation key: (degree, id) — a TOTAL order, so in any
-    # triangle the closing edge's direction is fully determined and
-    # the closing join is a pure two-column equi-join (an either-way
-    # OR-join here would plan as a nested loop and sink the scale
-    # story)
-    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
-    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    # orientation key: (degree, id) packed into ONE BIGINT
+    # (degree << 32 | id) — a TOTAL order, so in any triangle the
+    # closing edge's direction is fully determined and the closing
+    # join is a pure two-column equi-join (an either-way OR-join here
+    # would plan as a nested loop and sink the scale story). The
+    # packed key keeps the wedge shuffle rows narrow; it requires
+    # id < 2^32 and degree < 2^31 — comfortable for any graph whose
+    # ids are dense-ish node numbers (re-key upstream otherwise).
+    ku = F.shiftleft(F.col("du"), 32) + F.col("u")
+    kv = F.shiftleft(F.col("dv"), 32) + F.col("v")
     oriented = cache_tracked(
         canon.join(du, "u")
         .join(dv, "v")
@@ -175,13 +178,13 @@ def triangle_counts(
     o2 = oriented.select(F.col("a").alias("p"), F.col("b").alias("y"), F.col("kb").alias("ky"))
     # emit each wedge once, corners ordered by the ORIENTATION key, so
     # the closing edge (if present) is oriented exactly x' -> y'
-    wedges = o1.join(o2, "p").filter(F.col("kx") < F.col("ky"))
-    closer = oriented.select(
-        F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("__hit")
-    )
-    tri = (
-        wedges.join(closer, ["x", "y"])
-        .select("p", "x", "y")
+    wedges = o1.join(o2, "p").filter(F.col("kx") < F.col("ky")).select("p", "x", "y")
+    closer = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # shuffled HASH join, not sort-merge: the wedge side is O(m^1.5)
+    # rows and sorting it is pure waste — build the hash table on the
+    # edge side (m rows), stream the wedges through it
+    tri = wedges.join(closer.hint("shuffle_hash"), ["x", "y"]).select(
+        "p", "x", "y"
     )
     per_node = (
         tri.select(F.col("p").alias("n"))

@@ -130,7 +130,6 @@ def main() -> None:
         "events_bitmap_retention",
         "ingest_xml_roundtrip",
         "streaming_state_introspection",
-        "parts_copurchase_triangles",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
