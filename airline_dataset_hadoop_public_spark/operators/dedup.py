@@ -495,6 +495,72 @@ def minhash_neardup_pairs(
     return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
+def _cc_local_solve(sym: DataFrame, declared: DataFrame) -> DataFrame:
+    """Single-task union-find over a small symmetrized edge list.
+
+    All edges plus declared-node marker rows hash to ONE constant
+    group, so the solve runs as one ``applyInPandas`` task on an
+    executor (the gate in ``connected_components`` bounds its size).
+    Semantics match the label-propagation loop exactly: undeclared
+    edge endpoints relay connectivity but neither appear in the
+    output nor contribute their ids to labels — the component label
+    is the min DECLARED node id.
+    """
+    node_t = declared.schema["node"].dataType
+    edge_rows = sym.select(
+        F.col("a").cast(node_t).alias("a"),
+        F.col("b").cast(node_t).alias("b"),
+        F.lit(False).alias("declared"),
+    )
+    marker_rows = declared.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(True).alias("declared"),
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"node": [], "component": []})
+        a = pdf["a"].to_numpy()
+        b = pdf["b"].to_numpy()
+        dec = pdf["declared"].to_numpy()
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a) :]
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        # ids are sorted by np.unique, so index order == id order;
+        # attaching the larger root under the smaller keeps every
+        # root the min index (= min id) of its tree
+        for x, y in zip(ia.tolist(), ib.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        di = ia[dec]  # marker rows have a == b == the declared node
+        roots = np.array([find(int(i)) for i in di], dtype=np.int64)
+        lbl = (
+            pd.DataFrame({"r": roots, "id": ids[di]})
+            .groupby("r")["id"]
+            .transform("min")
+        )
+        return pd.DataFrame({"node": ids[di], "component": lbl.to_numpy()})
+
+    t = node_t.simpleString()
+    return (
+        edge_rows.unionByName(marker_rows)
+        .groupBy(F.lit(0).alias("__g"))
+        .applyInPandas(solve, f"node {t}, component {t}")
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -502,11 +568,26 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_solve_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) — min-id label propagation with pointer
     jumping over an undirected edge set. The dedup ACTION step:
     near-dup pairs → duplicate clusters → one canonical id per
     cluster (min id).
+
+    Two-level strategy: the input here is the COLLAPSED representative
+    graph (one node per distinct signature/shingle-set), which after
+    dedup's group collapse is typically orders of magnitude smaller
+    than the corpus. When its symmetrized edge list fits a single task
+    (≤ ``local_solve_max_edges``, measured — the counts are free, the
+    frames are already materialized), the component labels come from
+    one union-find pass inside a single ``applyInPandas`` task —
+    executor-side, not a driver collect — instead of O(log diameter)
+    shuffle rounds whose per-round job overhead dominates at this
+    size. Graphs above the gate take the label-propagation loop below,
+    which is the 100 TB path (cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — iterate only while the
+    contracted graph exceeds one worker).
 
     Each round HOOKS (every node takes the min of its own and its
     neighbors' labels — one join + one aggregate) then SHORTCUTS
@@ -543,10 +624,12 @@ def connected_components(
     spark = nodes.sparkSession
     n_edges = sym.count()
     declared = nodes.select(F.col(node_col).alias("node"))
+    n_nodes = declared.count()
+    if max(n_nodes, n_edges) <= local_solve_max_edges:
+        return _cc_local_solve(sym, declared)
     labels = declared.select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
-    n_nodes = labels.count()  # near-free scan of the materialized RDD
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     # sized by the LARGER of nodes and edges: a sparse graph (many

@@ -355,11 +355,14 @@ def test_connected_components_relays_through_undeclared_endpoints(spark):
 
     nodes = spark.createDataFrame([(1,), (5,)], "node long")
     edges = spark.createDataFrame([(1, 99), (99, 5)], "id_a long, id_b long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(nodes, edges).collect()
-    }
-    assert got == {1: 1, 5: 1}
+    for gate in (1_000_000, 0):  # union-find path, then the loop path
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes, edges, local_solve_max_edges=gate
+            ).collect()
+        }
+        assert got == {1: 1, 5: 1}
 
 
 def test_ngram_span_dedup_short_docs_produce_no_windows(spark):

@@ -557,11 +557,20 @@ def test_connected_components_matches_union_find(spark, g):
         edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
     else:
         edges = spark.createDataFrame([], "id_a long, id_b long")
-    got = {
+    # default gate → single-task union-find; gate 0 → the
+    # label-propagation loop. Same graph, identical labels required.
+    got_local = {
         r["node"]: r["component"]
         for r in connected_components(nodes, edges).collect()
     }
-    assert got == expect
+    got_loop = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            nodes, edges, local_solve_max_edges=0
+        ).collect()
+    }
+    assert got_local == expect
+    assert got_loop == expect
 
 
 # ---------------------------------------------------------------------------
