@@ -90,3 +90,89 @@ def kmv_distinct_per_key(
             F.abs(est - F.col("n_exact")) / F.col("n_exact"), ndigits
         ).alias("rel_err"),
     )
+
+
+def bloom_filter_words(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom filter over a key column and return its bitmap as
+    a list of ``num_bits / 64`` signed int64 words.
+
+    This is the engine's runtime-filter primitive, mirroring
+    Catalyst's own InjectRuntimeFilter design (Spark source,
+    sql/catalyst/.../optimizer/InjectRuntimeFilter.scala): the build
+    side aggregates a bloom bitmap, the result is shipped to the probe
+    side as a LITERAL, and the probe scan drops non-members before any
+    shuffle. Every step up to the final collect is a DataFrame op —
+    k hash positions per key (xxhash64 seeded by the hash index),
+    explode → word/bit → `bit_or` per word — so the build is one
+    map-side-combined aggregation over the key set, never a driver
+    scan of it. The collect moves only the FILTER (num_bits/8 bytes,
+    fixed by parameters and independent of build-side cardinality —
+    1 MiB at the 2^23-bit default a cluster would use), which is
+    exactly what Spark's scalar-subquery bloom broadcast moves.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pos)).alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    out = [0] * (num_bits // 64)
+    for r in words:
+        out[r["__w"]] = r["__bits"]
+    return out
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join `probe` against the `keys` set with a Bloom-filter
+    pre-prune: probe rows failing the bloom membership test are
+    dropped by a codegen'd expression AT THE SCAN, before the
+    shuffle the exact join needs — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the (often
+    <1%) surviving fraction. Bloom filters have no false negatives
+    and the exact semi-join removes the false positives, so the
+    result EQUALS the plain semi-join (the oracle states exactly
+    that); the bloom stage is pure physical pruning, like Spark's
+    own runtime filter, but explicit and parameterizable.
+    """
+    bits = bloom_filter_words(keys, key_col, num_bits, num_hashes)
+    lit_words = F.lit(bits)
+    test = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(num_bits))
+        word = F.element_at(lit_words, (pos / 64).cast("int") + F.lit(1))
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST("
+            f"pmod(xxhash64({probe_key}, {i}), {num_bits}) % 64 AS INT))"
+        )
+        hit = word.bitwiseAND(mask) != 0
+        test = hit if test is None else (test & hit)
+    pruned = probe.filter(test)
+    return pruned.join(
+        keys.select(F.col(key_col).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )

@@ -695,3 +695,45 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_per_key(ev, "event_type", "user_id", k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime-filter semi-join: prune the fact scan with a
+# broadcast-sized bitmap BEFORE the exact join's shuffle — the explicit
+# form of Catalyst's InjectRuntimeFilter (which Spark only applies to
+# its own join shapes). Bloom filters have no false negatives and the
+# exact semi-join removes false positives, so the result equals the
+# plain semi-join — which is exactly what the oracle states. At 100 TB
+# the bitmap stays ~1 MiB regardless of build-side cardinality, while
+# the pruned shuffle shrinks by the probe's non-member fraction.
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRUNE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_bloom_prune_revenue", _BLOOM_PRUNE_ORACLE)
+def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    brand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    pruned = bloom_semi_join(
+        li, "l_partkey", brand, "p_partkey", num_bits=1 << 17, num_hashes=5
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -130,6 +130,7 @@ def main() -> None:
         "events_bitmap_retention",
         "ingest_xml_roundtrip",
         "streaming_state_introspection",
+        "lineitem_bloom_prune_revenue",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -270,3 +270,19 @@ def test_bitmap_retention_prunes_scan(spark, qs):
     assert "props" not in read and "event_type" not in read
     # offsets dimension joins broadcast, never shuffles the mask table
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_prune_filters_scan_before_join_exchange(spark, qs):
+    """The bloom membership test must run as a codegen'd Filter on the
+    lineitem scan side BEFORE the semi-join — that pre-shuffle prune is
+    the operator's entire reason to exist."""
+    plan = _plan(qs["lineitem_bloom_prune_revenue"](spark, SF))
+    # the probe filter is an expression over xxhash64 + the literal
+    # bitmap; no Python evaluation anywhere in the plan
+    assert "xxhash64" in plan
+    filter_pos = plan.index("xxhash64")
+    join_pos = plan.index("Join")
+    assert filter_pos > join_pos  # executedPlan prints top-down:
+    # the Filter (deeper in the tree) appears AFTER the join header,
+    # i.e. the filter is a child of the join, not above it
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -699,3 +699,36 @@ def test_dsir_matches_python_reference(spark, docs):
         )
         assert got[i][0] == len(fs)
         assert abs(got[i][1] - round(w, 4)) <= 1e-4  # fold-order slack
+
+
+_bloom_keys = st.tuples(
+    st.lists(st.integers(-1000, 1000), max_size=40),  # build-side keys
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),  # probe
+)
+
+
+@given(g=_bloom_keys)
+@settings(**_SETTINGS)
+def test_bloom_semi_join_equals_plain_semi_join(spark, g):
+    """Bloom pre-prune must never change the semi-join result. num_bits
+    is forced down to 64 (one word) so false-positive collisions are
+    common and every bit position — including the int64 sign bit — is
+    exercised; the exact join must absorb them all."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    build, probe = g
+    keys = set(build)
+    expect = sorted(i for i, v in enumerate(probe) if v in keys)
+    bdf = spark.createDataFrame([(k,) for k in build], "k long")
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe)], "rid long, k long"
+    )
+    got = sorted(
+        r["rid"]
+        for r in bloom_semi_join(
+            pdf, "k", bdf, "k", num_bits=64, num_hashes=3
+        ).collect()
+    )
+    assert got == expect
