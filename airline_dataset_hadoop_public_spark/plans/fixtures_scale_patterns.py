@@ -706,6 +706,14 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain semi-join — which is exactly what the oracle states. At 100 TB
 # the bitmap stays ~1 MiB regardless of build-side cardinality, while
 # the pruned shuffle shrinks by the probe's non-member fraction.
+#
+# Companion to r2's `orders_bloom_semijoin_reduction`
+# (fixtures_resolution.py), which tests membership through k broadcast
+# joins against the word table. This variant embeds the bitmap as a
+# LITERAL so the whole membership test is one codegen'd scan predicate
+# — zero probe-side joins, the shape Catalyst itself produces — and
+# probes the engine's largest fact (lineitem). Two registered
+# strategies for the same logical op, each with its own plan contract.
 # ---------------------------------------------------------------------------
 
 _BLOOM_PRUNE_ORACLE = """
