@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegralType, LongType
 
 from ..functions.scalar import tokens, word_ngrams
 from ..runtime import cache_tracked
@@ -507,14 +508,35 @@ def _cc_local_solve(sym: DataFrame, declared: DataFrame) -> DataFrame:
     is the min DECLARED node id.
     """
     node_t = declared.schema["node"].dataType
-    edge_rows = sym.select(
-        F.col("a").cast(node_t).alias("a"),
-        F.col("b").cast(node_t).alias("b"),
+    edge_t = sym.schema["a"].dataType
+    # carrier type for the solve: never narrow an id (a downcast could
+    # wrap an out-of-range relay id onto a declared id and fabricate a
+    # connection). Mixed integral widths widen to bigint; any other
+    # mismatch is a caller error.
+    if node_t == edge_t:
+        carrier = node_t
+    elif isinstance(node_t, IntegralType) and isinstance(edge_t, IntegralType):
+        carrier = LongType()
+    else:
+        raise ValueError(
+            f"node type {node_t.simpleString()} and edge endpoint type "
+            f"{edge_t.simpleString()} are incompatible"
+        )
+    # a NULL endpoint never relays in the label-propagation loop
+    # (null join keys match nothing), and a NULL declared node never
+    # reaches the output — drop both so the pandas batch also stays
+    # non-nullable (a nullable int column would arrive as float64 and
+    # corrupt ids above 2^53)
+    edge_rows = sym.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        F.col("a").cast(carrier).alias("a"),
+        F.col("b").cast(carrier).alias("b"),
         F.lit(False).alias("declared"),
     )
-    marker_rows = declared.select(
-        F.col("node").alias("a"),
-        F.col("node").alias("b"),
+    marker_rows = declared.filter(F.col("node").isNotNull()).select(
+        F.col("node").cast(carrier).alias("a"),
+        F.col("node").cast(carrier).alias("b"),
         F.lit(True).alias("declared"),
     )
 
@@ -553,11 +575,17 @@ def _cc_local_solve(sym: DataFrame, declared: DataFrame) -> DataFrame:
         )
         return pd.DataFrame({"node": ids[di], "component": lbl.to_numpy()})
 
-    t = node_t.simpleString()
-    return (
+    t = carrier.simpleString()
+    out = (
         edge_rows.unionByName(marker_rows)
         .groupBy(F.lit(0).alias("__g"))
         .applyInPandas(solve, f"node {t}, component {t}")
+    )
+    # labels are declared ids, so the cast back to the caller's node
+    # type is lossless
+    return out.select(
+        F.col("node").cast(node_t).alias("node"),
+        F.col("component").cast(node_t).alias("component"),
     )
 
 
@@ -623,13 +651,18 @@ def connected_components(
     )
     spark = nodes.sparkSession
     n_edges = sym.count()
-    declared = nodes.select(F.col(node_col).alias("node"))
-    n_nodes = declared.count()
+    # checkpoint the declared node list once: the gate count, the
+    # local solve's marker rows, the loop's initial labels, and the
+    # final output join all reuse it — without this the nodes
+    # lineage (often a full upstream pipeline) would re-execute for
+    # each of those consumers
+    declared = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=True
+    )
+    n_nodes = declared.count()  # near-free scan of the materialized RDD
     if max(n_nodes, n_edges) <= local_solve_max_edges:
         return _cc_local_solve(sym, declared)
-    labels = declared.select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint(eager=True)
+    labels = declared.select("node", F.col("node").alias("lbl"))
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     # sized by the LARGER of nodes and edges: a sparse graph (many

@@ -151,10 +151,28 @@ def triangle_counts(
     # join is a pure two-column equi-join (an either-way OR-join here
     # would plan as a nested loop and sink the scale story). The
     # packed key keeps the wedge shuffle rows narrow; it requires
-    # id < 2^32 and degree < 2^31 — comfortable for any graph whose
-    # ids are dense-ish node numbers (re-key upstream otherwise).
-    ku = F.shiftleft(F.col("du"), 32) + F.col("u")
-    kv = F.shiftleft(F.col("dv"), 32) + F.col("v")
+    # 0 <= id < 2^32 — comfortable for any graph whose ids are
+    # dense-ish node numbers. An out-of-range id (negative, or a raw
+    # 64-bit hash id) would COLLIDE packed keys and silently drop
+    # triangles, so it raises instead: re-key upstream (dense rank)
+    # before calling. The check runs on the per-node degree frame —
+    # n rows, codegen'd, no extra action.
+    def _checked(c: str):
+        return F.when(
+            (F.col(c) >= 0) & (F.col(c) < F.lit(1 << 32)), F.col(c)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "triangle_counts requires 0 <= node id < 2^32 for the "
+                    "packed orientation key; got %s — dense-rank ids "
+                    "upstream",
+                    F.col(c),
+                )
+            )
+        )
+
+    ku = F.shiftleft(F.col("du"), 32) + _checked("u")
+    kv = F.shiftleft(F.col("dv"), 32) + _checked("v")
     oriented = cache_tracked(
         canon.join(du, "u")
         .join(dv, "v")

@@ -158,15 +158,25 @@ def bloom_semi_join(
     that); the bloom stage is pure physical pruning, like Spark's
     own runtime filter, but explicit and parameterizable.
     """
-    bits = bloom_filter_words(keys, key_col, num_bits, num_hashes)
+    # xxhash64 is TYPE-sensitive (an int and a long with equal values
+    # hash differently), while the exact join casts — a build/probe
+    # type mismatch would therefore bloom-drop TRUE members, the one
+    # error class this operator must never make. Hash both sides as
+    # the probe column's type.
+    probe_t = probe.schema[probe_key].dataType
+    bits = bloom_filter_words(
+        keys.select(F.col(key_col).cast(probe_t).alias(key_col)),
+        key_col,
+        num_bits,
+        num_hashes,
+    )
     lit_words = F.lit(bits)
     test = None
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(num_bits))
         word = F.element_at(lit_words, (pos / 64).cast("int") + F.lit(1))
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST("
-            f"pmod(xxhash64({probe_key}, {i}), {num_bits}) % 64 AS INT))"
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
         )
         hit = word.bitwiseAND(mask) != 0
         test = hit if test is None else (test & hit)

@@ -381,3 +381,96 @@ def test_ngram_span_dedup_short_docs_produce_no_windows(spark):
     got = {r["doc_id"]: r["n_windows"] for r in _span_report(df).collect()}
     assert 1 not in got  # short doc: no windows, absent from the report
     assert got[2] == 12 - 8 + 1
+
+
+def test_connected_components_null_endpoints_do_not_relay(spark):
+    """NULL join keys match nothing in the loop path, so a NULL
+    endpoint must not bridge components in the union-find path either."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (5,)], "node long")
+    edges = spark.createDataFrame(
+        [(1, None), (None, 5)], "id_a long, id_b long"
+    )
+    for gate in (1_000_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes, edges, local_solve_max_edges=gate
+            ).collect()
+        }
+        assert got == {1: 1, 5: 5}
+
+
+def test_connected_components_wide_relay_id_does_not_wrap(spark):
+    """int nodes + long edges: an out-of-range relay id must widen,
+    not wrap onto a declared id (a downcast of 2^32+5 to int would
+    fabricate node 5 and merge the two components)."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (5,)], "node int")
+    edges = spark.createDataFrame(
+        [(1, (1 << 32) + 5)], "id_a long, id_b long"
+    )
+    for gate in (1_000_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes, edges, local_solve_max_edges=gate
+            ).collect()
+        }
+        assert got == {1: 1, 5: 5}
+
+
+def test_connected_components_local_path_keeps_huge_ids_exact(spark):
+    """ids above 2^53 (raw 64-bit hash keys) must survive the Arrow
+    round-trip exactly — a float64 detour would round them together."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        connected_components,
+    )
+
+    a, b = (1 << 62) + 1, (1 << 62) + 2  # adjacent in float64
+    c = (1 << 62) + 4097
+    nodes = spark.createDataFrame([(a,), (b,), (c,)], "node long")
+    edges = spark.createDataFrame([(b, c)], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {a: a, b: b, c: b}
+
+
+def test_bloom_semi_join_mismatched_key_types(spark):
+    """Build side int, probe side long: xxhash64 is type-sensitive, so
+    without the probe-type alignment every true member would be
+    bloom-dropped (a false negative — the forbidden error class)."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    build = spark.createDataFrame([(2,), (4,)], "k int")
+    probe = spark.createDataFrame([(i,) for i in range(6)], "k long")
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, "k", build, "k").collect()
+    )
+    assert got == [2, 4]
+
+
+def test_triangle_counts_rejects_out_of_range_ids(spark):
+    """A raw-hash or negative id would collide packed orientation keys
+    and silently drop triangles — the operator must raise instead."""
+    import pytest as _pytest
+
+    from airline_dataset_hadoop_public_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(-1, 2), (2, 3), (3, -1)], "src long, dst long"
+    )
+    with _pytest.raises(Exception, match="triangle_counts requires"):
+        triangle_counts(edges, "src", "dst").collect()
