@@ -180,17 +180,50 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a sidecar file; the stdout line is
+    # kept under a hard length budget. The driver records only a
+    # bounded tail of stdout, and r3's 58-query line exceeded it — the
+    # captured line was front-truncated and failed to parse, so the
+    # round had no recorded bench number at all. Keep the line short:
+    # slowest queries first, drop the fastest until it fits, and keep
+    # "value" as the total over ALL measured queries regardless.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept = dict(by_cost)
+    line_budget = 1500
+    while True:
+        payload = {
+            "metric": "headline_queries_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "n_queries": len(timings),
+            "n_reported": len(kept),
+            "sf": sf_val,
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= line_budget or len(kept) <= 1:
+            break
+        kept.pop(by_cost[len(kept) - 1][0])  # drop the cheapest kept query
+    print(line)
     spark.stop()
 
 
