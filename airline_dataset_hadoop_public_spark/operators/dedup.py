@@ -612,7 +612,9 @@ def connected_components(
     one union-find pass inside a single ``applyInPandas`` task —
     executor-side, not a driver collect — instead of O(log diameter)
     shuffle rounds whose per-round job overhead dominates at this
-    size. Graphs above the gate take the label-propagation loop below,
+    size. The gate compares the SYMMETRIZED edge count — 2x the
+    caller's undirected edges — so the default admits up to 500k input
+    edges. Graphs above the gate take the label-propagation loop below,
     which is the 100 TB path (cf. Kiveris et al., "Connected
     Components in MapReduce and Beyond" — iterate only while the
     contracted graph exceeds one worker).
@@ -638,7 +640,12 @@ def connected_components(
     the corpus-sized default exceeds the graph, task-launch overhead
     dominates (measured 2x on the sf0.1 graph). Everything inside is
     materialized eagerly, so restoring the setting on exit cannot
-    affect the returned (already-checkpointed) frame.
+    affect the returned (already-checkpointed) frame. Caveat: the
+    setting is session-global for the loop's duration, so OTHER
+    queries running concurrently on the same SparkSession would
+    inherit the shrunken count — this engine runs queries sequentially
+    per session (bench and the driver both do); callers sharing a
+    session across threads should clone it via ``spark.newSession()``.
     """
     # Materialize the symmetrized edge list ONCE: it is consumed by
     # every iteration, and without the checkpoint each iteration would
@@ -656,8 +663,13 @@ def connected_components(
     # final output join all reuse it — without this the nodes
     # lineage (often a full upstream pipeline) would re-execute for
     # each of those consumers
-    declared = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
-        eager=True
+    # distinct: callers today pass unique ids, but a duplicated id in
+    # `nodes` would otherwise emit duplicate (node, component) rows
+    # from both the local-solve marker path and the final output join
+    declared = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = declared.count()  # near-free scan of the materialized RDD
     if max(n_nodes, n_edges) <= local_solve_max_edges:

@@ -77,10 +77,14 @@ def kmv_distinct_per_key(
     kth = ranked.filter(
         F.col("__rn") == F.least(F.lit(k), F.col("n_exact"))
     )
+    # greatest(hv, 1): an all-zero md5 prefix (probability 2^-60 per
+    # value) would otherwise make U_(k)=0 and the estimate infinite;
+    # the SQL oracle applies the identical clamp
     est = F.when(
         F.col("n_exact") < k, F.col("n_exact").cast("double")
     ).otherwise(
-        F.lit(float(k - 1)) / (F.col("__hv").cast("double") / F.lit(_HASH_SPACE))
+        F.lit(float(k - 1))
+        / (F.greatest(F.col("__hv"), F.lit(1)).cast("double") / F.lit(_HASH_SPACE))
     )
     return kth.select(
         key_col,

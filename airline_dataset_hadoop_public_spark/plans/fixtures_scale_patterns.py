@@ -679,7 +679,7 @@ kth AS (SELECT event_type, hv, n_exact FROM r
 est AS (SELECT event_type, n_exact,
                CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
                     ELSE {_KMV_K - 1}.0
-                         / (CAST(hv AS DOUBLE) / POWER(2.0, 60))
+                         / (CAST(GREATEST(hv, 1) AS DOUBLE) / POWER(2.0, 60))
                END AS e
         FROM kth)
 SELECT event_type, n_exact,

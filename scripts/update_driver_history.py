@@ -50,6 +50,32 @@ def main() -> None:
     out = os.path.join(
         root, "airline_dataset_hadoop_public_spark", "plans", "driver_history.py"
     )
+    # Guard: the CORRECTNESS history files are committed, but a clone
+    # that lost them (or a bad glob) would silently evict every
+    # previously-verified name and reorder the window. A shrink vs the
+    # committed set only legitimately happens when a later round turns
+    # a query red — surface it either way.
+    try:
+        sys.path.insert(0, root)
+        from airline_dataset_hadoop_public_spark.plans.driver_history import (
+            DRIVER_VERIFIED as prev,
+        )
+    except Exception:
+        prev = frozenset()
+    lost = sorted(prev - green)
+    if lost:
+        print(
+            f"WARNING: {len(lost)} previously-verified names would be "
+            f"evicted: {lost[:10]}{'...' if len(lost) > 10 else ''}\n"
+            "If no CORRECTNESS row actually turned red, the history "
+            "files are missing — aborting without writing.",
+            file=sys.stderr,
+        )
+        evicted_by_red = {
+            n for n in lost if n in status and not status[n]
+        }
+        if evicted_by_red != set(lost):
+            sys.exit(1)
     with open(out, "w") as f:
         f.write(HEADER)
         for name in sorted(green):
