@@ -8,6 +8,7 @@ from .dedup import (
     minhash_neardup_pairs,
     minhash_neardup_pairs_incremental,
     minhash_probe_index,
+    containment_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signature,
@@ -75,6 +76,7 @@ __all__ = [
     "connected_components",
     "exact_dedup",
     "minhash_neardup_pairs",
+    "containment_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "simhash_signature",

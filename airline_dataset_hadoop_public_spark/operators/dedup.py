@@ -286,6 +286,131 @@ def ngram_jaccard_pairs(
     return intra.select("id_a", "id_b", "jaccard").unionByName(cross)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_posting: int = 100_000,
+) -> DataFrame:
+    """All ORDERED (id_a, id_b) pairs with n-gram Jaccard containment
+    C(A,B) = |A∩B| / |A| ≥ threshold, id_a ≠ id_b — "A is mostly
+    contained in B". The asymmetric complement of
+    ``ngram_jaccard_pairs``: symmetric Jaccard misses a short document
+    embedded verbatim inside a much longer one (J is diluted by the
+    size gap; C is not), which is exactly the boilerplate-inclusion /
+    quote-expansion shape a training-corpus dedup pass must catch.
+
+    Exact, no false negatives. Candidates come from an asymmetric
+    prefix filter (Chaudhuri et al., ICDE'06, containment variant): if
+    C(A,B) ≥ t then B misses at most |A| − ⌈t·|A|⌉ of A's shingles, so
+    A's df-rarest prefix of length |A| − ⌈t·|A|⌉ + 1 must share a
+    shingle with B's FULL posting list — only the contained side gets
+    a prefix, the container side is probed whole (its size carries no
+    bound). The only size filter is |B| ≥ ⌈t·|A|⌉ (overlap cannot
+    exceed |B|). Verification is exact set intersection over 64-bit
+    hashed shingles.
+
+    Same scale shape as the Jaccard join: identical shingle sets are
+    collapsed to one representative before candidate generation (so an
+    exact-duplicate cluster costs 1 row, not c²), ``max_posting`` caps
+    the container-side posting lists, and every stage is an
+    explode/groupBy/equi-join — no all-pairs product.
+    """
+    all_sh = _shingled(df, id_col, text_col, n).filter(F.size("__sh") > 0)
+    grp = _collapse_identical(all_sh, id_col, fingerprint=True).transform(
+        cache_tracked
+    )
+    # identical sets: containment 1.0 in BOTH directions (ordered pairs)
+    intra = (
+        grp.filter(F.size("__members") > 1)
+        .select(F.explode("__members").alias("id_a"), "__members")
+        .select("id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("containment", F.lit(1.0))
+    )
+    sh = (
+        grp.select(F.col("__rep").alias(id_col), "__sh")
+        .withColumn(
+            "__hs", F.array_sort(F.expr("transform(__sh, t -> xxhash64(t))"))
+        )
+        .select(id_col, "__hs")
+        .transform(cache_tracked)
+    )
+    posting = sh.select(
+        id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t")
+    )
+    tok_df = posting.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posting.join(tok_df, "__t")
+    w = Window.partitionBy(id_col).orderBy("__df", "__t")
+    with_pos = ranked.withColumn("__pos", F.row_number().over(w))
+    # contained-side prefix: |A| − ⌈t·|A|⌉ + 1 df-rarest shingles
+    prefix = with_pos.filter(
+        F.col("__pos")
+        <= F.col("__len") - F.ceil(F.lit(threshold) * F.col("__len")) + 1
+    ).select(id_col, "__t", "__len")
+    # container side = full postings; cap pathological lists (scale
+    # guard — a capped token only loses candidates whose other prefix
+    # tokens miss too; never fires on the test corpora)
+    full = posting.select(id_col, "__t", "__len")
+    hot = (
+        full.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_posting)
+        .select("__t")
+    )
+    full = full.join(F.broadcast(hot), "__t", "left_anti")
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "__t", F.col("__len").alias("__la")
+    )
+    pb = full.select(
+        F.col(id_col).alias("id_b"), "__t", F.col("__len").alias("__lb")
+    )
+    cands = (
+        pa.join(pb, "__t")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("__lb") >= F.ceil(F.lit(threshold) * F.col("__la")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("__hb"))
+    rep_pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__ha", "__hb")) / F.size("__ha"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    # member expansion preserves ORIENTATION (contained → container):
+    # every member of A's group has A's exact set, likewise B, so the
+    # containment value carries over verbatim
+    ma = grp.select(
+        F.col("__rep").alias("id_a"), F.col("__members").alias("__ma")
+    )
+    mb = grp.select(
+        F.col("__rep").alias("id_b"), F.col("__members").alias("__mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select("containment", F.explode("__ma").alias("id_a"), "__mb")
+        .select("containment", "id_a", F.explode("__mb").alias("id_b"))
+        .select("id_a", "id_b", "containment")
+    )
+    return (
+        intra.select("id_a", "id_b", "containment")
+        .unionByName(cross)
+        .withColumn("containment", F.round("containment", 4))
+    )
+
+
 _MINHASH_KERNELS: dict[tuple[int, int], object] = {}
 
 _SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)

@@ -96,6 +96,123 @@ def kmv_distinct_per_key(
     )
 
 
+def kmv_set_overlap_per_key_pair(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(key_a, key_b, jaccard_est, jaccard_exact, union_est, inter_est)
+    for every unordered pair of keys — KMV sketch SET ALGEBRA
+    (Beyer et al., SIGMOD 2007 §4: the k smallest hashes of A∪B are
+    exactly the k smallest of K_A ∪ K_B, so two per-key sketches merge
+    into a union sketch with no rescan of the data).
+
+    Estimators: ρ = |{v among the k smallest of the merged sketch :
+    v ∈ K_A ∧ v ∈ K_B}| / k estimates J(A,B) (membership via the
+    sketch is exact for merged-sketch survivors — a survivor from A
+    ranks within A's own top-k by construction); |A∪B| comes from the
+    union sketch's (k-1)/U_(k); |A∩B| ≈ ρ·|A∪B|. When the merged
+    sketch holds fewer than k values both sides were complete and all
+    three collapse to exact values.
+
+    Exact J(A,B) is computed alongside (one value-self-join) so the
+    query is its own error report — production keeps sketch state
+    only. The pair grid is |keys|² — this operator targets
+    low-cardinality dimensions (event types, languages, sources);
+    per-key sketch state is k hashes, mergeable across partitions,
+    days, and engines (md5-derived — the repo's portable-hash
+    convention, bit-identical in the DuckDB oracle).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 for the (k-1)/U_(k) estimator")
+    d = (
+        df.select(
+            F.col(key_col).alias("__ty"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull() & F.col("__ty").isNotNull())
+        .distinct()
+    )
+    h = d.withColumn(
+        "__hv", F.conv(F.substring(F.md5("__v"), 1, 15), 16, 10).cast("long")
+    )
+    by_key = Window.partitionBy("__ty").orderBy("__hv", "__v")
+    kept = (
+        h.withColumn("__rn", F.row_number().over(by_key))
+        .filter(F.col("__rn") <= k)
+        .select("__ty", "__v", "__hv")
+    )
+    keys = d.select("__ty").distinct()
+    pairs = (
+        keys.select(F.col("__ty").alias("__ta"))
+        .join(F.broadcast(keys.select(F.col("__ty").alias("__tb"))))
+        .filter(F.col("__ta") < F.col("__tb"))
+    )
+    # merge sketches per pair: tag each kept hash with which side(s)
+    # of the pair it belongs to, collapse same-value rows
+    merged = (
+        pairs.join(
+            kept,
+            (F.col("__ty") == F.col("__ta")) | (F.col("__ty") == F.col("__tb")),
+        )
+        .groupBy("__ta", "__tb", "__v", "__hv")
+        .agg(
+            F.max((F.col("__ty") == F.col("__ta")).cast("int")).alias("__ina"),
+            F.max((F.col("__ty") == F.col("__tb")).cast("int")).alias("__inb"),
+        )
+    )
+    by_pair = Window.partitionBy("__ta", "__tb").orderBy("__hv", "__v")
+    surv = merged.withColumn("__rn", F.row_number().over(by_pair)).filter(
+        F.col("__rn") <= k
+    )
+    est = surv.groupBy("__ta", "__tb").agg(
+        F.count(F.lit(1)).alias("__kk"),
+        F.sum(F.col("__ina") * F.col("__inb")).alias("__both"),
+        F.max("__hv").alias("__ukth"),
+    )
+    # exact pair stats for the error columns: one self-equi-join on
+    # the distinct value (inter) + per-key distinct counts (sizes)
+    sizes = d.groupBy("__ty").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        d.select(F.col("__ty").alias("__ta"), "__v")
+        .join(d.select(F.col("__ty").alias("__tb"), "__v"), "__v")
+        .filter(F.col("__ta") < F.col("__tb"))
+        .groupBy("__ta", "__tb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    rho = F.col("__both") / F.col("__kk")
+    union_est = F.when(
+        F.col("__kk") < k, F.col("__kk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.greatest(F.col("__ukth"), F.lit(1)).cast("double") / F.lit(_HASH_SPACE))
+    )
+    na = F.col("__na")
+    nb = F.col("__nb")
+    iex = F.coalesce(F.col("__inter"), F.lit(0))
+    return (
+        est.join(
+            F.broadcast(sizes.select(F.col("__ty").alias("__ta"), F.col("__n").alias("__na"))),
+            "__ta",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__ty").alias("__tb"), F.col("__n").alias("__nb"))),
+            "__tb",
+        )
+        .join(inter, ["__ta", "__tb"], "left")
+        .select(
+            F.col("__ta").alias("key_a"),
+            F.col("__tb").alias("key_b"),
+            F.round(rho, ndigits).alias("jaccard_est"),
+            F.round(iex / (na + nb - iex), ndigits).alias("jaccard_exact"),
+            F.round(union_est, ndigits).alias("union_est"),
+            F.round(rho * union_est, ndigits).alias("inter_est"),
+        )
+    )
+
+
 def bloom_filter_words(
     keys: DataFrame,
     key_col: str,

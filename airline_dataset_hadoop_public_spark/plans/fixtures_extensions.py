@@ -80,6 +80,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+# Asymmetric containment C(A,B) = |A∩B|/|A|: catches a short document
+# embedded in a longer one, which symmetric Jaccard dilutes away. The
+# Spark side generates candidates with a one-sided prefix filter and
+# verifies exactly, so its output equals the oracle's all-pairs truth.
+_CONTAINMENT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, {_TRIGRAMS} AS s FROM t WHERE len(w) >= 3),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / la, 4) AS containment
+FROM pairs WHERE CAST(i AS DOUBLE) / la >= 0.9
+"""
+
+
+@register("dedup_containment_neardup", _CONTAINMENT_ORACLE)
+def dedup_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
 _MINHASH_ORACLE = f"""
 WITH sh AS (SELECT doc_id, list_distinct({_W}) AS s FROM documents
             WHERE len({_W}) > 0),

@@ -698,6 +698,144 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007 §4): per-event-type
+# sketches of the user-day activity set merge pairwise into union
+# sketches, yielding Jaccard / |A∪B| / |A∩B| estimates WITHOUT
+# rescanning the data — the audience-overlap question every analytics
+# store answers from sketch state at 100 TB. The item is (user, day)
+# rather than user because the fixture's user sets fully overlap across
+# types; activity sets differ. Deterministic md5 hashing → the whole
+# estimator is value-checked, with exact Jaccard alongside as the
+# error report.
+# ---------------------------------------------------------------------------
+
+_KMV_OVERLAP_K = 64
+
+_KMV_OVERLAP_ORACLE = f"""
+WITH d0 AS (SELECT DISTINCT event_type AS ty,
+                   CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS v
+            FROM events),
+d AS (SELECT ty, v FROM d0 WHERE v IS NOT NULL AND ty IS NOT NULL),
+h AS (SELECT ty, v,
+             CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS hv
+      FROM d),
+r AS (SELECT ty, v, hv,
+             ROW_NUMBER() OVER (PARTITION BY ty ORDER BY hv, v) AS rn
+      FROM h),
+kept AS (SELECT ty, v, hv FROM r WHERE rn <= {_KMV_OVERLAP_K}),
+ks AS (SELECT DISTINCT ty FROM d),
+pairs AS (SELECT a.ty AS ta, b.ty AS tb FROM ks a JOIN ks b ON a.ty < b.ty),
+m AS (SELECT p.ta, p.tb, kept.v, kept.hv,
+             MAX(CASE WHEN kept.ty = p.ta THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN kept.ty = p.tb THEN 1 ELSE 0 END) AS inb
+      FROM pairs p JOIN kept ON kept.ty = p.ta OR kept.ty = p.tb
+      GROUP BY p.ta, p.tb, kept.v, kept.hv),
+rm AS (SELECT ta, tb, hv, ina, inb,
+              ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv, v) AS rn
+       FROM m),
+e AS (SELECT ta, tb, COUNT(*) AS kk, SUM(ina * inb) AS bth, MAX(hv) AS ukth
+      FROM rm WHERE rn <= {_KMV_OVERLAP_K} GROUP BY ta, tb),
+sz AS (SELECT ty, COUNT(*) AS n FROM d GROUP BY ty),
+iv AS (SELECT a.ty AS ta, b.ty AS tb, COUNT(*) AS i
+       FROM d a JOIN d b ON a.v = b.v AND a.ty < b.ty GROUP BY a.ty, b.ty),
+f AS (SELECT e.ta, e.tb,
+             CAST(bth AS DOUBLE) / kk AS rho,
+             CASE WHEN kk < {_KMV_OVERLAP_K} THEN CAST(kk AS DOUBLE)
+                  ELSE {_KMV_OVERLAP_K - 1}.0
+                       / (CAST(GREATEST(ukth, 1) AS DOUBLE) / POWER(2.0, 60))
+             END AS ue,
+             sa.n AS na, sb.n AS nb, COALESCE(iv.i, 0) AS iex
+      FROM e JOIN sz sa ON sa.ty = e.ta JOIN sz sb ON sb.ty = e.tb
+      LEFT JOIN iv ON iv.ta = e.ta AND iv.tb = e.tb)
+SELECT ta AS key_a, tb AS key_b,
+       ROUND(rho, 4) AS jaccard_est,
+       ROUND(CAST(iex AS DOUBLE) / (na + nb - iex), 4) AS jaccard_exact,
+       ROUND(ue, 4) AS union_est,
+       ROUND(rho * ue, 4) AS inter_est
+FROM f
+"""
+
+
+@register("events_kmv_type_overlap", _KMV_OVERLAP_ORACLE)
+def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_set_overlap_per_key_pair
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    return kmv_set_overlap_per_key_pair(
+        items, "event_type", "user_day", k=_KMV_OVERLAP_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation by correlated key sampling (the end-biased /
+# correlated-sampling family, Vengerov et al., VLDB 2015): both sides
+# keep exactly the keys whose deterministic hash falls in a 1/64 slice
+# of hash space, so E[Σ_sampled a_k·b_k × 64] = Σ a_k·b_k = |A ⋈ B|.
+# The query estimates the self-join size of lineitem on l_partkey —
+# the cardinality that decides whether a co-purchase/triangle plan is
+# feasible — from per-key counts only, next to the exact Σc² ground
+# truth. At 100 TB the estimate costs one map-side-combined aggregate
+# over 1/64 of the keys; the exact column is the report's own check.
+# ---------------------------------------------------------------------------
+
+# 2^54 = 2^60/64: the sampled slice of the md5-derived 60-bit space
+_JOINEST_CUT = 1 << 54
+
+_JOINEST_ORACLE = f"""
+WITH c AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+h AS (SELECT k, c,
+             CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM c),
+s AS (SELECT CAST(COALESCE(SUM(c * c), 0) * 64 AS BIGINT) AS est_pairs,
+             COUNT(*) AS n_sample_keys
+      FROM h WHERE hv < {_JOINEST_CUT}),
+x AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM c)
+SELECT s.est_pairs, x.exact_pairs,
+       ROUND(ABS(CAST(s.est_pairs AS DOUBLE) - exact_pairs) / exact_pairs,
+             4) AS rel_err,
+       s.n_sample_keys
+FROM s, x
+"""
+
+
+@register("lineitem_join_size_estimate", _JOINEST_ORACLE)
+def lineitem_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    h = cnt.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    s = h.filter(F.col("hv") < _JOINEST_CUT).agg(
+        (F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)) * 64)
+        .cast("long")
+        .alias("est_pairs"),
+        F.count(F.lit(1)).alias("n_sample_keys"),
+    )
+    x = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    return s.crossJoin(F.broadcast(x)).select(
+        "est_pairs",
+        "exact_pairs",
+        F.round(
+            F.abs(F.col("est_pairs").cast("double") - F.col("exact_pairs"))
+            / F.col("exact_pairs"),
+            4,
+        ).alias("rel_err"),
+        "n_sample_keys",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom runtime-filter semi-join: prune the fact scan with a
 # broadcast-sized bitmap BEFORE the exact join's shuffle — the explicit
 # form of Catalyst's InjectRuntimeFilter (which Spark only applies to

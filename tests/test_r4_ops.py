@@ -1,0 +1,133 @@
+"""Round-4 additions: asymmetric containment near-dup, KMV sketch set
+algebra, and hash-sampled join-size estimation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+
+def _trigrams(text: str) -> set[str]:
+    w = text.lower().strip().split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _containment(a: str, b: str) -> float:
+    sa, sb = _trigrams(a), _trigrams(b)
+    return len(sa & sb) / len(sa) if sa else 0.0
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc embedded in a long one: A→B fires, B→A does not."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long_), Row(doc_id=3, text=other)]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert _containment(short, long_) == 1.0  # planted premise
+    assert _containment(long_, short) < 0.9
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_matches_bruteforce(spark):
+    """Prefix-filter candidates lose nothing: output == all-pairs truth."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    words = base.split()
+    docs = {1: base, 2: base, 3: " ".join(words[:8])}
+    docs[4] = " ".join(words[:8][::-1])  # same words, different trigrams
+    docs[5] = base + " and then some extra trailing words appear here"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()
+    }
+    want = {
+        (ia, ib): round(_containment(ta, tb), 4)
+        for ia, ta in docs.items()
+        for ib, tb in docs.items()
+        if ia != ib and _trigrams(ta) and _containment(ta, tb) >= 0.6
+    }
+    assert got == want
+
+
+def test_kmv_overlap_exact_below_capacity(spark):
+    """Union smaller than k → every estimate collapses to the exact value."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        kmv_set_overlap_per_key_pair,
+    )
+
+    rows = [Row(k="x", v=f"u{i}") for i in range(20)] + [
+        Row(k="y", v=f"u{i}") for i in range(10, 40)
+    ]
+    [r] = kmv_set_overlap_per_key_pair(
+        spark.createDataFrame(rows), "k", "v", k=64
+    ).collect()
+    # |x|=20, |y|=30, inter=10, union=40
+    assert (r["key_a"], r["key_b"]) == ("x", "y")
+    assert r["jaccard_est"] == r["jaccard_exact"] == 0.25
+    assert r["union_est"] == 40.0
+    assert r["inter_est"] == 10.0
+
+
+def test_kmv_overlap_estimates_above_capacity(spark):
+    """Sketched regime: estimates land near truth, never exceed bounds."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        kmv_set_overlap_per_key_pair,
+    )
+
+    rows = [Row(k="x", v=f"u{i}") for i in range(500)] + [
+        Row(k="y", v=f"u{i}") for i in range(250, 750)
+    ]
+    [r] = kmv_set_overlap_per_key_pair(
+        spark.createDataFrame(rows), "k", "v", k=64
+    ).collect()
+    assert r["jaccard_exact"] == round(250 / 750, 4)
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert abs(r["jaccard_est"] - r["jaccard_exact"]) < 0.25  # k=64 noise bound
+    assert 400 < r["union_est"] < 1200  # true 750
+
+
+def test_join_size_estimate_math(spark, tmp_path):
+    """est = 64 × Σ_sampled c², exact = Σ c², sample = md5 slice."""
+    import pyspark.sql.functions as F
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        _JOINEST_CUT,
+        lineitem_join_size_estimate,
+    )
+
+    counts = {k: (k % 7) + 1 for k in range(1, 300)}
+    # load_table normalizes lineitem's nano-ts l_shipdate — include it
+    rows = [
+        Row(l_partkey=k, l_shipdate=1700000000_000000000)
+        for k, c in counts.items()
+        for _ in range(c)
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = lineitem_join_size_estimate(spark, str(tmp_path)).collect()
+
+    def hv(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    sampled = [k for k in counts if hv(k) < _JOINEST_CUT]
+    assert r["exact_pairs"] == sum(c * c for c in counts.values())
+    assert r["n_sample_keys"] == len(sampled)
+    assert r["est_pairs"] == 64 * sum(counts[k] ** 2 for k in sampled)
