@@ -49,6 +49,7 @@ _DRAIN_WITH_COUNT = {
     "dedup_minhash_incremental",
     "events_holt_level_trend",
     "parts_itemitem_cf_topk",
+    "dedup_containment_neardup",
 }
 
 HEADLINE = [
@@ -131,6 +132,10 @@ def main() -> None:
         "ingest_xml_roundtrip",
         "streaming_state_introspection",
         "lineitem_bloom_prune_revenue",
+        # r4 additions
+        "dedup_containment_neardup",
+        "events_kmv_type_overlap",
+        "lineitem_join_size_estimate",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -56,6 +56,10 @@ AUDIT = {
     "parts_copurchase_triangles": "cached canonical/oriented edge frames; wedge + closing joins are keyed equi-joins (no CartesianProduct anywhere)",
     "dedup_simhash_clusters": "two-level CC: collapsed rep graph under the size gate solves in ONE FlatMapGroupsInPandas union-find task (no per-round label-propagation jobs); member labels via broadcast-joinable rep map",
     "lineitem_bloom_prune_revenue": "bloom bitmap literal filters the lineitem scan (xxhash64 codegen, no Python) BELOW the semi-join exchange; exact join absorbs false positives",
+    # r4 additions
+    "dedup_containment_neardup": "one-sided prefix x full-posting equi-join (never all-pairs); broadcast anti-join hot-token cap; hashed-set verify joins keyed on rep ids",
+    "events_kmv_type_overlap": "per-type rank window on one (type,value) distinct frame; 5x5 pair grid broadcast; membership tags collapse via partial agg before the pair rank window",
+    "lineitem_join_size_estimate": "ReadSchema = l_partkey only; Catalyst pushes the hash-slice filter BELOW the estimate branch's aggregate (1/64 of rows shuffle — the production path); the exact Σc² branch re-scans, deliberately: it is the report's own check and would not run at 100 TB",
 }
 
 

@@ -286,3 +286,31 @@ def test_bloom_prune_filters_scan_before_join_exchange(spark, qs):
     # the Filter (deeper in the tree) appears AFTER the join header,
     # i.e. the filter is a child of the join, not above it
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_never_goes_all_pairs(spark, qs):
+    """Candidates must come from the prefix-posting equi-join — a
+    CartesianProduct or nested-loop pair enumeration would be the
+    quadratic plan the operator exists to avoid. All JVM, no Python."""
+    plan = _plan(qs["dedup_containment_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_overlap_grid_is_broadcast_and_jvm(spark, qs):
+    """The |keys|^2 pair grid is a broadcast product of a tiny distinct
+    frame; everything else is windows + partial aggs, no Python."""
+    plan = _plan(qs["events_kmv_type_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the documented tiny grid
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_size_estimate_reads_one_column_no_fact_join(spark, qs):
+    """The estimate derives from per-key counts only: the scan reads
+    just l_partkey and no fact-sized join appears in the plan."""
+    plan = _plan(qs["lineitem_join_size_estimate"](spark, SF))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" in read
+    assert "l_quantity" not in read and "l_orderkey" not in read
+    assert "SortMergeJoin" not in plan
