@@ -701,3 +701,61 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_price)
         .orderBy("metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed in-flight metrics (pyspark.sql.Observation): data-quality
+# counters computed DURING a real pipeline pass — the accumulator
+# pattern production jobs use so DQ costs zero extra scans. The
+# metrics ride on a revenue-per-returnflag aggregation; at 100 TB the
+# observe node adds one partial aggregate to the existing scan
+# pipeline, versus dq_constraint_report's dedicated metric scans.
+# The oracle recomputes every observed value from the table directly,
+# proving the in-flight counters equal the ground truth.
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT 'max_price' AS metric, ROUND(MAX(l_extendedprice), 4) AS value FROM lineitem
+UNION ALL
+SELECT 'n_groups', CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'n_rows', CAST(COUNT(*) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'null_shipdate', CAST(COUNT(*) FILTER (l_shipdate IS NULL) AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT 'sum_qty', ROUND(SUM(l_quantity), 4) FROM lineitem
+ORDER BY metric
+"""
+
+
+@register("dq_observe_metrics", _OBSERVE_ORACLE)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_pass")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+    # the business pass the metrics ride on; its group count becomes
+    # the fifth metric, tying the observation to the executed job
+    n_groups = (
+        observed.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+        .count()
+    )
+    got = obs.get  # populated by the count() action above
+    rows = sorted(
+        [
+            ("max_price", float(got["max_price"])),
+            ("n_groups", float(n_groups)),
+            ("n_rows", float(got["n_rows"])),
+            ("null_shipdate", float(got["null_shipdate"])),
+            ("sum_qty", float(got["sum_qty"])),
+        ]
+    )
+    return spark.createDataFrame(rows, "metric string, value double")

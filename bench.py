@@ -136,6 +136,7 @@ def main() -> None:
         "dedup_containment_neardup",
         "events_kmv_type_overlap",
         "lineitem_join_size_estimate",
+        "dq_observe_metrics",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

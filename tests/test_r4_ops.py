@@ -131,3 +131,27 @@ def test_join_size_estimate_math(spark, tmp_path):
     assert r["exact_pairs"] == sum(c * c for c in counts.values())
     assert r["n_sample_keys"] == len(sampled)
     assert r["est_pairs"] == 64 * sum(counts[k] ** 2 for k in sampled)
+
+
+def test_observe_metrics_match_direct_aggregates(spark, tmp_path):
+    """In-flight observed counters equal a direct aggregation pass."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from airline_dataset_hadoop_public_spark.plans.fixtures_analytics import (
+        dq_observe_metrics,
+    )
+
+    rows = [
+        Row(l_returnflag=f, l_quantity=float(q), l_extendedprice=float(p),
+            l_shipdate=None if q == 3 else 1700000000_000000000)
+        for f, q, p in [("A", 1, 10.0), ("A", 3, 20.5), ("N", 2, 7.25)]
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["metric"]: r["value"] for r in dq_observe_metrics(spark, str(tmp_path)).collect()}
+    assert got == {
+        "max_price": 20.5,
+        "n_groups": 2.0,
+        "n_rows": 3.0,
+        "null_shipdate": 1.0,
+        "sum_qty": 6.0,
+    }
