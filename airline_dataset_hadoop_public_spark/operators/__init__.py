@@ -35,7 +35,7 @@ from .similarity import (
     unit_normalize,
 )
 from .timeseries import ewma_per_key, holt_per_key, resample_ffill
-from .sketches import kmv_distinct_per_key
+from .sketches import kmv_distinct_per_key, kmv_set_overlap_per_key_pair
 from .skew import salted_join
 from .text import (
     bpe_token_counts,
@@ -96,6 +96,7 @@ __all__ = [
     "mutual_knn_graph",
     "unit_normalize",
     "kmv_distinct_per_key",
+    "kmv_set_overlap_per_key_pair",
     "salted_join",
     "bpe_token_counts",
     "fingerprints",

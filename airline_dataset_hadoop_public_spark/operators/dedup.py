@@ -46,6 +46,20 @@ from pyspark.sql.types import IntegralType, LongType
 from ..functions.scalar import tokens, word_ngrams
 from ..runtime import cache_tracked
 
+# Epsilon-guarded ceiling for threshold·size overlap bounds. The IEEE
+# product t·n can land one ulp ABOVE the exact value (e.g.
+# 0.07 × 100 == 7.000000000000001), and a ceil of that over-tightens
+# the prefix/size filters by one — a silent false negative in
+# operators whose contract is "exact, no false negatives". The product
+# error is bounded by n·2⁻⁵² (< 1e-6 for any real shingle-set size),
+# so subtracting 1e-4 can only ever LOOSEN a bound — at worst one
+# extra prefix token per document — never tighten it.
+_CEIL_EPS = 1e-4
+
+
+def _safe_ceil(expr):
+    return F.ceil(expr - F.lit(_CEIL_EPS))
+
 
 def exact_dedup(
     df: DataFrame,
@@ -224,7 +238,7 @@ def ngram_jaccard_pairs(
     prefix = (
         with_pos.filter(
             F.col("__pos")
-            <= F.col("__len") - F.ceil(F.lit(threshold) * F.col("__len")) + 1
+            <= F.col("__len") - _safe_ceil(F.lit(threshold) * F.col("__len")) + 1
         )
         .select(id_col, "__t", "__len", "__pos")
         .transform(cache_tracked)
@@ -252,7 +266,7 @@ def ngram_jaccard_pairs(
     # token at positions (xa, xb) bounds the overlap by
     # 1 + min(|x|−xa, |y|−xb), which must reach the required overlap
     # ⌈t/(1+t)·(|x|+|y|)⌉ — also lossless, cuts candidates ~35%.
-    required = F.ceil(
+    required = _safe_ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("__la") + F.col("__lb"))
     )
     overlap_ub = 1 + F.least(
@@ -302,8 +316,13 @@ def containment_pairs(
     size gap; C is not), which is exactly the boilerplate-inclusion /
     quote-expansion shape a training-corpus dedup pass must catch.
 
-    Exact, no false negatives. Candidates come from an asymmetric
-    prefix filter (Chaudhuri et al., ICDE'06, containment variant): if
+    Exact up to the ``max_posting`` scale guard (which, like the
+    Jaccard join's, never triggers on the test corpora — a capped
+    container token silently drops candidate pairs whose every other
+    contained-side prefix token is also capped, so raise the cap or
+    pre-strip boilerplate shingles if that matters). Candidates come
+    from an asymmetric prefix filter (Chaudhuri et al., ICDE'06,
+    containment variant): if
     C(A,B) ≥ t then B misses at most |A| − ⌈t·|A|⌉ of A's shingles, so
     A's df-rarest prefix of length |A| − ⌈t·|A|⌉ + 1 must share a
     shingle with B's FULL posting list — only the contained side gets
@@ -338,9 +357,12 @@ def containment_pairs(
         .select(id_col, "__hs")
         .transform(cache_tracked)
     )
+    # cached: four consumers (df ranking, the rank join, the container
+    # side, and the hot-token guard) would otherwise each re-run the
+    # shingle explode lineage
     posting = sh.select(
         id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t")
-    )
+    ).transform(cache_tracked)
     tok_df = posting.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     ranked = posting.join(tok_df, "__t")
     w = Window.partitionBy(id_col).orderBy("__df", "__t")
@@ -348,7 +370,7 @@ def containment_pairs(
     # contained-side prefix: |A| − ⌈t·|A|⌉ + 1 df-rarest shingles
     prefix = with_pos.filter(
         F.col("__pos")
-        <= F.col("__len") - F.ceil(F.lit(threshold) * F.col("__len")) + 1
+        <= F.col("__len") - _safe_ceil(F.lit(threshold) * F.col("__len")) + 1
     ).select(id_col, "__t", "__len")
     # container side = full postings; cap pathological lists (scale
     # guard — a capped token only loses candidates whose other prefix
@@ -371,7 +393,7 @@ def containment_pairs(
         pa.join(pb, "__t")
         .filter(
             (F.col("id_a") != F.col("id_b"))
-            & (F.col("__lb") >= F.ceil(F.lit(threshold) * F.col("__la")))
+            & (F.col("__lb") >= _safe_ceil(F.lit(threshold) * F.col("__la")))
         )
         .select("id_a", "id_b")
         .distinct()

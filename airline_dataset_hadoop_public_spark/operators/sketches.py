@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..runtime import cache_tracked
+
 _HASH_SPACE = 2.0**60  # 16^15: md5's first 15 hex digits
 
 
@@ -127,6 +129,9 @@ def kmv_set_overlap_per_key_pair(
     """
     if k < 2:
         raise ValueError("k must be >= 2 for the (k-1)/U_(k) estimator")
+    # cached: five consumers (sketch build, key grid, per-key sizes,
+    # and both sides of the exact-intersection self-join) would each
+    # re-run the scan + distinct shuffle otherwise
     d = (
         df.select(
             F.col(key_col).alias("__ty"),
@@ -134,15 +139,19 @@ def kmv_set_overlap_per_key_pair(
         )
         .filter(F.col("__v").isNotNull() & F.col("__ty").isNotNull())
         .distinct()
+        .transform(cache_tracked)
     )
     h = d.withColumn(
         "__hv", F.conv(F.substring(F.md5("__v"), 1, 15), 16, 10).cast("long")
     )
     by_key = Window.partitionBy("__ty").orderBy("__hv", "__v")
+    # cached: the pair-merge join consumes the k·|keys|-row sketch
+    # frame once per pair side
     kept = (
         h.withColumn("__rn", F.row_number().over(by_key))
         .filter(F.col("__rn") <= k)
         .select("__ty", "__v", "__hv")
+        .transform(cache_tracked)
     )
     keys = d.select("__ty").distinct()
     pairs = (

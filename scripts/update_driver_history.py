@@ -64,18 +64,23 @@ def main() -> None:
         prev = frozenset()
     lost = sorted(prev - green)
     if lost:
-        print(
-            f"WARNING: {len(lost)} previously-verified names would be "
-            f"evicted: {lost[:10]}{'...' if len(lost) > 10 else ''}\n"
-            "If no CORRECTNESS row actually turned red, the history "
-            "files are missing — aborting without writing.",
-            file=sys.stderr,
-        )
         evicted_by_red = {
             n for n in lost if n in status and not status[n]
         }
         if evicted_by_red != set(lost):
+            print(
+                f"ERROR: {len(lost)} previously-verified names would be "
+                f"evicted with no red CORRECTNESS row to justify it: "
+                f"{lost[:10]}{'...' if len(lost) > 10 else ''}\n"
+                "The history files are missing — aborting without writing.",
+                file=sys.stderr,
+            )
             sys.exit(1)
+        print(
+            f"note: evicting {len(lost)} name(s) whose latest driver row "
+            f"turned red (will re-front for verification): {lost}",
+            file=sys.stderr,
+        )
     with open(out, "w") as f:
         f.write(HEADER)
         for name in sorted(green):

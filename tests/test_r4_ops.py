@@ -155,3 +155,28 @@ def test_observe_metrics_match_direct_aggregates(spark, tmp_path):
         "null_shipdate": 1.0,
         "sum_qty": 6.0,
     }
+
+
+def test_containment_float_ceil_boundary(spark):
+    """t·|A| products that round one ulp above the exact integer must
+    not shorten the prefix: 0.07*100 == 7.000000000000001 in IEEE754,
+    and an unguarded ceil() would demand overlap 8 where the exact
+    bound is 7 — dropping true pairs with C(A,B) exactly at threshold."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    assert 0.07 * 100 > 7  # the premise: the product rounds up
+    # doc A: 102 words → 100 trigrams; doc B shares exactly 7 of them
+    # (a 9-word run = 7 shared trigrams), rest disjoint
+    shared = [f"s{i}" for i in range(9)]
+    a_words = shared + [f"a{i}" for i in range(93)]
+    b_words = shared + [f"b{i}" for i in range(93)]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(a_words)), Row(doc_id=2, text=" ".join(b_words))]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.07).collect()
+    }
+    assert got[(1, 2)] == 0.07 and got[(2, 1)] == 0.07
