@@ -225,7 +225,11 @@ def ngram_jaccard_pairs(
         .select(id_col, "__hs")
         .transform(cache_tracked)
     )
-    posting = sh.select(id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t"))
+    # cached: tok_df and the rank join both consume the exploded
+    # postings — uncached, the shingle-explode lineage runs twice
+    posting = sh.select(
+        id_col, F.size("__hs").alias("__len"), F.explode("__hs").alias("__t")
+    ).transform(cache_tracked)
     # global df-order: rarest tokens first → shortest posting lists in
     # the prefix join.
     tok_df = posting.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
