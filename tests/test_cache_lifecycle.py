@@ -57,3 +57,22 @@ def test_cache_tracked_is_reusable_after_release(spark):
     assert df.count() == 10
     release_caches()
     assert df.count() == 10  # unpersisted frame still computable
+
+
+def test_release_after_r4_cached_queries(spark):
+    """The r4 cache sites (containment postings, KMV overlap distinct/
+    sketch frames) go through cache_tracked and release fully."""
+    release_caches()
+    base = _persistent_ids(spark)
+    from airline_dataset_hadoop_public_spark.plans.fixtures_extensions import (
+        dedup_containment_neardup,
+    )
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        events_kmv_type_overlap,
+    )
+
+    dedup_containment_neardup(spark, SF_SMOKE).count()
+    events_kmv_type_overlap(spark, SF_SMOKE).count()
+    assert _persistent_ids(spark) - base
+    release_caches()
+    assert not (_persistent_ids(spark) - base)

@@ -732,3 +732,96 @@ def test_bloom_semi_join_equals_plain_semi_join(spark, g):
         ).collect()
     )
     assert got == expect
+
+
+_doc_words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=14
+)
+
+
+@given(
+    docs=st.lists(_doc_words, min_size=1, max_size=8),
+    threshold=st.sampled_from([0.07, 0.2, 0.33, 0.5, 0.8, 0.9, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_containment_matches_python_any_threshold(spark, docs, threshold):
+    """Exactness holds for arbitrary docs AND thresholds — including
+    ones whose t·|A| product rounds one ulp above the exact integer
+    (the float-ceil boundary a fixed-threshold test can miss)."""
+    from airline_dataset_hadoop_public_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    )
+
+    def tri(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expect = sorted(
+        (ia, ib, round(len(tri(a) & tri(b)) / len(tri(a)), 4))
+        for ia, a in enumerate(docs)
+        for ib, b in enumerate(docs)
+        if ia != ib and tri(a) and len(tri(a) & tri(b)) / len(tri(a)) >= threshold
+    )
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 200)),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.sampled_from([2, 8, 64]),
+)
+@settings(**_SETTINGS)
+def test_kmv_overlap_matches_python_reference(spark, rows, k):
+    """The merged-sketch estimators match a plain-Python KMV."""
+    import hashlib
+
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        kmv_set_overlap_per_key_pair,
+    )
+
+    df = spark.createDataFrame([Row(k=a, v=f"u{b}") for a, b in rows])
+    got = {
+        (r["key_a"], r["key_b"]): (
+            r["jaccard_est"], r["jaccard_exact"], r["union_est"], r["inter_est"]
+        )
+        for r in kmv_set_overlap_per_key_pair(df, "k", "v", k=k).collect()
+    }
+
+    def hv(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    sets = defaultdict(set)
+    for a, b in rows:
+        sets[a].add(f"u{b}")
+    expect = {}
+    for ka in sorted(sets):
+        for kb in sorted(sets):
+            if ka >= kb:
+                continue
+            sk = {t: set(sorted(sets[t], key=lambda v: (hv(v), v))[:k]) for t in (ka, kb)}
+            merged = sorted(sk[ka] | sk[kb], key=lambda v: (hv(v), v))[:k]
+            kk = len(merged)
+            both = sum(1 for v in merged if v in sk[ka] and v in sk[kb])
+            rho = both / kk
+            if kk < k:
+                ue = float(kk)
+            else:
+                ue = (k - 1) / (max(hv(merged[-1]), 1) / 2.0**60)
+            a, b = sets[ka], sets[kb]
+            jex = len(a & b) / len(a | b)
+            expect[(ka, kb)] = (
+                round(rho, 4), round(jex, 4), round(ue, 4), round(rho * ue, 4)
+            )
+    assert got == expect
