@@ -507,3 +507,54 @@ def parts_itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long"),
     ).select("item", "neighbor", "n_both", "cos2_bp2", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed activity scores — the "trending now"
+# operator: each event contributes 0.5^(age/halflife) with age
+# measured from the corpus's max timestamp, so one map-side-combined
+# aggregate per user yields a recency-weighted activity ranking
+# without any window state. The decay-sum is the canonical
+# incremental form (score(t2) = score(t1)·0.5^(Δ/hl) + new events),
+# which is what makes it maintainable at 100 TB. Float discipline:
+# the score is a reported column only (ROUND 4, same operand order
+# both engines per FIXTURES.md §F/dsir precedent); no filter or
+# ranking decision consumes it — n_events and the grid are exact.
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_H = 24.0
+
+_DECAYED_ORACLE = f"""
+WITH ref AS (SELECT MAX(ts) AS mt FROM events),
+w AS (SELECT user_id,
+             POWER(0.5, ((epoch(ref.mt) - epoch(ts)) / 3600.0)
+                        / {_DECAY_HALFLIFE_H}) AS wt
+      FROM events, ref
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(wt), 4) AS decayed_score
+FROM w GROUP BY user_id
+"""
+
+
+@register("events_decayed_activity", _DECAYED_ORACLE)
+def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ref = ev.agg(F.max("ts").alias("mt"))
+    wt = F.pow(
+        F.lit(0.5),
+        ((F.col("mt").cast("double") - F.col("ts").cast("double")) / F.lit(3600.0))
+        / F.lit(_DECAY_HALFLIFE_H),
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("user_id", wt.alias("wt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wt"), 4).alias("decayed_score"),
+        )
+    )

@@ -137,6 +137,7 @@ def main() -> None:
         "events_kmv_type_overlap",
         "lineitem_join_size_estimate",
         "dq_observe_metrics",
+        "events_decayed_activity",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

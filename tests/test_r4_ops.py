@@ -180,3 +180,27 @@ def test_containment_float_ceil_boundary(spark):
         for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.07).collect()
     }
     assert got[(1, 2)] == 0.07 and got[(2, 1)] == 0.07
+
+
+def test_decayed_activity_math(spark, tmp_path):
+    """Decay weights: an event exactly one halflife old counts 0.5."""
+    import datetime as dt
+    from airline_dataset_hadoop_public_spark.plans.fixtures_behavior import (
+        events_decayed_activity,
+    )
+
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 - dt.timedelta(hours=24), user_id=1,
+            event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=t0 - dt.timedelta(hours=48), user_id=2,
+            event_type="click", value=1.0, props="{}"),
+        Row(event_id=4, ts=None, user_id=3, event_type="click", value=1.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_score"])
+        for r in events_decayed_activity(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 1.5), 2: (1, 0.25)}  # null-ts row excluded
