@@ -75,6 +75,16 @@ def pagerank(
         )
     nodes = nodes.cache()
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks (1/n below would divide by
+        # zero) — empty partitions are routine at scale. Materialize
+        # the empty frame BEFORE dropping the caches it derives from.
+        empty = nodes.select("pk", F.lit(0.0).alias("r")).localCheckpoint(
+            eager=True
+        )
+        contrib.unpersist()
+        nodes.unpersist()
+        return empty
 
     ranks = nodes.select("pk", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n

@@ -115,3 +115,28 @@ def bin_pack_manifest(
         "compaction_group",
         F.floor((cum - F.col(size_col)) / F.lit(target_bytes)).cast("long"),
     )
+
+
+def ansi_empty_grouping_row(result: DataFrame, row: Sequence) -> DataFrame:
+    """Append the global grouping-set row to a ROLLUP/CUBE/GROUPING
+    SETS result exactly when the INPUT was empty.
+
+    ANSI SQL (and DuckDB/Postgres) emit one row for the `()` grouping
+    set even over an empty table — the global aggregate over zero rows
+    — but Spark's rollup/cube/groupingSets return an empty frame
+    there. The pad is derived from the already-aggregated `result`
+    (dimension-sized; cache it if its lineage is a fact scan): a
+    global count==0 filter keeps the synthesized row exactly when the
+    result has no rows, so non-empty inputs are untouched and no
+    second fact scan happens.
+
+    `row` lists one Column per output column (aliased to the result's
+    column names, NULL/0 as the empty-aggregate values dictate).
+    """
+    pad = (
+        result.groupBy()
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") == 0)
+        .select(*row)
+    )
+    return result.unionByName(pad)

@@ -127,8 +127,11 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @register("cube_revenue_by_flag_status", _CUBE_ORACLE)
 def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ansi_empty_grouping_row
+    from ..runtime import cache_tracked
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    result = cache_tracked(
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
@@ -138,6 +141,17 @@ def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+    )
+    # ANSI emits the global grouping-set row even over an empty table
+    return ansi_empty_grouping_row(
+        result,
+        [
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(3).cast("int").alias("gid"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("revenue"),
+        ],
     )
 
 
@@ -748,14 +762,25 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
         .count()
     )
-    got = obs.get  # populated by the count() action above
+    # observed metrics only materialize when at least one task ran;
+    # on a zero-row source the scan collapses to an empty local
+    # relation and the observation never fires — the true counters
+    # are then exactly the ANSI empty-aggregate row (0 / NULL)
+    try:
+        got = dict(obs.get)
+    except Exception:
+        got = {}
+
+    def _f(x):
+        return None if x is None else float(x)
+
     rows = sorted(
         [
-            ("max_price", float(got["max_price"])),
+            ("max_price", _f(got.get("max_price"))),
             ("n_groups", float(n_groups)),
-            ("n_rows", float(got["n_rows"])),
-            ("null_shipdate", float(got["null_shipdate"])),
-            ("sum_qty", float(got["sum_qty"])),
+            ("n_rows", float(got.get("n_rows", 0))),
+            ("null_shipdate", float(got.get("null_shipdate", 0))),
+            ("sum_qty", _f(got.get("sum_qty"))),
         ]
     )
     return spark.createDataFrame(rows, "metric string, value double")

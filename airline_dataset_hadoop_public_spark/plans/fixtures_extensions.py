@@ -848,9 +848,9 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = scratch_dir("serving", tag, "seg_priority_avg")
     write_serving(result, path, ["c_mktsegment"])
-    return point_read(spark, path, c_mktsegment="BUILDING").select(
-        "c_mktsegment", "o_orderpriority", "avg_price"
-    )
+    return point_read(
+        spark, path, schema=result.schema, c_mktsegment="BUILDING"
+    ).select("c_mktsegment", "o_orderpriority", "avg_price")
 
 
 # SRP-LSH near-neighbour pairs (12 bands x 4 bits): the oracle

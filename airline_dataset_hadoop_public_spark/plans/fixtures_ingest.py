@@ -91,7 +91,14 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canonicalize(raw, canon_dir, date_col="o_orderdate")
 
-    canon = read_canonical(spark, canon_dir)
+    canon = read_canonical(
+        spark,
+        canon_dir,
+        schema=T.StructType(
+            list(_ORDERS_CSV_SCHEMA.fields)
+            + [T.StructField("Year", T.IntegerType())]
+        ),
+    )
     return (
         # Year filter = partition pruning over the canonical layout (S3);
         # the 4-column projection prunes the scan (S2).

@@ -198,9 +198,13 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     events.write.mode("overwrite").partitionBy("day").orc(root)
-    # partition-column type inference may read day= back as DATE;
-    # normalize to the string form the oracle emits
-    raw = spark.read.orc(root).withColumn("day", F.col("day").cast("string"))
+    # explicit schema: partition-column inference may read day= back as
+    # DATE (we want the oracle's string form), and an EMPTY source
+    # writes no files at all — inference would raise where a declared
+    # schema yields an empty scan
+    raw = spark.read.schema(events.schema).orc(root).withColumn(
+        "day", F.col("day").cast("string")
+    )
     return (
         raw.groupBy("day")
         .agg(

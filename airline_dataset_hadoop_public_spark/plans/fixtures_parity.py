@@ -624,8 +624,11 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 @register("lineitem_rollup_revenue", _ROLLUP_ORACLE)
 def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ansi_empty_grouping_row
+    from ..runtime import cache_tracked
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    result = cache_tracked(
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
@@ -637,6 +640,16 @@ def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
             "n",
         )
+    )
+    # ANSI emits the global grouping-set row even over an empty table
+    return ansi_empty_grouping_row(
+        result,
+        [
+            F.lit("<all>").alias("l_returnflag"),
+            F.lit("<all>").alias("l_linestatus"),
+            F.lit(None).cast("double").alias("sum_price"),
+            F.lit(0).cast("long").alias("n"),
+        ],
     )
 
 

@@ -461,17 +461,34 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 @register("grouping_sets_revenue", _GSETS_ORACLE)
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import ansi_empty_grouping_row
+    from ..runtime import cache_tracked
+
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "gsets_lineitem"
     )
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-               COUNT(*) AS n_lines
-        FROM gsets_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+    result = cache_tracked(
+        spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM gsets_lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            """
+        )
+    )
+    # ANSI emits the global grouping-set row even over an empty table
+    return ansi_empty_grouping_row(
+        result,
+        [
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(1).cast("int").alias("g_flag"),
+            F.lit(1).cast("int").alias("g_status"),
+            F.lit(None).cast("double").alias("revenue"),
+            F.lit(0).cast("long").alias("n_lines"),
+        ],
     )

@@ -74,5 +74,12 @@ def canonicalize(
     )
 
 
-def read_canonical(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_canonical(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Pass the canonical ``schema`` (source schema + the Year
+    partition column) to keep the read working when the canonicalized
+    input was empty — ``partitionBy`` of a zero-row frame writes no
+    files, and inference over the bare directory raises."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

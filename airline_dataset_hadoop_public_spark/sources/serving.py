@@ -27,11 +27,22 @@ def write_serving(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def point_read(spark: SparkSession, path: str, **key_equalities) -> DataFrame:
+def point_read(
+    spark: SparkSession, path: str, schema=None, **key_equalities
+) -> DataFrame:
     """X2: point lookup — conjunctive equality on serving keys.
     Filters on partition columns prune at file level (check
-    `.explain` for PartitionFilters)."""
-    df = spark.read.parquet(path)
+    `.explain` for PartitionFilters).
+
+    Pass the serving table's ``schema`` (a catalog would supply it at
+    scale) to make the read robust to an EMPTY serving table:
+    ``partitionBy`` of a zero-row frame writes no files, and
+    schema inference over the bare directory raises where an explicit
+    schema simply yields an empty scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     for k, v in key_equalities.items():
         df = df.filter(F.col(k) == F.lit(v))
     return df

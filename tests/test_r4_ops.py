@@ -204,3 +204,38 @@ def test_decayed_activity_math(spark, tmp_path):
         for r in events_decayed_activity(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 1.5), 2: (1, 0.25)}  # null-ts row excluded
+
+
+def _empty_tables(tmp_path):
+    import pyarrow.parquet as pq
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        sch = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(sch.empty_table(), str(tmp_path / f"{t}.parquet"))
+    return str(tmp_path)
+
+
+def test_zero_row_fixture_hardening(spark, tmp_path):
+    """The empty-input classes the zero-row sweep caught: write-then-
+    read paths with no files to infer from, the 1/n pagerank guard,
+    the observation that never fires, the WAP gate on a legitimately
+    empty source, and Spark's missing ANSI global grouping-set row."""
+    sf = _empty_tables(tmp_path)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, want_rows in [
+        ("serving_point_read", 0),
+        ("ingest_csv_roundtrip", 0),
+        ("ingest_orc_roundtrip", 0),
+        ("storage_footer_stats_agg", 1),
+        ("parts_copurchase_pagerank", 0),
+        ("warehouse_write_audit_publish", 0),
+        ("ingest_json_corrupt_records", 0),
+        ("lineitem_rollup_revenue", 1),
+        ("cube_revenue_by_flag_status", 1),
+        ("grouping_sets_revenue", 1),
+        ("dq_observe_metrics", 5),
+    ]:
+        assert qs[name](spark, sf).count() == want_rows, name
