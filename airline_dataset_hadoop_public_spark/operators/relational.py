@@ -117,24 +117,30 @@ def bin_pack_manifest(
     )
 
 
-def ansi_empty_grouping_row(result: DataFrame, row: Sequence) -> DataFrame:
+def ansi_empty_grouping_row(
+    input_df: DataFrame, result: DataFrame, row: Sequence
+) -> DataFrame:
     """Append the global grouping-set row to a ROLLUP/CUBE/GROUPING
-    SETS result exactly when the INPUT was empty.
+    SETS `result` exactly when `input_df` was empty.
 
     ANSI SQL (and DuckDB/Postgres) emit one row for the `()` grouping
     set even over an empty table — the global aggregate over zero rows
     — but Spark's rollup/cube/groupingSets return an empty frame
-    there. The pad is derived from the already-aggregated `result`
-    (dimension-sized; cache it if its lineage is a fact scan): a
-    global count==0 filter keeps the synthesized row exactly when the
-    result has no rows, so non-empty inputs are untouched and no
-    second fact scan happens.
+    there. The emptiness probe is `input_df.limit(1)` aggregated to a
+    count — a LocalLimit early-exit that reads at most one row
+    regardless of table size — NOT a re-derivation of `result`: a pad
+    branch built over `result` itself misses the cache inside the
+    self-referential union (DeduplicateRelations renumbers the
+    Expand's grouping-id attribute and the cache lookup fails), which
+    would silently re-run the whole fact aggregation.
 
     `row` lists one Column per output column (aliased to the result's
     column names, NULL/0 as the empty-aggregate values dictate).
     """
     pad = (
-        result.groupBy()
+        input_df.select(F.lit(1).alias("__one"))
+        .limit(1)
+        .groupBy()
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") == 0)
         .select(*row)

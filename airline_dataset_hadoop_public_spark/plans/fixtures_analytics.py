@@ -128,10 +128,9 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 @register("cube_revenue_by_flag_status", _CUBE_ORACLE)
 def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import ansi_empty_grouping_row
-    from ..runtime import cache_tracked
 
     li = load_table(spark, sf_dir, "lineitem")
-    result = cache_tracked(
+    result = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
@@ -144,6 +143,7 @@ def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ANSI emits the global grouping-set row even over an empty table
     return ansi_empty_grouping_row(
+        li,
         result,
         [
             F.lit(None).cast("string").alias("l_returnflag"),

@@ -625,10 +625,9 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 @register("lineitem_rollup_revenue", _ROLLUP_ORACLE)
 def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import ansi_empty_grouping_row
-    from ..runtime import cache_tracked
 
     li = load_table(spark, sf_dir, "lineitem")
-    result = cache_tracked(
+    result = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
@@ -643,6 +642,7 @@ def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ANSI emits the global grouping-set row even over an empty table
     return ansi_empty_grouping_row(
+        li,
         result,
         [
             F.lit("<all>").alias("l_returnflag"),

@@ -462,26 +462,23 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 @register("grouping_sets_revenue", _GSETS_ORACLE)
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import ansi_empty_grouping_row
-    from ..runtime import cache_tracked
 
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "gsets_lineitem"
-    )
-    result = cache_tracked(
-        spark.sql(
-            """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-                   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-                   COUNT(*) AS n_lines
-            FROM gsets_lineitem
-            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-            """
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gsets_lineitem")
+    result = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(*) AS n_lines
+        FROM gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
     )
     # ANSI emits the global grouping-set row even over an empty table
     return ansi_empty_grouping_row(
+        li,
         result,
         [
             F.lit(None).cast("string").alias("l_returnflag"),

@@ -43,7 +43,12 @@ def test_sample_filter_pushes_to_scan(spark, qs):
 
 def test_cube_single_expand_pass(spark, qs):
     plan = _plan(qs["cube_revenue_by_flag_status"](spark, SF))
-    assert plan.count("Expand") == 1  # one pass, not 4 scans
+    # One Expand pass, not 4 scans — and the ANSI empty-input pad
+    # branch must stay an O(1) limit-1 probe, never a second cube
+    # derivation (a result-derived pad silently re-scanned the fact
+    # table: cache lookup fails inside the self-referential union).
+    assert plan.count("Expand") == 1
+    assert "Limit" in plan  # the pad's one-row emptiness probe
     rows = qs["cube_revenue_by_flag_status"](spark, SF).collect()
     gids = {r["gid"] for r in rows}
     assert gids == {0, 1, 2, 3}
