@@ -238,3 +238,49 @@ def triangle_counts(
             ).alias("clustering"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, bounded
+    by ``max_hops``.  ``seeds`` must expose one column ``n``.
+
+    Returns (n, hop) for every node reachable within the bound, hop =
+    min #edges from the nearest seed (seeds themselves at hop 0).
+
+    Frontier-expansion shape (the Pregel BFS): each round joins the
+    CURRENT frontier — never the visited set — against the edge list,
+    then anti-joins the visited set to keep only first discoveries.
+    Work per round is O(frontier out-edges), total O(m) across the
+    run, and the frontier/visited frames are node-cardinality.  Both
+    are localCheckpoint-truncated every round so plan depth stays
+    O(1) in hop count (same discipline as pagerank above).  At
+    cluster scale the visited set would be hash-partitioned on n and
+    the anti-join co-located with the expansion's shuffle; the bounded
+    depth is what callers use to keep straggler rounds finite on
+    high-diameter graphs.
+    """
+    frontier = (
+        seeds.select("n").distinct().withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(edges, frontier.n == F.col(src))
+            .select(F.col(dst).alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -184,3 +184,50 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir)
     return triangle_counts(edges, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (bounded depth 3) from the sparse seed
+# set partkey % 199 == 0, over the co-purchase graph — the
+# reachability/radius probe of the iterative-graph family (frontier
+# expansion, vs pagerank's fixed-point scoring and CC's label
+# propagation). Report = per-hop node count + id checksum, so the
+# whole BFS wavefront is value-checked without a node-per-row output.
+# Oracle: recursive CTE with UNION (distinct) recursion — the working
+# set stays (node, hop)-bounded — then MIN(hop) per node, the textbook
+# SQL statement of BFS min-distance.
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT DISTINCT src AS n FROM e WHERE src % 199 = 0),
+walk(n, hop) AS (
+  SELECT n, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.n
+  WHERE w.hop < 3),
+best AS (SELECT n, MIN(hop) AS hop FROM walk GROUP BY 1)
+SELECT CAST(hop AS INT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(n) AS BIGINT) AS node_sum
+FROM best GROUP BY 1
+"""
+
+
+@register("parts_copurchase_bfs_hops", _BFS_ORACLE)
+def parts_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    # distinct unweighted edges: BFS cares about adjacency, not weight
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    seeds = edges.filter(F.col("src") % 199 == 0).select(
+        F.col("src").alias("n")
+    )
+    reached = bfs_hops(edges, seeds, max_hops=3)
+    return reached.groupBy(F.col("hop").cast("int").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n").alias("node_sum"),
+    )

@@ -583,3 +583,119 @@ def storage_compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_month").alias("first_month"),
         F.max("file_month").alias("last_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read with POSITION DELETES (the Iceberg v2 / Delta
+# deletion-vector read path): the base table is a set of immutable
+# parquet "data files"; a delete commit writes only a tiny
+# (file_path, row_index) manifest; readers reconstruct the live table
+# by anti-joining positions — no base-file rewrite ever happens.
+# Spark's `_metadata.file_path` / `_metadata.row_index` hidden columns
+# supply the positions on both the delete-build and read sides.
+#
+# 100 TB shape: the delete manifest is orders-of-magnitude smaller
+# than the base (it broadcasts), and because file_path is the leading
+# join key, only rows from files that actually carry deletes pay a
+# probe — files without deletes stream through the broadcast hash
+# anti-join untouched, which is exactly how table formats scope
+# delete application per file. The oracle states the business-level
+# outcome (rows minus the deleted keys), proving the positional
+# round-trip preserved row identity end to end.
+# ---------------------------------------------------------------------------
+
+
+def _orders_mor_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str, object]:
+    """Mirror `orders` as 4 immutable single-file buckets (o_orderkey
+    % 4, sorted by key within each file) plus a position-delete
+    manifest for the business predicate (o_orderkey % 7 == 0 AND
+    o_orderstatus = 'F'). Cache keyed by source identity, like
+    _docs_bucket_stream_dir."""
+    import glob
+    import os
+    import shutil
+
+    from ..runtime import scratch_dir, source_scratch_key
+
+    key = source_scratch_key(sf_dir, "orders.parquet")
+    root = scratch_dir("mor", key)
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    orders = load_table(spark, sf_dir, "orders")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(data_dir, exist_ok=True)
+        for b in range(4):
+            tmp = os.path.join(root, f"__tmp{b}")
+            (
+                orders.filter(F.col("o_orderkey") % 4 == b)
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            if parts:  # a zero-row bucket stages no data file
+                shutil.move(
+                    parts[0], os.path.join(data_dir, f"orders{b}.parquet")
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+        # the delete COMMIT: positions of predicate rows, nothing else
+        base = spark.read.schema(orders.schema).parquet(data_dir)
+        (
+            base.filter(
+                (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderstatus") == "F")
+            )
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(del_dir)
+        )
+        with open(marker, "w"):
+            pass
+    return data_dir, del_dir, orders.schema
+
+
+_MOR_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+GROUP BY 1
+"""
+
+
+@register("orders_mor_position_deletes", _MOR_ORACLE)
+def orders_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    data_dir, del_dir, schema = _orders_mor_dir(spark, sf_dir)
+    base = spark.read.schema(schema).parquet(data_dir).select(
+        "*",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    # explicit schema on the manifest read: a zero-row commit writes a
+    # schema-only (or no) file, and a catalog would supply this anyway
+    del_schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField("row_index", LongType()),
+        ]
+    )
+    deletes = spark.read.schema(del_schema).parquet(del_dir)
+    live = base.join(
+        F.broadcast(deletes), ["file_path", "row_index"], "left_anti"
+    )
+    return live.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents"),
+    )

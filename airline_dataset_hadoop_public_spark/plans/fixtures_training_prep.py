@@ -799,3 +799,45 @@ def docs_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, F.col("lang") == "en", buckets=_DSIR_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (m-estimate, Micci-Barreca SIGKDD Expl.
+# 2001): encode o_orderpriority with the o_totalprice mean computed
+# from the OTHER four folds, shrunk toward the global mean with prior
+# weight m=10. Fold = o_orderkey % 5 — deterministic and portable, so
+# the oracle states the identical computation. One map-side-combined
+# aggregate over orders; everything downstream is arithmetic on the
+# 25-row (priority, fold) stats frame (operators/encoding.py).
+# ---------------------------------------------------------------------------
+
+_TARGET_ENC_ORACLE = """
+WITH f AS (
+  SELECT o_orderpriority AS category, o_orderkey % 5 AS fold,
+         o_totalprice AS y
+  FROM orders),
+g AS (SELECT AVG(y) AS gm FROM f),
+cf AS (SELECT category, fold, SUM(y) AS s, COUNT(*) AS n
+       FROM f GROUP BY 1, 2),
+c AS (SELECT category, SUM(s) AS sc, SUM(n) AS nc FROM cf GROUP BY 1)
+SELECT cf.category,
+       CAST(cf.fold AS INT) AS fold,
+       CAST(cf.n AS BIGINT) AS n_rows,
+       ROUND(((c.sc - cf.s) + 10.0 * g.gm) / ((c.nc - cf.n) + 10.0), 4)
+         AS target_enc
+FROM cf JOIN c USING (category) CROSS JOIN g
+"""
+
+
+@register("orders_target_encoding_oof", _TARGET_ENC_ORACLE)
+def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.encoding import target_encode_oof
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encode_oof(
+        orders,
+        "o_orderpriority",
+        F.col("o_orderkey") % 5,
+        "o_totalprice",
+        smoothing=10.0,
+    )

@@ -138,6 +138,10 @@ def main() -> None:
         "lineitem_join_size_estimate",
         "dq_observe_metrics",
         "events_decayed_activity",
+        # r4b additions
+        "orders_target_encoding_oof",
+        "parts_copurchase_bfs_hops",
+        "orders_mor_position_deletes",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
@@ -157,7 +161,7 @@ def main() -> None:
     # otherwise pay the one-time index build; min-of-2 hides that only
     # when pass 2 lands, and the recorded number should be the
     # production per-batch probe cost either way.
-    for name in ("dedup_minhash_incremental",):
+    for name in ("dedup_minhash_incremental", "orders_mor_position_deletes"):
         if name in names:
             try:
                 qs[name](spark, sf_dir).count()

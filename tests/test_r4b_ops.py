@@ -1,0 +1,189 @@
+"""Round-4b additions: out-of-fold target encoding, bounded BFS hop
+distance, and merge-on-read position deletes."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# target_encode_oof
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_oof_math(spark):
+    """Hand-checkable frame: encoding for fold f uses ONLY the other
+    folds' rows, shrunk toward the global mean by the prior."""
+    from airline_dataset_hadoop_public_spark.operators.encoding import (
+        target_encode_oof,
+    )
+
+    rows = [
+        # (key, cat, y): cat 'a' rows split across folds 0/1 by key%2
+        Row(k=0, cat="a", y=10.0),
+        Row(k=2, cat="a", y=20.0),
+        Row(k=1, cat="a", y=100.0),
+        Row(k=3, cat="b", y=50.0),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["category"], r["fold"]): (r["n_rows"], r["target_enc"])
+        for r in target_encode_oof(
+            df, "cat", F.col("k") % 2, "y", smoothing=2.0
+        ).collect()
+    }
+    gm = (10.0 + 20.0 + 100.0 + 50.0) / 4.0  # 45.0
+    # cat a fold 0 (rows 10,20): OOF stats = fold-1 row only (100)
+    assert got[("a", 0)] == (2, round((100.0 + 2 * gm) / (1 + 2), 4))
+    # cat a fold 1 (row 100): OOF stats = folds-0 rows (10, 20)
+    assert got[("a", 1)] == (1, round((30.0 + 2 * gm) / (2 + 2), 4))
+    # cat b has a single fold: leave-fold-out drops everything — the
+    # prior carries the whole encoding (pure global-mean shrinkage)
+    assert got[("b", 1)] == (1, round((0.0 + 2 * gm) / (0 + 2), 4))
+    assert len(got) == 3
+
+
+def test_target_encode_oof_matches_leave_out_reference(spark):
+    """Every (category, fold) cell equals the smoothed mean computed
+    by a plain-Python reference over rows NOT in that fold — the
+    leave-one-fold-out semantics, checked cell by cell on a frame
+    with uneven fold sizes and multiple categories."""
+    from airline_dataset_hadoop_public_spark.operators.encoding import (
+        target_encode_oof,
+    )
+
+    rows = [
+        Row(k=i, cat=("a" if i % 5 else "b"), y=float((i * 37) % 101))
+        for i in range(23)
+    ]
+    m = 3.0
+    gm = sum(r.y for r in rows) / len(rows)
+    got = {
+        (r["category"], r["fold"]): (r["n_rows"], r["target_enc"])
+        for r in target_encode_oof(
+            spark.createDataFrame(rows), "cat", F.col("k") % 3, "y",
+            smoothing=m,
+        ).collect()
+    }
+    cells = {(r.cat, r.k % 3) for r in rows}
+    assert set(got) == cells
+    for cat, fold in cells:
+        own = [r.y for r in rows if r.cat == cat and r.k % 3 == fold]
+        rest = [r.y for r in rows if r.cat == cat and r.k % 3 != fold]
+        want = round((sum(rest) + m * gm) / (len(rest) + m), 4)
+        assert got[(cat, fold)] == (len(own), want), (cat, fold)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _sym_edges(spark, pairs):
+    rows = [Row(src=a, dst=b) for a, b in pairs] + [
+        Row(src=b, dst=a) for a, b in pairs
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5, seed {1}, bound 3: node 5 stays unreached."""
+    from airline_dataset_hadoop_public_spark.operators.graph import bfs_hops
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([Row(n=1)])
+    got = {r["n"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_seed_min_and_cycle(spark):
+    """Cycle + two seeds: every node gets the MIN distance over seeds;
+    revisits around the cycle never relabel an earlier discovery."""
+    from airline_dataset_hadoop_public_spark.operators.graph import bfs_hops
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)])
+    seeds = spark.createDataFrame([Row(n=1), Row(n=3)])
+    got = {r["n"]: r["hop"] for r in bfs_hops(edges, seeds, 5).collect()}
+    assert got == {1: 0, 3: 0, 2: 1, 4: 1, 5: 2}
+
+
+def test_bfs_hops_duplicate_seeds_and_early_exit(spark):
+    """Duplicate seed rows collapse; an exhausted frontier stops the
+    loop before the bound (no empty-round work)."""
+    from airline_dataset_hadoop_public_spark.operators.graph import bfs_hops
+
+    edges = _sym_edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([Row(n=1), Row(n=1)])
+    out = bfs_hops(edges, seeds, 10)
+    assert sorted((r["n"], r["hop"]) for r in out.collect()) == [(1, 0), (2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read position deletes
+# ---------------------------------------------------------------------------
+
+
+def test_mor_position_deletes_roundtrip(spark, tmp_path):
+    """End-to-end on a tiny orders mirror: the positional anti-join
+    removes exactly the predicate rows, and the delete manifest holds
+    exactly their (file, position) identities."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_custkey": [i % 5 for i in range(n)],
+            "o_orderstatus": [("F" if i % 3 == 0 else "O") for i in range(n)],
+            "o_totalprice": [100.0 + i for i in range(n)],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "orders.parquet"))
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_storage import (
+        _orders_mor_dir,
+        orders_mor_position_deletes,
+    )
+
+    got = {
+        r["status"]: (r["n_live"], r["cents"])
+        for r in orders_mor_position_deletes(spark, str(tmp_path)).collect()
+    }
+    live = pdf[~((pdf.o_orderkey % 7 == 0) & (pdf.o_orderstatus == "F"))]
+    want = {
+        s: (int(g.shape[0]), int(round(g.o_totalprice * 100).sum()))
+        for s, g in live.groupby("o_orderstatus")
+    }
+    assert got == want
+
+    # manifest audit: one positional entry per predicate row
+    _, del_dir, _ = _orders_mor_dir(spark, str(tmp_path))
+    manifest = spark.read.parquet(del_dir)
+    n_deleted = int(
+        ((pdf.o_orderkey % 7 == 0) & (pdf.o_orderstatus == "F")).sum()
+    )
+    assert manifest.count() == n_deleted
+    assert manifest.select("file_path", "row_index").distinct().count() == n_deleted
+
+
+def test_r4b_zero_row_paths(spark, tmp_path):
+    """Empty-input behavior of the three new queries (same harness as
+    test_r4_ops.test_zero_row_fixture_hardening)."""
+    from tests.test_r4_ops import _empty_tables
+
+    sf = _empty_tables(tmp_path)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "orders_target_encoding_oof",
+        "parts_copurchase_bfs_hops",
+        "orders_mor_position_deletes",
+    ):
+        assert qs[name](spark, sf).count() == 0, name
