@@ -190,6 +190,69 @@ def approx_distinct_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Datasketches HLL build → MERGE → estimate (Spark 4 hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate): per-(type, day) sketches are
+# unioned per type and estimated WITHOUT rescanning users — the
+# re-aggregation pattern a 100 TB rollup table runs (daily sketch
+# columns stored once, any date-range distinct answered by merging
+# fixed-size states). The query checks the sketch contract inside the
+# result: the union-of-daily-sketches estimate tracks the direct
+# whole-column sketch within 2% (NOT bit-equality — a low-cardinality
+# direct sketch can still be in exact sparse/coupon mode while the
+# union of many sketches has promoted to dense HLL registers;
+# observed at sf0.1: direct 1494 vs merged 1488 on exact 1500), and
+# the merged estimate lands within 5% of exact (lgK=12 → rsd ~1.6%,
+# so 5% is ~3 sigma; deterministic once green — the hash function is
+# fixed). Oracle pins exact counts and asserts both flags.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       1 AS merge_consistent,
+       1 AS est_ok
+FROM events GROUP BY 1
+"""
+
+
+@register("events_hll_sketch_merge", _HLL_MERGE_ORACLE)
+def events_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.when(
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            <= 0.02 * F.greatest(F.col("est_direct"), F.lit(1.0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("merge_consistent"),
+        F.when(
+            F.abs(F.col("est_merged") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+            1,
+        )
+        .otherwise(0)
+        .alias("est_ok"),
+    )
+
+
 # percentile_approx (GK/t-digest-style sketch) vs the exact
 # interpolated percentile, per event_type; 2% relative tolerance.
 _APPROX_PCTL_ORACLE = """

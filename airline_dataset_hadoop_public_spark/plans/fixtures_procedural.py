@@ -215,3 +215,72 @@ def events_type_streaks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY user_id ORDER BY (ts, event_id))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDAF (the third procedural surface, next to
+# cogroup-apply and the UDTF): weighted median of event value per
+# (event_type, day), weight = payload byte size. The UDAF form is
+# `pandas_udf` with a (Series, Series) -> scalar hint — Spark plans it
+# as a real aggregate (one shuffle on the group key, Arrow-batched
+# per-group reduce), so it composes with groupBy exactly like a
+# builtin. Group sizes are bounded by the (type, day) key — the
+# pattern that keeps a custom UDAF viable at 100 TB; the declarative
+# equivalent (range-frame cumulative weights, stated by the oracle) is
+# what you'd ship when the logic fits SQL.
+#
+# Weighted median contract (integer-exact, no float boundaries):
+# collapse ties by summing weights per distinct value, then the
+# smallest value v with 2*cum(v) >= total. Weights are byte lengths
+# octet_length(props)+1 (DuckDB: strlen) — strictly positive integers.
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value AS v,
+         strlen(COALESCE(props, '')) + 1 AS wt
+  FROM events),
+g AS (SELECT event_type, day, v, SUM(wt) AS wt FROM w GROUP BY 1, 2, 3),
+s AS (SELECT event_type, day, v,
+             SUM(wt) OVER (PARTITION BY event_type, day ORDER BY v) AS cum,
+             SUM(wt) OVER (PARTITION BY event_type, day) AS tot
+      FROM g)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(MIN(v), 4) AS wmedian
+FROM s WHERE 2 * cum >= tot
+GROUP BY 1, 2
+"""
+
+
+@register("events_weighted_median_udaf", _WMEDIAN_ORACLE)
+def events_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        by_v = (
+            pd.DataFrame({"v": v.to_numpy(), "w": w.to_numpy()})
+            .groupby("v", sort=True)["w"]
+            .sum()
+        )
+        cum = by_v.cumsum()
+        tot = int(by_v.sum())
+        # first index where 2*cum >= tot (guaranteed to exist:
+        # weights are strictly positive)
+        return float(cum.index[int((2 * cum >= tot).to_numpy().argmax())])
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").alias("v"),
+        (F.octet_length(F.coalesce("props", F.lit(""))) + 1)
+        .cast("long")
+        .alias("wt"),
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(F.round(wmedian("v", "wt"), 4).alias("wmedian"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "wmedian",
+        )
+    )

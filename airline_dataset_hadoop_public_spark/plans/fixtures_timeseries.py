@@ -312,3 +312,70 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "ewma",
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the hourly event-count series, lags 1-6:
+# the seasonality probe (a daily cycle shows up as structure across
+# the lag spectrum). The series is regularized onto a complete hourly
+# grid (missing hours count 0 — skipping them would silently splice
+# non-adjacent hours together), then each lag is one equi-join on
+# epoch arithmetic and one corr() aggregate. Everything after the
+# per-hour count aggregate runs on the tiny series frame (|hours|
+# rows), and Pearson corr is scale-invariant so sample-vs-population
+# variance conventions cancel; ROUND(.,6) follows the regr fixture's
+# cross-engine precision contract.
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*)::DOUBLE AS c
+  FROM events GROUP BY 1),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS h),
+series AS (
+  SELECT epoch(g.h)::BIGINT AS e, COALESCE(b.c, 0)::DOUBLE AS c
+  FROM grid g LEFT JOIN b USING (h)),
+lags AS (SELECT unnest(range(1, 7))::INT AS lag),
+p AS (
+  SELECT l.lag, a.c AS ca, b2.c AS cb
+  FROM lags l
+  CROSS JOIN series a
+  JOIN series b2 ON b2.e = a.e - l.lag * 3600)
+SELECT lag, COUNT(*)::BIGINT AS n_pairs, ROUND(corr(ca, cb), 6) AS acf
+FROM p GROUP BY 1
+"""
+
+
+@register("events_hourly_acf", _ACF_ORACLE)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    series = grid.join(counts, "h", "left").select(
+        F.unix_timestamp("h").alias("e"),
+        F.coalesce("c", F.lit(0.0)).alias("c"),
+    )
+    lags = spark.range(1, 7).select(F.col("id").cast("int").alias("lag"))
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b.e") == F.col("a.e") - F.col("lag") * 3600,
+        )
+        .select("lag", F.col("a.c").alias("ca"), F.col("b.c").alias("cb"))
+    )
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("ca", "cb"), 6).alias("acf"),
+    )

@@ -142,6 +142,9 @@ def main() -> None:
         "orders_target_encoding_oof",
         "parts_copurchase_bfs_hops",
         "orders_mor_position_deletes",
+        "events_hll_sketch_merge",
+        "events_weighted_median_udaf",
+        "events_hourly_acf",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -187,3 +187,132 @@ def test_r4b_zero_row_paths(spark, tmp_path):
         "orders_mor_position_deletes",
     ):
         assert qs[name](spark, sf).count() == 0, name
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch build/merge, weighted-median UDAF, hourly ACF
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sketch_merge_flags_and_exact(spark, tmp_path):
+    """Synthetic events with known per-type cardinalities: exact counts
+    surface unchanged and both sketch-consistency flags hold."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for u in range(50):
+            for typ, keep in (("click", True), ("view", u % 2 == 0)):
+                if keep:
+                    eid += 1
+                    rows.append(
+                        Row(event_id=eid, ts=t0 + dt.timedelta(days=day, seconds=u),
+                            user_id=u + 100 * day, event_type=typ,
+                            value=1.0, props="{}")
+                    )
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    from airline_dataset_hadoop_public_spark.plans.fixtures_analytics import (
+        events_hll_sketch_merge,
+    )
+
+    got = {
+        r["event_type"]: (r["exact_users"], r["merge_consistent"], r["est_ok"])
+        for r in events_hll_sketch_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (150, 1, 1), "view": (75, 1, 1)}
+
+
+def test_weighted_median_udaf_vs_reference(spark, tmp_path):
+    """UDAF result equals the plain-Python weighted median (ties merged
+    by summing weights, smallest v with 2*cum >= tot) per (type, day)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(60):
+        rows.append(
+            Row(event_id=i, ts=t0 + dt.timedelta(days=i % 2, minutes=i),
+                user_id=i % 7, event_type=("a" if i % 3 else "b"),
+                value=float((i * 13) % 10),  # plenty of ties
+                props="x" * (i % 5))  # weights 1..5
+        )
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    from airline_dataset_hadoop_public_spark.plans.fixtures_procedural import (
+        events_weighted_median_udaf,
+    )
+
+    def ref(group):
+        by_v: dict = {}
+        for v, w in group:
+            by_v[v] = by_v.get(v, 0) + w
+        tot = sum(by_v.values())
+        cum = 0
+        for v in sorted(by_v):
+            cum += by_v[v]
+            if 2 * cum >= tot:
+                return round(v, 4)
+        raise AssertionError("unreachable")
+
+    groups: dict = {}
+    for r in rows:
+        key = (r.event_type, (r.ts.date().isoformat()))
+        groups.setdefault(key, []).append((r.value, len(r.props) + 1))
+    want = {k: ref(g) for k, g in groups.items()}
+    got = {
+        (r["event_type"], r["day"]): r["wmedian"]
+        for r in events_weighted_median_udaf(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+def test_hourly_acf_vs_numpy(spark, tmp_path):
+    """ACF at each lag equals numpy's Pearson r of the zero-filled
+    hourly series against its shift — including a gap hour that must
+    enter the series as 0, not be spliced out."""
+    import datetime as dt
+
+    import numpy as np
+
+    t0 = dt.datetime(2024, 5, 1)
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 0, 5, 3, 5]  # hour 8 empty: gap
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=t0 + dt.timedelta(hours=h, minutes=i),
+                    user_id=i, event_type="click", value=1.0, props="{}")
+            )
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "events.parquet"))
+    from airline_dataset_hadoop_public_spark.plans.fixtures_timeseries import (
+        events_hourly_acf,
+    )
+
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in events_hourly_acf(spark, str(tmp_path)).collect()
+    }
+    s = np.array(counts, dtype=float)
+    for lag in range(1, 7):
+        a, b = s[lag:], s[:-lag]
+        want = round(float(np.corrcoef(a, b)[0, 1]), 6)
+        assert got[lag][0] == len(a)
+        assert abs(got[lag][1] - want) <= 1e-6, lag
+
+
+def test_r4b_wave2_zero_row_paths(spark, tmp_path):
+    from tests.test_r4_ops import _empty_tables
+
+    sf = _empty_tables(tmp_path)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "events_hll_sketch_merge",
+        "events_weighted_median_udaf",
+        "events_hourly_acf",
+    ):
+        assert qs[name](spark, sf).count() == 0, name
