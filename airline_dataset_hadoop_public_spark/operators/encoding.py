@@ -48,18 +48,23 @@ def target_encode_oof(
     The caller applies it with a broadcast equi-join on
     (category, fold); the table is |categories| x |folds| rows.
     """
-    per_cf = (
+    from ..runtime import cache_tracked
+
+    # ONE scan of the facts: the cached (category, fold) sufficient
+    # statistics feed the category totals, the global mean, and the
+    # output — everything below runs on |cats| x |folds| rows
+    per_cf = cache_tracked(
         df.select(F.col(category).alias("category"), fold.alias("fold"),
                   F.col(target).alias("__y"))
         .groupBy("category", "fold")
         .agg(F.sum("__y").alias("s"), F.count(F.lit(1)).alias("n"))
     )
-    # category totals from the (category, fold) partials — second
-    # aggregate runs on the tiny stats frame, not the facts
     per_c = per_cf.groupBy("category").agg(
         F.sum("s").alias("sc"), F.sum("n").alias("nc")
     )
-    gmean = df.agg(F.avg(target).alias("gm"))
+    gmean = per_c.agg(
+        (F.sum("sc") / F.sum("nc")).alias("gm")
+    )
     m = F.lit(float(smoothing))
     return (
         per_cf.join(F.broadcast(per_c), "category")

@@ -352,9 +352,15 @@ FROM p GROUP BY 1
 
 @register("events_hourly_acf", _ACF_ORACLE)
 def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..runtime import cache_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # ONE scan of the facts: the cached per-hour counts feed the grid
+    # bounds and both lagged series branches
+    counts = cache_tracked(
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
     )
     bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(

@@ -816,10 +816,10 @@ WITH f AS (
   SELECT o_orderpriority AS category, o_orderkey % 5 AS fold,
          o_totalprice AS y
   FROM orders),
-g AS (SELECT AVG(y) AS gm FROM f),
 cf AS (SELECT category, fold, SUM(y) AS s, COUNT(*) AS n
        FROM f GROUP BY 1, 2),
-c AS (SELECT category, SUM(s) AS sc, SUM(n) AS nc FROM cf GROUP BY 1)
+c AS (SELECT category, SUM(s) AS sc, SUM(n) AS nc FROM cf GROUP BY 1),
+g AS (SELECT SUM(sc) / SUM(nc) AS gm FROM c)
 SELECT cf.category,
        CAST(cf.fold AS INT) AS fold,
        CAST(cf.n AS BIGINT) AS n_rows,

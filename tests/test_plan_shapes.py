@@ -314,3 +314,61 @@ def test_join_size_estimate_reads_one_column_no_fact_join(spark, qs):
     assert "l_partkey" in read
     assert "l_quantity" not in read and "l_orderkey" not in read
     assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_single_fact_scan_via_cache(spark, qs):
+    """All three consumers (category totals, global mean, output join)
+    read the cached (category, fold) stats frame — the facts are
+    scanned once; the dimension-sized joins broadcast."""
+    plan = _plan(qs["orders_target_encoding_oof"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3  # per_cf reused everywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mor_deletes_broadcast_anti_join_and_pruned_base(spark, qs):
+    """The delete manifest applies as a broadcast LeftAnti on
+    (file_path, row_index); the base scan prunes to the two report
+    columns plus metadata."""
+    plan = _plan(qs["orders_mor_position_deletes"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    base_read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderstatus" in base_read and "o_totalprice" in base_read
+    assert "o_orderpriority" not in base_read and "o_custkey" not in base_read
+
+
+def test_hll_merge_joins_broadcast_no_python(spark, qs):
+    """Sketch build/union/estimate run as JVM aggregates (Datasketches
+    expressions, no Python eval); the per-type join of the two
+    estimate branches broadcasts."""
+    plan = _plan(qs["events_hll_sketch_merge"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_median_udaf_is_single_shuffle_arrow_aggregate(spark, qs):
+    """The grouped-agg pandas UDAF plans as ONE real aggregate: one
+    exchange on the group key, one Arrow aggregate node, one scan."""
+    plan = _plan(qs["events_weighted_median_udaf"](spark, SF))
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_hourly_acf_single_fact_scan_via_cache(spark, qs):
+    """Grid bounds and both lagged series branches read the cached
+    per-hour counts; the lag grid and shifted series broadcast."""
+    plan = _plan(qs["events_hourly_acf"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bfs_hops_result_is_checkpoint_backed(spark, qs):
+    """The returned frame aggregates checkpointed per-round frontiers —
+    no fact rescan survives into the final plan, and the report is one
+    exchange over node-cardinality rows."""
+    plan = _plan(qs["parts_copurchase_bfs_hops"](spark, SF))
+    assert plan.count("FileScan") == 0  # lineage truncated at checkpoints
+    assert plan.count("Exchange") == 1
