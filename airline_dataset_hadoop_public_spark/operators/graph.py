@@ -284,3 +284,53 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every
+    node with fewer than k surviving neighbors", over a symmetric
+    distinct edge list.  Returns the surviving edges.
+
+    The bounded-round contract (instead of peel-to-fixpoint) is what
+    makes the result stateable as a fixed declarative computation at
+    ANY scale: peeling is monotone, so once the survivor set is stable
+    every further round is a no-op — if the graph converges within the
+    bound the result IS the k-core, and the caller can detect
+    convergence by comparing the last two rounds (see the fixture's
+    `converged` flag).  Each round is one degree aggregate plus two
+    semi-joins against the (node-cardinality, broadcastable) keep
+    list; the edge frame is localCheckpoint-truncated per round, and
+    an empty survivor set short-circuits the remaining rounds.
+    """
+    surv = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    prev = None
+    for _ in range(rounds):
+        keep = (
+            surv.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("src").alias("__keep"))
+        )
+        surv = (
+            surv.join(F.broadcast(keep), surv.src == F.col("__keep"))
+            .drop("__keep")
+            .join(
+                F.broadcast(keep.withColumnRenamed("__keep", "__keep2")),
+                F.col("dst") == F.col("__keep2"),
+            )
+            .drop("__keep2")
+            .localCheckpoint(eager=True)
+        )
+        n = surv.count()
+        if prev is not None and n == prev:
+            break  # monotone: every further round is a no-op
+        prev = n
+        if n == 0:
+            break
+    return surv

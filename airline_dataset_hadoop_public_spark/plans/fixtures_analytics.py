@@ -847,3 +847,67 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window profile (§2.7 coverage: percent_rank / cume_dist /
+# ntile / nth_value in one pass): per-priority price quartiles with
+# their rank-statistic envelopes and the partition's second-lowest
+# price. One window partition keyed by priority with a fully
+# deterministic order (price, orderkey), then a dimension-sized
+# aggregate — the windows and the final groupBy share the same
+# exchange, so the whole profile is one shuffle of the facts.
+# ---------------------------------------------------------------------------
+
+_WINDOW_PROFILE_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority AS priority,
+         ntile(4) OVER win AS quartile,
+         percent_rank() OVER win AS pr,
+         cume_dist() OVER win AS cd,
+         nth_value(o_totalprice, 2) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_lowest,
+         o_totalprice AS price
+  FROM orders
+  WINDOW win AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey))
+SELECT priority, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(pr), 4) AS min_pct_rank,
+       ROUND(MAX(cd), 4) AS max_cume_dist,
+       ROUND(MIN(price), 2) AS min_price,
+       ROUND(MAX(price), 2) AS max_price,
+       ROUND(MIN(second_lowest), 2) AS second_lowest
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("orders_window_rank_profile", _WINDOW_PROFILE_ORACLE)
+def orders_window_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    whole = win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(4).over(win).alias("quartile"),
+        F.percent_rank().over(win).alias("pr"),
+        F.cume_dist().over(win).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(whole).alias("second_lowest"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return w.groupBy("priority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("pr"), 4).alias("min_pct_rank"),
+        F.round(F.max("cd"), 4).alias("max_cume_dist"),
+        F.round(F.min("price"), 2).alias("min_price"),
+        F.round(F.max("price"), 2).alias("max_price"),
+        F.round(F.min("second_lowest"), 2).alias("second_lowest"),
+    )

@@ -231,3 +231,69 @@ def parts_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("n").alias("node_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (k=80, 8 rounds) over the co-purchase graph:
+# the degeneracy probe of the iterative-graph family — "drop every
+# part with fewer than 80 surviving co-purchase partners" iterated to
+# (observed) fixpoint. The bounded-round contract keeps the oracle a
+# fixed declarative statement at every scale: peeling is monotone, so
+# extra rounds past convergence are no-ops, and the `converged` flag
+# (round 8 == round 9) reports whether the bound sufficed — at sf0.01
+# the graph stabilizes in 6 rounds with a 1857-node 80-core. The
+# oracle unrolls the identical 9 rounds as CTEs (generated, like the
+# pagerank Jacobi oracle).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(_KCORE_ROUNDS + 1):  # +1: the convergence probe round
+        p, q = f"r{i}", f"r{i + 1}"
+        rounds.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM {p} GROUP BY 1),\n"
+            f"k{i + 1} AS MATERIALIZED (SELECT src FROM d{i + 1} WHERE c >= {_KCORE_K}),\n"
+            f"{q} AS MATERIALIZED (SELECT {p}.src, {p}.dst FROM {p}\n"
+            f"  JOIN k{i + 1} USING (src)\n"
+            f"  JOIN k{i + 1} kk ON {p}.dst = kk.src)"
+        )
+        last = q
+    joined = ",\n".join(rounds)
+    final = f"r{_KCORE_ROUNDS}"
+    return f"""
+WITH r0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+{joined}
+SELECT {_KCORE_K} AS k,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(DISTINCT src) AS BIGINT) AS node_sum,
+       CAST((SELECT COUNT(DISTINCT src) FROM {last})
+            = COUNT(DISTINCT src) AS INT) AS converged
+FROM {final}
+"""
+
+
+@register("parts_copurchase_kcore", _kcore_oracle())
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    core = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
+    probe = kcore_peel(core, _KCORE_K, 1)  # one extra round on survivors
+    n_probe = probe.select("src").distinct().count()
+    return core.agg(
+        F.lit(_KCORE_K).alias("k"),
+        F.countDistinct("src").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum_distinct(F.col("src")).alias("node_sum"),
+        (F.countDistinct("src") == F.lit(n_probe)).cast("int").alias(
+            "converged"
+        ),
+    )

@@ -145,6 +145,8 @@ def main() -> None:
         "events_hll_sketch_merge",
         "events_weighted_median_udaf",
         "events_hourly_acf",
+        "parts_copurchase_kcore",
+        "orders_window_rank_profile",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

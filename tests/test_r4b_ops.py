@@ -316,3 +316,119 @@ def test_r4b_wave2_zero_row_paths(spark, tmp_path):
         "events_hourly_acf",
     ):
         assert qs[name](spark, sf).count() == 0, name
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel, window rank profile
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_cascade(spark):
+    """Chain + clique: the 2-core peels the pendant chain node by node
+    (the cascade is why peeling iterates) and keeps exactly the
+    triangle."""
+    from airline_dataset_hadoop_public_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 with a tail 3-4-5
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    core = kcore_peel(edges, 2, 10)
+    got = sorted((r["src"], r["dst"]) for r in core.collect())
+    assert got == [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)]
+
+
+def test_kcore_peel_bounded_rounds_stop_midway(spark):
+    """With rounds=1 only the first peel applies: node 5 (degree 1)
+    goes, node 4 survives one round even though the full cascade would
+    remove it too — the bounded-round contract the oracle states."""
+    from airline_dataset_hadoop_public_spark.operators.graph import kcore_peel
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    one = kcore_peel(edges, 2, 1)
+    nodes = {r["src"] for r in one.select("src").distinct().collect()}
+    assert nodes == {1, 2, 3, 4}  # 5 gone; 4 not yet (sees 3 and 5 at round start)
+
+
+def test_kcore_peel_empty_and_total_collapse(spark):
+    """Empty input stays empty; k above the max degree collapses the
+    whole graph within the bound."""
+    from airline_dataset_hadoop_public_spark.operators.graph import kcore_peel
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3)])
+    assert kcore_peel(edges.limit(0), 2, 5).count() == 0
+    assert kcore_peel(edges, 3, 5).count() == 0
+
+
+def test_window_rank_profile_reference(spark, tmp_path):
+    """percent_rank/cume_dist/ntile/nth_value envelopes against a
+    plain-Python computation on a small orders table with price ties."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 13
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_custkey": [1] * n,
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": [float(100 + (i % 5) * 10) for i in range(n)],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+            "o_orderpriority": ["1-URGENT" if i < 7 else "2-HIGH" for i in range(n)],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "orders.parquet"))
+    from airline_dataset_hadoop_public_spark.plans.fixtures_analytics import (
+        orders_window_rank_profile,
+    )
+
+    got = {
+        (r["priority"], r["quartile"]): (
+            r["n"], r["min_pct_rank"], r["max_cume_dist"], r["second_lowest"]
+        )
+        for r in orders_window_rank_profile(spark, str(tmp_path)).collect()
+    }
+
+    want = {}
+    for prio, g in pdf.groupby("o_orderpriority"):
+        g = g.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        m = len(g)
+        second = round(float(g.o_totalprice.iloc[1]), 2)
+        # ANSI ntile: first (m % 4) buckets get ceil(m/4) rows
+        base, extra = divmod(m, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        # rank statistics honor peer groups on price only
+        prices = g.o_totalprice.tolist()
+        pr = []
+        cd = []
+        for i, v in enumerate(prices):
+            rank = prices.index(v)  # first peer position
+            pr.append(rank / (m - 1) if m > 1 else 0.0)
+            last_peer = m - 1 - prices[::-1].index(v)
+            cd.append((last_peer + 1) / m)
+        pos = 0
+        for q, sz in enumerate(sizes, start=1):
+            if sz == 0:
+                continue
+            rows = range(pos, pos + sz)
+            want[(prio, q)] = (
+                sz,
+                round(min(pr[i] for i in rows), 4),
+                round(max(cd[i] for i in rows), 4),
+                second,
+            )
+            pos += sz
+    assert got == want
+
+
+def test_r4b_wave3_zero_row_paths(spark, tmp_path):
+    from tests.test_r4_ops import _empty_tables
+
+    sf = _empty_tables(tmp_path)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # k-core: global-aggregate summary row survives an empty graph
+    # (converged=1: zero nodes is trivially stable); window profile
+    # groups to nothing
+    assert qs["parts_copurchase_kcore"](spark, sf).count() == 1
+    assert qs["orders_window_rank_profile"](spark, sf).count() == 0
