@@ -27,13 +27,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _GRAM_SCHEMA = "i BIGINT, j BIGINT, partial DOUBLE"
+_GRAM_SCHEMA_Q = "i BIGINT, j BIGINT, partial BIGINT"
 
 
-def gram_matrix(df: DataFrame, vec_col: str, ndigits: int = 4) -> DataFrame:
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str,
+    ndigits: int = 4,
+    quantize_bits: int | None = None,
+) -> DataFrame:
     """Upper-triangle Gramian of the embedding column: one row per
-    (i, j), i <= j, 1-based, with ``gram = ROUND(sum_rows(x_i * x_j),
-    ndigits)``. Rounded because cross-partition summation order is not
-    deterministic (FIXTURES.md §F: round order-noisy float aggregates).
+    (i, j), i <= j, 1-based.
+
+    Default path: ``gram = ROUND(sum_rows(x_i * x_j), ndigits)`` in
+    float64 — rounded because cross-partition summation order is not
+    deterministic (FIXTURES.md §F: round order-noisy float
+    aggregates).  ROUND is a mitigation, not a proof: a sum landing
+    within float noise of a half-boundary can still flip the last
+    digit between engines (the skew sweep produced exactly that).
+
+    Quantized path (``quantize_bits=b``): every element is quantized
+    to ``q = floor(x * 2^b + 0.5)`` — scaling by a power of two is
+    EXACT in binary floating point, so q is engine-independent — and
+    the Gramian is accumulated as int64 ``sum(q_i * q_j)``, which is
+    order-independent by integer associativity, then emitted as the
+    exact dyadic double ``sum / 2^(2b)`` with NO rounding.  The
+    result is bit-identical across engines and summation orders at
+    any scale (headroom: |x| < 32 with b=10 keeps 1e12-row sums under
+    2^63).  This is the driver-contract mode; it trades ~2^-b
+    relative input precision for a deterministic contract, same as
+    the quantized-sum averages in the resample fixture.
     """
     import numpy as np
 
@@ -47,6 +70,10 @@ def gram_matrix(df: DataFrame, vec_col: str, ndigits: int = 4) -> DataFrame:
             # float32 partials drift ~1e-7, visibly flipping rounded
             # output digits (any SQL engine sums these in double)
             x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if quantize_bits is not None:
+                x = np.floor(x * float(1 << quantize_bits) + 0.5).astype(
+                    np.int64
+                )
             g = x.T @ x
             acc = g if acc is None else acc + g
             if iu is None:
@@ -56,10 +83,15 @@ def gram_matrix(df: DataFrame, vec_col: str, ndigits: int = 4) -> DataFrame:
                 {"i": iu[0] + 1, "j": iu[1] + 1, "partial": acc[iu]}
             )
 
-    partials = df.select(vec_col).mapInPandas(batches, _GRAM_SCHEMA)
-    return (
-        partials.groupBy("i", "j")
-        .agg(F.round(F.sum("partial"), ndigits).alias("gram"))
+    schema = _GRAM_SCHEMA if quantize_bits is None else _GRAM_SCHEMA_Q
+    partials = df.select(vec_col).mapInPandas(batches, schema)
+    if quantize_bits is None:
+        return partials.groupBy("i", "j").agg(
+            F.round(F.sum("partial"), ndigits).alias("gram")
+        )
+    scale = float(1 << (2 * quantize_bits))
+    return partials.groupBy("i", "j").agg(
+        (F.sum("partial") / F.lit(scale)).alias("gram")
     )
 
 

@@ -180,18 +180,26 @@ def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distributed Gramian: X^T X via per-Arrow-batch BLAS partials, one
 # tiny (i, j)-keyed aggregation — shuffled payload is O(partitions ×
 # d²), independent of row count. 1-based indices to match DuckDB's
-# generate_subscripts.
+# generate_subscripts. QUANTIZED-SUM contract (skew-sweep hardening):
+# elements quantize to floor(x * 2^10 + 0.5) — a power-of-two scale
+# is exact in binary floating point, so the int64 product sums are
+# order-independent and the emitted gram = sum / 2^20 is a
+# bit-identical dyadic double on both engines with NO final rounding
+# (ROUND(raw_float_sum, 4) flipped its last digit under the viral-
+# vector skew mirror; same discipline as the resample fixture's
+# quantized-sum averages).
 # ---------------------------------------------------------------------------
 
 _GRAM_ORACLE = """
 WITH ex AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS i,
-         UNNEST(embedding) AS x
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS q
   FROM embeddings
 )
 SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-       ROUND(SUM(a.x * b.x), 4) AS gram
+       CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1048576.0 AS gram
 FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2
 """
@@ -200,7 +208,7 @@ GROUP BY 1, 2
 @register("embeddings_gram_matrix", _GRAM_ORACLE)
 def embeddings_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return L.gram_matrix(emb, "embedding")
+    return L.gram_matrix(emb, "embedding", quantize_bits=10)
 
 
 # ---------------------------------------------------------------------------

@@ -600,3 +600,26 @@ def test_hll_sketches_merge_across_days(spark):
         F.hll_sketch_estimate("sk").alias("e"), "exact_day"
     ).first()
     assert abs(row["e"] - row["exact_day"]) / max(row["exact_day"], 1) < 0.1
+
+
+def test_gram_quantized_is_exact_dyadic(spark):
+    """The quantized path equals an integer-exact numpy reference
+    bit-for-bit — the property the cross-engine contract rests on."""
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.operators.linalg import (
+        gram_matrix,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(x * 1024.0 + 0.5).astype(np.int64)
+    expect = (q.T @ q).astype(np.float64) / 1048576.0
+    got = gram_matrix(emb, "embedding", quantize_bits=10).collect()
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for r in got:
+        assert r["gram"] == expect[r["i"] - 1, r["j"] - 1]  # exact, no eps
