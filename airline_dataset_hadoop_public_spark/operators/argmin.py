@@ -31,6 +31,18 @@ def argmin_by(
     order within each group (append a unique id as the last element).
     """
     carried = list(order) + [c for c in payload if c not in order]
-    packed = F.min(F.struct(*[F.col(c) for c in carried])).alias("__m")
+    # NULL order keys rank LAST (ANSI ORDER BY ... ASC NULLS LAST —
+    # what DuckDB/Postgres do): each order column is preceded by its
+    # null flag in the struct, so (false, v) < (true, NULL) for every
+    # real v. A bare min-of-struct would rank NULL first (Spark
+    # compares a NULL struct field as smallest), silently electing
+    # rows with an unknown order key as the group minimum.
+    lead: list = []
+    for c in order:
+        lead.append(F.col(c).isNull().alias(f"__null_{c}"))
+        lead.append(F.col(c).alias(c))
+    packed = F.min(
+        F.struct(*lead, *[F.col(c) for c in carried if c not in order])
+    ).alias("__m")
     agg = df.groupBy(*group).agg(packed)
     return agg.select(*group, *[F.col(f"__m.{c}").alias(c) for c in carried])

@@ -84,7 +84,12 @@ def gram_matrix(
             )
 
     schema = _GRAM_SCHEMA if quantize_bits is None else _GRAM_SCHEMA_Q
-    partials = df.select(vec_col).mapInPandas(batches, schema)
+    # NULL vectors contribute no outer product (np.vstack would reject
+    # them); oracles mirror with WHERE embedding IS NOT NULL.
+    partials = (
+        df.where(F.col(vec_col).isNotNull()).select(vec_col)
+        .mapInPandas(batches, schema)
+    )
     if quantize_bits is None:
         return partials.groupBy("i", "j").agg(
             F.round(F.sum("partial"), ndigits).alias("gram")

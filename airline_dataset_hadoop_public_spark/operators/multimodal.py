@@ -36,6 +36,18 @@ def with_binary_payload(
     return df.withColumn(out, F.encode(F.col(src_col), "UTF-8"))
 
 
+def _non_null_payload(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Narrow (id, payload) projection minus NULL payloads.
+
+    A missing blob is routine at 100 TB (failed fetch, tombstoned
+    object); the media kernels skip it instead of crashing the batch.
+    Oracles mirror with WHERE text IS NOT NULL.
+    """
+    return df.where(F.col(payload_col).isNotNull()).select(
+        F.col(id_col), F.col(payload_col).alias("payload")
+    )
+
+
 def _feature_batch(
     batches: Iterator[pd.DataFrame], id_name: str
 ) -> Iterator[pd.DataFrame]:
@@ -58,7 +70,7 @@ def extract_byte_features(
 ) -> DataFrame:
     """Arrow-batched per-partition feature extraction over a binary
     column. Deterministic stub features (see module docstring)."""
-    narrow = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    narrow = _non_null_payload(df, id_col, payload_col)
     return narrow.mapInPandas(
         lambda it: _feature_batch(it, id_col), schema=FEATURE_SCHEMA
     )
@@ -107,7 +119,7 @@ def sample_frames(
     the parts Spark cares about — are real and oracle-checked. One
     narrow mapInPandas pass, no shuffle, no driver involvement.
     """
-    narrow = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    narrow = _non_null_payload(df, id_col, payload_col)
     return narrow.mapInPandas(
         lambda it: _frame_batch(it, id_col, stride, max_frames),
         schema=FRAME_SCHEMA,
@@ -182,7 +194,7 @@ def resize_media(
     shape, and partitioning — the Spark-side contract — are
     oracle-verified. See `decode_media` for the honest decode guard.
     """
-    narrow = df.select(F.col(id_col), F.col(payload_col).alias("payload"))
+    narrow = _non_null_payload(df, id_col, payload_col)
     return narrow.mapInPandas(
         lambda it: _resize_batch(it, id_col, target_w, target_h),
         schema=META_SCHEMA,

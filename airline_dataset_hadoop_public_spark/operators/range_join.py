@@ -97,6 +97,15 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    # SQL equi-join semantics for the keys: a NULL key never matches.
+    # Without this, the union+window layout would group NULL-keyed
+    # rows of both sides into one partition and "match" them (Spark
+    # partitionBy puts all NULLs in one group) — diverging from what
+    # the same query written as an ASOF/LATERAL join returns.
+    for k in keys:
+        left = left.where(F.col(k).isNotNull())
+        right = right.where(F.col(k).isNotNull())
+
     # ALL payload columns ride in ONE struct: filling them
     # independently with last(ignorenulls) would mix fields from
     # DIFFERENT right rows whenever a payload column is NULL (and an

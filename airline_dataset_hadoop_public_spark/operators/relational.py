@@ -56,10 +56,11 @@ def scd2_intervals(
     # genuine NULL attr mid-partition (not just at the partition
     # start), and `!=` against NULL yields NULL (counted as no-change)
     # — either way runs merge or split wrongly around NULL values.
-    # Detect the partition start via lag(ts) (never NULL mid-partition
-    # given a non-null ts) and compare attrs null-safely.
+    # Detect the partition start positionally (row_number 1): lag of
+    # ANY column — including ts — can be legitimately NULL
+    # mid-partition, so only position is a safe start marker.
     changed = (
-        F.lag(ts_col).over(w).isNull()
+        (F.row_number().over(w) == 1)
         | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
     ).cast("int")
     runs = df.withColumn(

@@ -41,8 +41,15 @@ def _rename_vec(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFr
 def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataFrame:
     """Scale vectors to unit L2 norm (float64). After this, cosine is a
     plain dot product — precomputing norms once per vector instead of
-    per pair cuts the pairwise similarity cost to a third."""
+    per pair cuts the pairwise similarity cost to a third.
+
+    NULL-vector contract: rows whose vector column is NULL carry no
+    geometry and are dropped here, at the single entry point every
+    vector operator funnels through — so at 100 TB a batch of rows
+    with missing embeddings degrades coverage, never crashes a stage.
+    Oracles mirror this with ``WHERE embedding IS NOT NULL``."""
     out = out or vec_col
+    df = df.where(F.col(vec_col).isNotNull())
     norm = (
         f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
@@ -327,6 +334,9 @@ def semantic_dedup_flags(
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
+    # NULL-vector rows are outside the decision (unit_normalize
+    # contract), so the flag table also excludes them.
+    vectors = vectors.where(F.col(vec_col).isNotNull())
     return vectors.select(id_col).join(dropped, id_col, "left").select(
         id_col, F.coalesce("__drop", F.lit(False)).alias("dropped")
     )
@@ -536,6 +546,8 @@ def pq_adc_topk(
     rank by (adc asc, neighbor_id asc); self excluded.
     """
     dsub = dim // m
+    # NULL vectors can't be PQ-encoded (same contract as unit_normalize).
+    vectors = vectors.where(F.col(vec_col).isNotNull())
     sub = vectors.select(
         F.col(id_col),
         F.explode(

@@ -209,6 +209,10 @@ def rolling_hash(
     norm = (
         f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
     )
+    # NULL text has no hashable bytes: dropped on both sides (the
+    # engines disagree on folding over a NULL char list — Spark's
+    # aggregate(NULL) is NULL, DuckDB's seeded list_reduce is 0).
+    df = df.where(F.col(text_col).isNotNull())
     return df.select(
         id_col,
         F.expr(
@@ -290,6 +294,8 @@ def _winnow_kernel(k: int, window: int, base: int, mod: int, pos_bits: int):
     if key not in _WINNOW_KERNELS:
 
         def fingerprints(s: str) -> list[int]:
+            if s is None:  # NULL text → empty fingerprint set
+                return []
             n = len(s)
             if n < k or n - k + 1 < window:
                 return []

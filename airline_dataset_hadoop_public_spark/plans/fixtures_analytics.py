@@ -360,14 +360,18 @@ FROM (
   SELECT event_type, value,
          NTILE(10) OVER (PARTITION BY event_type
                          ORDER BY value, event_id) AS decile
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 GROUP BY event_type, decile
 """
 
 
 @register("events_value_deciles", _DECILE_ORACLE)
 def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL measurements carry no rank position: excluded on both
+    # sides (Spark would NTILE them first, DuckDB last).
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.asc("value"), F.asc("event_id")
     )

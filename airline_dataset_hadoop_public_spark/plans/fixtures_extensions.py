@@ -265,7 +265,7 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -283,7 +283,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid cells. The oracle replicates the identical assignment
 # (argmax cosine, centroid-id tie-break) and in-cell pairing.
 _EMB_IVF_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -309,7 +309,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top of the in-cell pair machinery — every vector flagged kept/dropped
 # (dropped ⇔ a smaller-id in-cell sibling above the cosine threshold).
 _SEMANTIC_DEDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -338,7 +338,7 @@ def dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BRUTE_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 p AS (SELECT * FROM e WHERE vec_id < 5),
 scored AS (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -358,7 +358,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -403,7 +403,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -
     the oracle's un-renormalized means match the Spark op's.
     """
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)",
         "n AS (SELECT vec_id, list_transform(v, x -> x / sqrt("
         "list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS v "
         "FROM e)",
@@ -609,7 +609,7 @@ SELECT doc_id,
                           i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
          (a, c) -> (a * 31 + c) % 1000000007) AS rhash
 FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
 """
 
 
@@ -642,7 +642,7 @@ def _winnow_cte(k: int, window: int, hash_only: bool) -> str:
     return f"""
 WITH n AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id,
          list_transform(range(1, greatest(length(nm) - {k} + 1, 0) + 1),
@@ -748,7 +748,7 @@ SELECT doc_id AS id,
              CASE WHEN length(text) = 0 THEN 0
                   ELSE ascii(substr(text, 1, 1)) END) % 1000 AS BIGINT)
          AS checksum
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -767,7 +767,7 @@ SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
        CAST(ascii(substr(text, CAST(i * 16 + 1 AS INT), 1)) AS BIGINT)
          AS byte_val
 FROM documents CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) g
-WHERE i * 16 < length(text)
+WHERE text IS NOT NULL AND i * 16 < length(text)
 """
 
 
@@ -860,7 +860,7 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same any-band-collision + exact-cosine filter. Bucketing is
 # part of the checked contract, exactly like the IVF queries.
 _SRP_LSH_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 planes AS (
   SELECT p // 4 AS band, p % 4 AS bit,
          list_transform(range(0, 64),
@@ -941,7 +941,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MUTUAL_KNN_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (

@@ -252,7 +252,12 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = orders.filter(F.col("o_orderdate") < cutoff).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    v2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+    # v2 is "everything not in v1": a NULL-dated order fails both
+    # comparisons, and the oracle's CASE sends it to the ELSE
+    # (priority-carrying) branch — route it to the v2 batch
+    v2 = orders.filter(
+        (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+    ).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
     v1.write.parquet(os.path.join(root, "batch=1"))

@@ -137,11 +137,12 @@ WITH ordered AS (
                 OR LAG(o_orderpriority) OVER w <> o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 ),
 runs AS (
   SELECT *, SUM(chg) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
   FROM ordered
 ),
@@ -196,7 +197,7 @@ WITH ex AS (
          generate_subscripts(embedding, 1) AS i,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024 + 0.5)
               AS BIGINT) AS q
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
        CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1048576.0 AS gram
@@ -469,7 +470,7 @@ SELECT doc_id AS id, 'image/stub' AS mime,
        CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS src_h,
        CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h,
        CAST(LEAST(octet_length(encode(text)), 784) AS BIGINT) AS out_bytes
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -600,7 +601,7 @@ SELECT event_id,
        CAST({_morton_sql(_Z_X, _Z_Y_DUCK, lambda v, b: f"({v}) // {1 << b}")}
             AS BIGINT) AS morton
 FROM events
-ORDER BY morton, event_id LIMIT 100
+ORDER BY morton NULLS FIRST, event_id LIMIT 100
 """
 
 
@@ -643,7 +644,11 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1999-01-01").cast("timestamp")
     c0 = cust.filter(F.col("c_custkey") % 50 != 0)  # pre-existing dims
     dc = cust.filter(F.col("c_custkey") % 50 == 0)  # dim delta
-    o0 = orders.filter(F.col("o_orderdate") < cutoff)  # fact base
+    # the base/delta split must PARTITION the fact exactly — a
+    # NULL-dated row satisfies neither comparison, so route it to the
+    # base side explicitly (the oracle recomputes the full join)
+    is_base = F.col("o_orderdate") < cutoff
+    o0 = orders.filter(is_base | F.col("o_orderdate").isNull())  # fact base
     do = orders.filter(F.col("o_orderdate") >= cutoff)  # fact delta
     on = F.col("o_custkey") == F.col("c_custkey")
     view0 = o0.join(c0, on)  # the standing materialized view

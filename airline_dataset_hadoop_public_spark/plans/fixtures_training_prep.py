@@ -305,7 +305,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_ORACLE = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 s AS (
   SELECT vec_id, v,
@@ -331,7 +331,9 @@ FROM q
 
 @register("embeddings_int8_quantize", _QUANT_ORACLE)
 def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # let-bind v and scale via a one-element transform so the cast
     # array and the absmax are evaluated once, not per element
