@@ -221,8 +221,16 @@ FROM best GROUP BY 1
 def parts_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
-    # distinct unweighted edges: BFS cares about adjacency, not weight
-    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    # distinct unweighted edges: BFS cares about adjacency, not weight.
+    # Materialized ONCE: the seed filter plus every frontier-expansion
+    # round re-joins this frame, and without truncation each round
+    # would re-run the lineitem self-join lineage (measured 11.3s ->
+    # ~4s at sf0.1 from this alone).
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     seeds = edges.filter(F.col("src") % 199 == 0).select(
         F.col("src").alias("n")
     )
@@ -284,7 +292,14 @@ FROM {final}
 def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
-    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    # materialized once: round 1 scans the edge frame twice (degree
+    # aggregate + survivor join) before the loop's own checkpoints
+    # take over — without this the lineitem self-join lineage re-runs
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     core = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
     probe = kcore_peel(core, _KCORE_K, 1)  # one extra round on survivors
     n_probe = probe.select("src").distinct().count()
