@@ -699,3 +699,93 @@ def orders_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
         ).alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC change-log apply (Debezium-shaped I/U/D replay): a deterministic
+# per-key operation log — insert for every order, an update for every
+# 5th, a delete for every 7th, a delete-then-REINSERT for every 35th
+# (the case that proves apply takes the truly-last op, not "any
+# tombstone wins") — compacted to the final table state by
+# last-writer-wins on the log sequence number.
+#
+# The 100 TB shape is the aggregation, not a window: per-key arg-max
+# (max_by over the LSN) is map-side combinable, so compacting a
+# changelog onto a snapshot is ONE shuffle with partial aggregation
+# and no per-key sort — the upsert-compaction kernel of every
+# log-structured table service. Price mutations are exact float ops
+# (x2 and /2 never round), so the output needs no tolerance.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey AS k, 1 AS lsn, 'I' AS op,
+         o_totalprice AS price, o_orderpriority AS priority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_totalprice * 2, '1-URGENT'
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL, NULL
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 4, 'I', o_totalprice / 2, o_orderpriority
+  FROM orders WHERE o_orderkey % 35 = 0
+),
+applied AS (
+  SELECT k AS o_orderkey,
+         max_by(op, lsn) AS op,
+         max_by(price, lsn) AS price,
+         max_by(priority, lsn) AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(MAX(lsn) AS BIGINT) AS last_lsn
+  FROM log GROUP BY k
+)
+SELECT o_orderkey, price, priority, n_ops, last_lsn
+FROM applied WHERE op <> 'D'
+"""
+
+
+@register("orders_cdc_log_apply", _CDC_ORACLE)
+def orders_cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+    def entry(df: DataFrame, lsn: int, op: str, price, priority) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(lsn).alias("lsn"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            priority.alias("priority"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    log = (
+        entry(base, 1, "I", F.col("o_totalprice"), F.col("o_orderpriority"))
+        .unionByName(entry(
+            base.filter(F.col("o_orderkey") % 5 == 0), 2, "U",
+            F.col("o_totalprice") * 2, F.lit("1-URGENT"),
+        ))
+        .unionByName(entry(
+            base.filter(F.col("o_orderkey") % 7 == 0), 3, "D",
+            null_d, null_s,
+        ))
+        .unionByName(entry(
+            base.filter(F.col("o_orderkey") % 35 == 0), 4, "I",
+            F.col("o_totalprice") / 2, F.col("o_orderpriority"),
+        ))
+    )
+    # last-writer-wins compaction: ONE map-side-combinable aggregate
+    # (arg-max per column on the unique-per-key LSN), no window sort
+    applied = log.groupBy(F.col("k").alias("o_orderkey")).agg(
+        F.max_by("op", "lsn").alias("op"),
+        F.max_by("price", "lsn").alias("price"),
+        F.max_by("priority", "lsn").alias("priority"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.max("lsn").cast("long").alias("last_lsn"),
+    )
+    return applied.filter(F.col("op") != "D").select(
+        "o_orderkey", "price", "priority", "n_ops", "last_lsn"
+    )

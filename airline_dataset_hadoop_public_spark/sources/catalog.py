@@ -43,6 +43,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
+        if c not in df.columns:  # projected test fixtures may omit it
+            continue
         field = df.schema[c]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(

@@ -147,6 +147,8 @@ def main() -> None:
         "events_hourly_acf",
         "parts_copurchase_kcore",
         "orders_window_rank_profile",
+        # r4c additions
+        "orders_cdc_log_apply",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
