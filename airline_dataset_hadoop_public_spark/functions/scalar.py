@@ -85,3 +85,14 @@ def cosine_similarity(a_col: str, b_col: str) -> Column:
         f"{dot(a_col, b_col)} / "
         f"(sqrt({dot(a_col, a_col)}) * sqrt({dot(b_col, b_col)}))"
     )
+
+
+def finite_measure(col: str | Column) -> Column:
+    """Measure-domain guard: value present AND finite (not NULL, not
+    NaN, not ±Inf).  Quantile/median/regression/smoothing fixtures
+    filter on this on BOTH sides (oracle: ``isfinite(value)``) — the
+    engines disagree on where NaN sorts inside quantile_cont vs
+    percentile and on NaN-skipping in kernels, and a single Inf
+    poisons every fitted statistic it touches (FIXTURES.md §K)."""
+    c = _c(col)
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))

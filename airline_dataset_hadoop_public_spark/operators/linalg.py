@@ -84,10 +84,13 @@ def gram_matrix(
             )
 
     schema = _GRAM_SCHEMA if quantize_bits is None else _GRAM_SCHEMA_Q
-    # NULL vectors contribute no outer product (np.vstack would reject
-    # them); oracles mirror with WHERE embedding IS NOT NULL.
+    # invalid vectors (NULL / non-finite / zero) contribute no outer
+    # product — one NaN element would otherwise poison a whole d x d
+    # partial; oracles mirror with the valid-embedding fragment.
+    from .similarity import vector_is_valid
+
     partials = (
-        df.where(F.col(vec_col).isNotNull()).select(vec_col)
+        df.where(vector_is_valid(vec_col)).select(vec_col)
         .mapInPandas(batches, schema)
     )
     if quantize_bits is None:

@@ -32,6 +32,26 @@ from .topk import top_k_per_group
 from ..runtime import cache_tracked
 
 
+def vector_is_valid(vec_col: str):
+    """Boolean column: vector is non-NULL, all-finite, and has a
+    positive L2 norm (see unit_normalize's contract). `exists`
+    short-circuits, and the norm check reuses one fold — O(d) per
+    row, JVM-side."""
+    nonfinite = (
+        f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
+        f"OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+    )
+    sq_norm = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    return (
+        F.col(vec_col).isNotNull()
+        & ~F.expr(nonfinite)
+        & (F.expr(sq_norm) > 0)
+    )
+
+
 def _rename_vec(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias(f"id_{suffix}"), F.col(vec_col).alias(f"vec_{suffix}")
@@ -43,13 +63,18 @@ def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataF
     plain dot product — precomputing norms once per vector instead of
     per pair cuts the pairwise similarity cost to a third.
 
-    NULL-vector contract: rows whose vector column is NULL carry no
-    geometry and are dropped here, at the single entry point every
-    vector operator funnels through — so at 100 TB a batch of rows
-    with missing embeddings degrades coverage, never crashes a stage.
-    Oracles mirror this with ``WHERE embedding IS NOT NULL``."""
+    Vector-validity contract: a vector is usable iff it is non-NULL,
+    every element is finite, and its L2 norm is positive. Invalid
+    rows are dropped here, at the single entry point every vector
+    operator funnels through — a NULL vector carries no geometry, a
+    NaN/Inf element poisons every dot product it touches (and ranks
+    FIRST in a Spark top-k, since NaN sorts as the largest double),
+    and a zero vector has no direction (its cosine is 0/0). So at
+    100 TB a batch of corrupt embeddings degrades coverage, never
+    crashes a stage or floods top-k results. Oracles mirror with the
+    shared ``valid-embedding`` WHERE fragment."""
     out = out or vec_col
-    df = df.where(F.col(vec_col).isNotNull())
+    df = df.where(vector_is_valid(vec_col))
     norm = (
         f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
@@ -57,10 +82,9 @@ def unit_normalize(df: DataFrame, vec_col: str, out: str | None = None) -> DataF
     # let-bind the norm via transform(array(x), nm -> …)[0]: placed
     # directly inside the division lambda it would be re-evaluated per
     # vector element (O(d²) per row — see functions.scalar.word_ngrams
-    # for the same Catalyst inlining pitfall). An all-zero vector keeps
-    # its zeros (cosine 0 against everything) — dividing by the zero
-    # norm would make it an all-NaN vector, and Spark sorts NaN as the
-    # LARGEST double, so it would rank FIRST in every top-k.
+    # for the same Catalyst inlining pitfall). The zero-norm CASE
+    # branch below is defensive only: the validity filter above
+    # already removed zero vectors (norm > 0).
     return df.withColumn(
         out,
         F.expr(
@@ -334,9 +358,9 @@ def semantic_dedup_flags(
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
-    # NULL-vector rows are outside the decision (unit_normalize
+    # invalid vectors are outside the decision (unit_normalize
     # contract), so the flag table also excludes them.
-    vectors = vectors.where(F.col(vec_col).isNotNull())
+    vectors = vectors.where(vector_is_valid(vec_col))
     return vectors.select(id_col).join(dropped, id_col, "left").select(
         id_col, F.coalesce("__drop", F.lit(False)).alias("dropped")
     )
@@ -546,8 +570,8 @@ def pq_adc_topk(
     rank by (adc asc, neighbor_id asc); self excluded.
     """
     dsub = dim // m
-    # NULL vectors can't be PQ-encoded (same contract as unit_normalize).
-    vectors = vectors.where(F.col(vec_col).isNotNull())
+    # invalid vectors can't be PQ-encoded (unit_normalize contract).
+    vectors = vectors.where(vector_is_valid(vec_col))
     sub = vectors.select(
         F.col(id_col),
         F.explode(

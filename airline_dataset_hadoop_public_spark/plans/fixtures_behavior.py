@@ -258,7 +258,7 @@ WITH s AS (
   SELECT user_id,
          list(value ORDER BY ts, value) AS xs,
          list(ts ORDER BY ts, value) AS tss
-  FROM events GROUP BY user_id
+  FROM events WHERE isfinite(value) GROUP BY user_id
 ),
 folded AS (
   SELECT user_id, tss, xs,
@@ -286,7 +286,9 @@ FROM folded
 def events_holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import holt_per_key
 
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import finite_measure
+
+    ev = load_table(spark, sf_dir, "events").where(finite_measure("value"))
     out = holt_per_key(ev, "user_id", "ts", "value")
     return out.select(
         "user_id",

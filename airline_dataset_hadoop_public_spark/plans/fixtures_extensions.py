@@ -265,7 +265,7 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -283,7 +283,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid cells. The oracle replicates the identical assignment
 # (argmax cosine, centroid-id tie-break) and in-cell pairing.
 _EMB_IVF_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -309,7 +309,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top of the in-cell pair machinery — every vector flagged kept/dropped
 # (dropped ⇔ a smaller-id in-cell sibling above the cosine threshold).
 _SEMANTIC_DEDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -338,7 +338,7 @@ def dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BRUTE_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 p AS (SELECT * FROM e WHERE vec_id < 5),
 scored AS (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -358,7 +358,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -403,7 +403,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -
     the oracle's un-renormalized means match the Spark op's.
     """
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0)",
         "n AS (SELECT vec_id, list_transform(v, x -> x / sqrt("
         "list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS v "
         "FROM e)",
@@ -760,20 +760,27 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Frame sampling over a video-like payload: every 16th byte, up to 8
-# "frames", one output row each. The documents corpus is pure ASCII so
-# DuckDB's ascii(substr(..)) equals the UTF-8 byte the Spark side reads.
+# "frames", one output row each. The OPERATOR is byte-true (real
+# media is bytes); the ORACLE can only address characters, so the
+# fixture restricts both sides to pure-ASCII payloads — byte length
+# equals char length iff the text is ASCII, making ascii(substr(..))
+# equal the UTF-8 byte. A no-op on the (ASCII) driver corpus; on the
+# extreme-value mirror it scopes the check to where SQL can state it.
 _FRAME_ORACLE = """
 SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
        CAST(ascii(substr(text, CAST(i * 16 + 1 AS INT), 1)) AS BIGINT)
          AS byte_val
 FROM documents CROSS JOIN (SELECT UNNEST(range(0, 8)) AS i) g
-WHERE text IS NOT NULL AND i * 16 < length(text)
+WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)
+  AND i * 16 < length(text)
 """
 
 
 @register("multimodal_frame_sample", _FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
     payload = M.with_binary_payload(docs, "text")
     return M.sample_frames(payload, "doc_id", stride=16, max_frames=8)
 
@@ -860,7 +867,7 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same any-band-collision + exact-cosine filter. Bucketing is
 # part of the checked contract, exactly like the IVF queries.
 _SRP_LSH_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 planes AS (
   SELECT p // 4 AS band, p % 4 AS bit,
          list_transform(range(0, 64),
@@ -941,7 +948,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MUTUAL_KNN_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (

@@ -290,12 +290,17 @@ SELECT event_id, user_id, event_type,
        ROUND(value, 4) AS delay_min
 FROM events
 WHERE DATE_PART('day', ts) <= 7 AND DATE_PART('hour', ts) < 12
+  AND isfinite(value)
 """
 
 
 @register("p_leg_candidates", _LEGCAND_ORACLE)
 def p_leg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import finite_measure
+
+    # a non-finite delay is a malformed row (P4 drop analog): floor()
+    # of NaN/Inf cannot form a day-time interval on either engine
+    ev = load_table(spark, sf_dir, "events").where(finite_measure("value"))
     return (
         ev.filter((F.dayofmonth("ts") <= 7) & (F.hour("ts") < 12))
         .withColumn("sched_ts", F.expr("ts - make_dt_interval(0, 0, floor(value), 0)"))
@@ -561,13 +566,15 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 4) AS p50,
        ROUND(quantile_cont(value, 0.9), 4) AS p90,
        ROUND(quantile_cont(value, 0.99), 4) AS p99
-FROM events GROUP BY event_type
+FROM events WHERE isfinite(value) GROUP BY event_type
 """
 
 
 @register("events_value_percentiles", _PCTL_ORACLE)
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import finite_measure
+
+    ev = load_table(spark, sf_dir, "events").where(finite_measure("value"))
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),

@@ -239,7 +239,7 @@ _WMEDIAN_ORACLE = """
 WITH w AS (
   SELECT event_type, CAST(ts AS DATE) AS day, value AS v,
          strlen(COALESCE(props, '')) + 1 AS wt
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE isfinite(value)),
 g AS (SELECT event_type, day, v, SUM(wt) AS wt FROM w GROUP BY 1, 2, 3),
 s AS (SELECT event_type, day, v,
              SUM(wt) OVER (PARTITION BY event_type, day ORDER BY v) AS cum,
@@ -267,11 +267,13 @@ def events_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # weights are strictly positive)
         return float(cum.index[int((2 * cum >= tot).to_numpy().argmax())])
 
-    # NULL values are outside the median (aggregates skip NULLs in
-    # ANSI; pandas groupby would silently drop the NaN rows anyway —
-    # make the contract explicit on both sides).
+    from ..functions.scalar import finite_measure
+
+    # non-finite values are outside the median (pandas groupby drops
+    # NaN keys silently, DuckDB groups them; Inf has no meaningful
+    # rank) — the contract is explicit on both sides.
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
+        finite_measure("value")
     ).select(
         "event_type",
         F.to_date("ts").alias("day"),

@@ -197,7 +197,7 @@ WITH ex AS (
          generate_subscripts(embedding, 1) AS i,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024 + 0.5)
               AS BIGINT) AS q
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
 )
 SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
        CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1048576.0 AS gram

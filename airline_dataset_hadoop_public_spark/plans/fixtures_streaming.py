@@ -137,9 +137,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Custom stateful operator (applyInPandasWithState): per-user running
 # (count, sum). The final emission per key equals the batch aggregate,
 # so even arbitrary cross-batch Python state is oracle-checkable.
+# NULL-or-finite guard (FIXTURES.md §K): the Arrow float64 batch the
+# stateful kernel sees cannot distinguish NULL from NaN, so NaN/Inf
+# are filtered on BOTH sides while NULLs keep their SQL semantics
+# (counted by COUNT(*), skipped by SUM — which is exactly what the
+# pandas kernel's skipna does with the NaN-encoded NULLs).
 _STATEFUL_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-FROM events GROUP BY user_id
+FROM events WHERE value IS NULL OR isfinite(value)
+GROUP BY user_id
 """
 
 
@@ -175,14 +181,16 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_stateful_running_counts", _STATEFUL_ORACLE)
 def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import finite_measure
     from ..streaming.stateful import final_state, running_count_sum
 
     src, schema = _events_stream_dir(spark, sf_dir)
+    keep = F.col("value").isNull() | finite_measure("value")
     return run_file_stream_batch(
         spark,
         src,
         schema,
-        lambda s: running_count_sum(s, "user_id", "value"),
+        lambda s: running_count_sum(s.where(keep), "user_id", "value"),
         output_mode="update",
         finalize=lambda df: final_state(df, "user_id"),
     )

@@ -109,7 +109,7 @@ SELECT event_type,
 FROM (
   SELECT event_type, value,
          (epoch(ts) - {_ANCHOR_EPOCH}) / 86400.0 AS x
-  FROM events
+  FROM events WHERE isfinite(value)
 ) t
 GROUP BY event_type
 """
@@ -117,7 +117,9 @@ GROUP BY event_type
 
 @register("events_regr_value_trend", _REGR_ORACLE)
 def events_regr_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import finite_measure
+
+    ev = load_table(spark, sf_dir, "events").where(finite_measure("value"))
     x = (F.col("ts").cast("double") - F.lit(float(_ANCHOR_EPOCH))) / 86400.0
     return ev.select("event_type", "value", x.alias("x")).groupBy(
         "event_type"
@@ -276,7 +278,7 @@ WITH s AS (
   SELECT user_id,
          list(value ORDER BY ts, value) AS xs,
          list(ts ORDER BY ts, value) AS tss
-  FROM events GROUP BY user_id
+  FROM events WHERE isfinite(value) GROUP BY user_id
 ),
 folded AS (
   SELECT user_id, tss, xs,
@@ -299,7 +301,9 @@ FROM folded
 def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ewma_per_key
 
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import finite_measure
+
+    ev = load_table(spark, sf_dir, "events").where(finite_measure("value"))
     out = ewma_per_key(ev, "user_id", "ts", "value", alpha=_EWMA_ALPHA)
     # ewma emitted UNROUNDED: the alpha=0.5 fold is bit-identical in
     # every IEEE engine (verified 100k/100k exact at sf0.1), and the

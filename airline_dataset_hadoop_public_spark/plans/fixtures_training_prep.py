@@ -305,7 +305,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_ORACLE = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
 ),
 s AS (
   SELECT vec_id, v,
@@ -331,8 +331,12 @@ FROM q
 
 @register("embeddings_int8_quantize", _QUANT_ORACLE)
 def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import vector_is_valid
+
+    # validity (non-null, finite, norm>0) also guarantees scale > 0,
+    # so the per-vector absmax division below cannot divide by zero
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        vector_is_valid("embedding")
     )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # let-bind v and scale via a one-element transform so the cast

@@ -39,6 +39,12 @@ def running_count_sum(
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
+            # pandas' skipna default matches SQL SUM's NULL-skipping
+            # (NULLs arrive as NaN in the float64 Arrow batch) — but
+            # it ALSO skips genuine NaN, which SQL SUM propagates.
+            # The Arrow path cannot tell the two apart, so callers
+            # must filter non-finite values upstream (FIXTURES.md §K;
+            # the registered fixture does).
             s += float(pdf[value_col].sum())
         state.update((n, s))
         yield pd.DataFrame({key_col: [k], "n_events": [n], "sum_value": [round(s, 4)]})

@@ -93,20 +93,31 @@ def test_point_in_interval_left_keeps_unmatched(spark):
     assert got == {1: 100, 2: None}  # unmatched point survives with NULLs
 
 
-def test_unit_normalize_zero_vector_stays_zero(spark):
+def test_unit_normalize_invalid_vectors_dropped(spark):
+    # Vector-validity contract (FIXTURES.md section K): zero-norm,
+    # NaN-element, Inf-element, and NULL vectors are excluded at the
+    # unit_normalize entry point — none of them may rank in a top-k
+    # (a NaN cosine would rank FIRST under Spark's NaN-largest sort,
+    # a zero vector's cosine is 0/0).
     from airline_dataset_hadoop_public_spark.operators.similarity import (
         brute_force_topk,
         unit_normalize,
     )
 
     df = spark.createDataFrame(
-        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [float("nan"), 1.0]),
+            (4, [float("inf"), 1.0]),
+            (5, None),
+        ],
         "vec_id long, embedding array<double>",
     )
-    z = unit_normalize(df, "embedding").filter(F.col("vec_id") == 0).collect()[0]
-    assert z["embedding"] == [0.0, 0.0]  # not NaN
-    # and the zero vector never ranks first by NaN ordering
+    kept = {r["vec_id"] for r in unit_normalize(df, "embedding").collect()}
+    assert kept == {1, 2}
     top = brute_force_topk(
-        df, df.filter(F.col("vec_id") == 1), k=1
+        df, df.filter(F.col("vec_id") == 1), k=5
     ).collect()
-    assert top[0]["neighbor_id"] == 2
+    assert [r["neighbor_id"] for r in top] == [2]
