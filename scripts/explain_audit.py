@@ -60,6 +60,11 @@ AUDIT = {
     "dedup_containment_neardup": "one-sided prefix x full-posting equi-join (never all-pairs); broadcast anti-join hot-token cap; hashed-set verify joins keyed on rep ids",
     "events_kmv_type_overlap": "per-type rank window on one (type,value) distinct frame; 5x5 pair grid broadcast; membership tags collapse via partial agg before the pair rank window",
     "lineitem_join_size_estimate": "ReadSchema = l_partkey only; Catalyst pushes the hash-slice filter BELOW the estimate branch's aggregate (1/64 of rows shuffle — the production path); the exact Σc² branch re-scans, deliberately: it is the report's own check and would not run at 100 TB",
+    # r4b/r4c additions
+    "orders_cdc_log_apply": "partial_max_by below ONE hashpartitioning Exchange (map-side-combinable last-writer-wins); no Window, no sort of the log",
+    "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); per-round localCheckpoint truncation",
+    "parts_copurchase_kcore": "degree agg + two BroadcastHashJoin semi-joins per round over the checkpointed survivor frame",
+    "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
 }
 
 
