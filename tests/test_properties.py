@@ -825,3 +825,162 @@ def test_kmv_overlap_matches_python_reference(spark, rows, k):
                 round(rho, 4), round(jex, 4), round(ue, 4), round(rho * ue, 4)
             )
     assert got == expect
+
+
+_kv_null = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.one_of(st.none(), st.integers(-50, 50)),
+        st.integers(0, 9),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_kv_null)
+@settings(**_SETTINGS)
+def test_argmin_by_ranks_null_keys_last(spark, rows):
+    """FIXTURES.md section J rule 3: a NULL order key never wins the
+    group minimum; a group that is ALL-NULL on the order key still
+    emits (its NULL row wins by the unique tie-break)."""
+    from airline_dataset_hadoop_public_spark.operators.argmin import argmin_by
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("g", IntegerType()),
+            StructField("v", IntegerType()),
+            StructField("p", IntegerType()),
+            StructField("uid", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(g, v, p, i) for i, (g, v, p) in enumerate(rows)], schema
+    )
+    got = {
+        r["g"]: (r["v"], r["uid"])
+        for r in argmin_by(df, ["g"], ["v", "uid"], ["p"]).collect()
+    }
+    groups = defaultdict(list)
+    for i, (g, v, p) in enumerate(rows):
+        # ANSI NULLS LAST: (is_null, value, uid) lexicographic
+        groups[g].append((v is None, v if v is not None else 0, i, v))
+    expect = {
+        g: (min(vs)[3], min(vs)[2]) for g, vs in groups.items()
+    }
+    assert got == expect
+
+
+_vecs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+                st.just(float("nan")),
+                st.just(float("inf")),
+                st.just(float("-inf")),
+                st.just(0.0),
+            ),
+            min_size=2,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vecs=_vecs)
+@settings(**_SETTINGS)
+def test_vector_is_valid_matches_python(spark, vecs):
+    """FIXTURES.md section K rule 1: valid iff non-NULL, all elements
+    finite, and L2 norm > 0 — same verdict as the plain-Python
+    predicate on every generated vector."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from airline_dataset_hadoop_public_spark.operators.similarity import (
+        vector_is_valid,
+    )
+
+    schema = StructType(
+        [
+            StructField("vid", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    kept = {
+        r["vid"] for r in df.where(vector_is_valid("embedding")).collect()
+    }
+    expect = {
+        i
+        for i, v in enumerate(vecs)
+        if v is not None
+        and all(math.isfinite(x) for x in v)
+        and sum(x * x for x in v) > 0
+    }
+    assert kept == expect
+
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # key
+        st.sampled_from(["I", "U", "D"]),       # op
+        st.integers(-100, 100),                 # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_cdc_ops)
+@settings(**_SETTINGS)
+def test_cdc_last_writer_wins_matches_python_replay(spark, ops):
+    """Last-writer-wins compaction (max_by on a unique LSN) equals a
+    sequential dict replay of the log for ANY op sequence, including
+    delete-then-reinsert."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("payload", IntegerType()),
+        ]
+    )
+    log = [(k, i, op, pay) for i, (k, op, pay) in enumerate(ops)]
+    df = spark.createDataFrame(log, schema)
+    applied = (
+        df.groupBy("k")
+        .agg(
+            F.max_by("op", "lsn").alias("op"),
+            F.max_by("payload", "lsn").alias("payload"),
+        )
+        .where(F.col("op") != "D")
+    )
+    got = {r["k"]: r["payload"] for r in applied.collect()}
+    state: dict[int, int] = {}
+    for k, _, op, pay in log:  # lsn == position: already in order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = pay
+    # the aggregate keeps "last op wins" per key; the dict replay drops
+    # a key only if its LAST op is D — identical by construction
+    expect = {
+        k: pay
+        for k, pay in state.items()
+    }
+    assert got == expect
