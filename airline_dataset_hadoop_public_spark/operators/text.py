@@ -551,3 +551,146 @@ def tfidf_cosine_pairs(
     return intra.select("id_a", "id_b", "cosine").unionByName(
         cross.select("id_a", "id_b", "cosine")
     )
+
+
+_KGRAM_KERNELS: dict[tuple[int, int, int], object] = {}
+
+
+def _kgram_hash_kernel(k: int, base: int, mod: int):
+    """Arrow kernel: per-position k-gram polynomial hashes (same
+    per-step-mod Horner arithmetic as ``_winnow_kernel``, without the
+    window-min) — array[i] is the hash of positions i+1 .. i+k
+    (1-based, matching the oracle's range(1, n-k+2))."""
+    key = (k, base, mod)
+    if key not in _KGRAM_KERNELS:
+
+        def hashes(s: str) -> list[int]:
+            if s is None:
+                return []
+            n = len(s)
+            if n < k:
+                return []
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            h = cps[: n - k + 1].copy()
+            for j in range(1, k):
+                h = (h * base + cps[j : n - k + 1 + j]) % mod
+            return h.tolist()
+
+        @F.pandas_udf("array<bigint>")
+        def kernel(texts: pd.Series) -> pd.Series:
+            return texts.map(hashes)
+
+        _KGRAM_KERNELS[key] = kernel
+    return _KGRAM_KERNELS[key]
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Exact-substring dedup ACTION (the span-removal layout of Lee et
+    al. 2022, arXiv:2107.06499 "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally instead of via
+    suffix arrays): every character span whose k-gram appears in >=
+    ``min_docs`` DISTINCT documents is cut out of the normalized text.
+
+    Output: one row per non-NULL-text document —
+    (id, n_spans_removed, chars_removed, n_chars_kept, kept_fp) with
+    kept_fp = md5 of the surviving text (spans stitched in order).
+
+    Pipeline (all relational, O(corpus chars) rows at the widest):
+    1. per-position k-gram hashes — one Arrow numpy pass (same Horner
+       arithmetic as winnowing, so the oracle can restate it);
+    2. duplicated grams: hash -> distinct-doc count >= min_docs. The
+       ``max_posting`` guard drops degenerate boilerplate hashes whose
+       posting exceeds the cap (the dedup-module hot-bucket defense) —
+       spans that common are template noise, handled by exact dedup;
+    3. covered intervals [pos, pos+k-1] merged per doc by the classic
+       running-max island window (ONE exchange on the doc key, shared
+       by every window and the final stitch);
+    4. keep-intervals are the complement; the survivors are stitched
+       with substr + array_join — never a per-char explode.
+
+    At 100 TB step 2 is the only corpus-wide shuffle (hash-keyed,
+    map-side combinable); steps 3-4 are doc-local windows.
+    """
+    from pyspark.sql import Window
+
+    norm_expr = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    normed = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.expr(norm_expr).alias("__nm"))
+    )
+    grams = normed.select(
+        id_col,
+        F.posexplode(_kgram_hash_kernel(k, base, mod)("__nm")).alias(
+            "__p0", "__h"
+        ),
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "__h")
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__docs"), F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__docs") >= min_docs) & (F.col("__n") <= max_posting))
+        .select("__h")
+    )
+    covered = grams.join(dup, "__h").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    islands = covered.withColumn(
+        "__new", (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(0))).cast("int")
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy(id_col, "__isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__spans")
+    )
+    # complement + stitch: pieces before/between/after the removal
+    # spans, built from one let-bound pass over the span array
+    stitched = normed.join(per_doc, id_col, "left").select(
+        id_col,
+        "__nm",
+        F.coalesce("__spans", F.expr("array()")).alias("__spans"),
+    ).select(
+        id_col,
+        F.size("__spans").cast("long").alias("n_spans_removed"),
+        F.expr(
+            "aggregate(__spans, CAST(0 AS BIGINT), (a, x) -> a + x.e - x.s + 1)"
+        ).alias("chars_removed"),
+        F.expr(
+            # kept pieces: [prev_end+1 .. s-1] per span, then the tail
+            "concat("
+            "  array_join(zip_with("
+            "    __spans,"
+            "    concat(array(CAST(0 AS BIGINT)),"
+            "           transform(slice(__spans, 1, greatest(size(__spans) - 1, 0)),"
+            "                     x -> CAST(x.e AS BIGINT))),"
+            "    (sp, pe) -> substr(__nm, CAST(pe + 1 AS INT),"
+            "                       CAST(sp.s - pe - 1 AS INT))), ''),"
+            "  CASE WHEN size(__spans) = 0 THEN __nm"
+            "       ELSE substr(__nm,"
+            "                   CAST(element_at(__spans, -1).e + 1 AS INT)) END)"
+        ).alias("__kept"),
+    ).select(
+        id_col,
+        "n_spans_removed",
+        "chars_removed",
+        F.length("__kept").cast("long").alias("n_chars_kept"),
+        F.md5("__kept").alias("kept_fp"),
+    )
+    return stitched

@@ -976,3 +976,85 @@ def embeddings_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8)
     return S.mutual_knn_graph(emb, centroids, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup ACTION (Lee et al. 2022 span removal,
+# relational layout): every character span whose 20-gram appears in
+# >= 2 distinct documents is cut out of the normalized text; output
+# is the per-document cleaning report with an md5 of the stitched
+# surviving text, so the oracle verifies the REMOVAL itself, not just
+# a pair report. Complements dedup_exact (whole-doc), minhash/ngram
+# (near-dup pairs), connected_canonical (cluster action), and
+# semantic keeplist (embedding action) with the span-level action.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 20
+_SPAN_CAP = 10_000
+
+_SPAN_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nm) - {_SPAN_K} + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(i, i + {_SPAN_K}),
+                      j -> CAST(ascii(substr(nm, CAST(j AS INT), 1)) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007)) AS ch
+  FROM n),
+gh AS (
+  SELECT doc_id, generate_subscripts(ch, 1) AS pos, UNNEST(ch) AS h FROM g),
+dup AS (
+  SELECT h FROM gh GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= {_SPAN_CAP}),
+cov AS (
+  SELECT doc_id, pos AS s, pos + {_SPAN_K} - 1 AS e
+  FROM gh JOIN dup USING (h)),
+flg AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM cov),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flg),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+  FROM isl GROUP BY doc_id, grp),
+m2 AS (
+  SELECT doc_id, s, e,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe,
+         MAX(e) OVER (PARTITION BY doc_id) AS last_e,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_spans,
+         SUM(e - s + 1) OVER (PARTITION BY doc_id) AS removed
+  FROM merged),
+stitched AS (
+  SELECT m2.doc_id,
+         string_agg(substr(nm, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT)),
+                    '' ORDER BY s)
+           || substr(nm, CAST(ANY_VALUE(last_e) + 1 AS INT)) AS kept,
+         ANY_VALUE(n_spans) AS n_spans,
+         ANY_VALUE(removed) AS removed
+  FROM m2 JOIN n USING (doc_id) GROUP BY m2.doc_id, nm)
+SELECT n.doc_id,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+       CAST(COALESCE(st.removed, 0) AS BIGINT) AS chars_removed,
+       CAST(length(COALESCE(st.kept, n.nm)) AS BIGINT) AS n_chars_kept,
+       md5(COALESCE(st.kept, n.nm)) AS kept_fp
+FROM n LEFT JOIN stitched st USING (doc_id)
+"""
+
+
+@register("dedup_span_removal", _SPAN_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.duplicate_span_removal(
+        docs, "doc_id", "text", k=_SPAN_K, min_docs=2, max_posting=_SPAN_CAP
+    )

@@ -149,6 +149,7 @@ def main() -> None:
         "orders_window_rank_profile",
         # r4c additions
         "orders_cdc_log_apply",
+        "dedup_span_removal",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

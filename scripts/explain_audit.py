@@ -65,6 +65,7 @@ AUDIT = {
     "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); per-round localCheckpoint truncation",
     "parts_copurchase_kcore": "degree agg + two BroadcastHashJoin semi-joins per round over the checkpointed survivor frame",
     "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
+    "dedup_span_removal": "ArrowEvalPython k-gram hash kernel; ONE corpus-wide hash-keyed shuffle (duplicated-gram count); island-merge + stitch are doc-key windows; no CartesianProduct",
 }
 
 

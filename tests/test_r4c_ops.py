@@ -63,3 +63,77 @@ def test_cdc_apply_plan_is_one_partial_aggregate(spark, tiny_orders_dir):
     assert "partial_max_by" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span removal (Lee et al. 2022 layout)
+# ---------------------------------------------------------------------------
+
+
+def test_span_removal_known_answer(spark, tmp_path):
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"{shared} near the river bank today"),
+        (2, f"a totally different sentence with {shared} inside it"),
+        (3, "nothing shared here at all just unique words forever and ever"),
+        (4, None),
+        (5, "short"),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from airline_dataset_hadoop_public_spark.operators.text import (
+        duplicate_span_removal,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    docs = load_table(spark, str(tmp_path), "documents")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(
+            docs, "doc_id", "text", k=20, min_docs=2
+        ).collect()
+    }
+    # NULL text excluded; doc shorter than k kept whole
+    assert set(out) == {1, 2, 3, 5}
+    assert out[5]["n_spans_removed"] == 0 and out[5]["n_chars_kept"] == 5
+    # untouched doc: fingerprint equals md5 of its whole normalized text
+    assert out[3]["kept_fp"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+    # the shared 44-char substring is removed from BOTH docs: every
+    # position of the shared run is covered by some duplicated 20-gram,
+    # so the merged span is the full 44 chars (+ boundary overlap into
+    # the context that rides inside the k-gram window)
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["n_spans_removed"] == 1
+    assert out[1]["chars_removed"] == out[2]["chars_removed"] == 44
+    # removal is consistent: kept + removed = original length
+    for d, full in ((1, rows[0][1]), (2, rows[1][1])):
+        assert out[d]["n_chars_kept"] + out[d]["chars_removed"] == len(full)
+
+
+def test_span_removal_zero_rows(spark, tmp_path):
+    from tests.test_r4_ops import _empty_tables
+
+    import __spark_entry__ as e
+
+    sf = _empty_tables(tmp_path)
+    assert e.queries()["dedup_span_removal"](spark, sf).count() == 0
+
+
+def test_span_removal_plan_shape(spark):
+    """One corpus-wide shuffle for the duplicated-gram count; the
+    interval merge + stitch are doc-key windows; the hash kernel is
+    Arrow-batched (never row-at-a-time Python)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_span_removal"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
