@@ -105,6 +105,13 @@ def asof_join(
     for k in keys:
         left = left.where(F.col(k).isNotNull())
         right = right.where(F.col(k).isNotNull())
+    # Same for the timestamps: `left_ts >= right_ts` is never true in
+    # SQL when either side is NULL, but in the window layout a NULL
+    # right_ts would sort FIRST (Spark NULLS FIRST asc) and its
+    # payload would be carried into every later left row, and a NULL
+    # left_ts row would likewise land somewhere in the sort order.
+    left = left.where(F.col(left_ts).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
 
     # ALL payload columns ride in ONE struct: filling them
     # independently with last(ignorenulls) would mix fields from

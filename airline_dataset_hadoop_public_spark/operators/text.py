@@ -625,9 +625,14 @@ def duplicate_span_removal(
     from pyspark.sql import Window
 
     norm_expr = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    # cached: the normalized corpus feeds BOTH the k-gram branch and
+    # the final stitch join — without this the source scan + regexp
+    # pass run twice (same repeated-lineage discipline as the graph
+    # fixtures' edge materialization)
     normed = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.expr(norm_expr).alias("__nm"))
+        .transform(cache_tracked)
     )
     grams = normed.select(
         id_col,

@@ -181,7 +181,7 @@ _PQ_ORACLE = """
 WITH e2 AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS d, x
        FROM (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
                     UNNEST(range(1, len(embedding) + 1)) AS i
-             FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0)),
+             FROM embeddings WHERE __VALID_EMBEDDING__)),
 cb AS (SELECT s, vec_id AS j, d, x AS c FROM e2 WHERE vec_id < 16),
 encd AS (
   SELECT e.vec_id, e.s, cb.j, SUM((e.x - cb.c) * (e.x - cb.c)) AS d2

@@ -265,7 +265,7 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -283,7 +283,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid cells. The oracle replicates the identical assignment
 # (argmax cosine, centroid-id tie-break) and in-cell pairing.
 _EMB_IVF_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -309,7 +309,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top of the in-cell pair machinery — every vector flagged kept/dropped
 # (dropped ⇔ a smaller-id in-cell sibling above the cosine threshold).
 _SEMANTIC_DEDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -338,7 +338,7 @@ def dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BRUTE_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 p AS (SELECT * FROM e WHERE vec_id < 5),
 scored AS (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -358,7 +358,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (
@@ -403,7 +403,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -
     the oracle's un-renormalized means match the Spark op's.
     """
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__)",
         "n AS (SELECT vec_id, list_transform(v, x -> x / sqrt("
         "list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS v "
         "FROM e)",
@@ -867,7 +867,7 @@ def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same any-band-collision + exact-cosine filter. Bucketing is
 # part of the checked contract, exactly like the IVF queries.
 _SRP_LSH_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 planes AS (
   SELECT p // 4 AS band, p % 4 AS bit,
          list_transform(range(0, 64),
@@ -948,7 +948,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MUTUAL_KNN_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 assign AS (
   SELECT vec_id, v, cid FROM (

@@ -133,8 +133,13 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
 WITH ordered AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
-                OR LAG(o_orderpriority) OVER w <> o_orderpriority
+         -- positional start + null-safe compare, matching the
+         -- operator exactly (relational.scd2_intervals): LAG IS NULL
+         -- would misfire on a genuine NULL attr mid-partition, and
+         -- <> is three-valued around NULLs
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                OR LAG(o_orderpriority) OVER w
+                   IS DISTINCT FROM o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey
@@ -197,7 +202,7 @@ WITH ex AS (
          generate_subscripts(embedding, 1) AS i,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024 + 0.5)
               AS BIGINT) AS q
-  FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+  FROM embeddings WHERE __VALID_EMBEDDING__
 )
 SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
        CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) / 1048576.0 AS gram

@@ -305,7 +305,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANT_ORACLE = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate(list_transform(embedding, x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+  FROM embeddings WHERE __VALID_EMBEDDING__
 ),
 s AS (
   SELECT vec_id, v,

@@ -28,7 +28,26 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 
+# Shared DuckDB WHERE fragment for the vector-validity contract
+# (operators/similarity.vector_is_valid; FIXTURES.md §K rule 1):
+# non-NULL, every element finite, positive L2 norm. Oracles write the
+# token and register() expands it, so the contract has ONE SQL
+# definition instead of a copy per fixture.
+VALID_EMBEDDING_SQL = (
+    "embedding IS NOT NULL AND list_aggregate(list_transform(embedding, "
+    "x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'max') = 0 AND "
+    "list_aggregate(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * x), 'sum') > 0"
+)
+
+_ORACLE_TOKENS = {"__VALID_EMBEDDING__": VALID_EMBEDDING_SQL}
+
+
 def register(name: str, oracle: str | None):
+    if oracle is not None:
+        for token, sql in _ORACLE_TOKENS.items():
+            oracle = oracle.replace(token, sql)
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")

@@ -36,7 +36,7 @@ def running_count_sum(
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
-        n, s = state.get if state.exists else (0, 0.0)
+        n, m, s = state.get if state.exists else (0, 0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             # pandas' skipna default matches SQL SUM's NULL-skipping
@@ -44,15 +44,24 @@ def running_count_sum(
             # it ALSO skips genuine NaN, which SQL SUM propagates.
             # The Arrow path cannot tell the two apart, so callers
             # must filter non-finite values upstream (FIXTURES.md §K;
-            # the registered fixture does).
-            s += float(pdf[value_col].sum())
-        state.update((n, s))
-        yield pd.DataFrame({key_col: [k], "n_events": [n], "sum_value": [round(s, 4)]})
+            # the registered fixture does). `m` tracks non-NULL
+            # contributions: SQL SUM over ONLY NULLs is NULL, not 0.
+            vals = pdf[value_col]
+            m += int(vals.notna().sum())
+            s += float(vals.sum())
+        state.update((n, m, s))
+        yield pd.DataFrame(
+            {
+                key_col: [k],
+                "n_events": [n],
+                "sum_value": [round(s, 4) if m else None],
+            }
+        )
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=f"{key_col} bigint, n_events bigint, sum_value double",
-        stateStructType="n bigint, s double",
+        stateStructType="n bigint, m bigint, s double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

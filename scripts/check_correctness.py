@@ -46,7 +46,15 @@ def main() -> int:
     from airline_dataset_hadoop_public_spark.session import get_spark
     from airline_dataset_hadoop_public_spark.sources.catalog import FIXTURE_TABLES
 
-    spark = get_spark("correctness-check", cpus=8, driver_memory="8g")
+    # perturbation hook: the determinism sweep re-runs the whole gate
+    # under a different core/shuffle-partition count to prove no query
+    # depends on partition layout or summation order
+    cpus = int(os.environ.get("ADHPS_GATE_CPUS", "8"))
+    shuf = os.environ.get("ADHPS_GATE_SHUFFLE")
+    spark = get_spark(
+        "correctness-check", cpus=cpus, driver_memory="8g",
+        shuffle_partitions=int(shuf) if shuf else None,
+    )
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(

@@ -62,32 +62,6 @@ def test_skew_mirror_is_actually_skewed(skew_dir):
 
 
 def test_skew_subset_matches_oracles(spark, skew_dir):
-    import os
-    import sys
+    from tests.mirror_compare import assert_mirror_matches_oracles
 
-    import duckdb
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from check_correctness import value_hash
-
-    import __spark_entry__ as e
-    from airline_dataset_hadoop_public_spark.sources.catalog import (
-        FIXTURE_TABLES,
-    )
-
-    con = duckdb.connect()
-    for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{skew_dir}/{t}.parquet'"
-        )
-    qs, oracles = e.queries(), e.oracle_sql()
-    for name in QUERIES:
-        sdf = qs[name](spark, skew_dir)
-        cols = sdf.columns
-        rows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
-        assert len(rows) == len(orows), (name, len(rows), len(orows))
-        assert sorted(cols) == sorted(ocols), name
-        assert value_hash(rows, cols) == value_hash(orows, ocols), name
+    assert_mirror_matches_oracles(spark, skew_dir, QUERIES)

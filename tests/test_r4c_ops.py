@@ -137,3 +137,113 @@ def test_span_removal_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Review-fix pins: NULL-timestamp as-of rows, all-NULL running sum
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_drops_null_timestamps(spark):
+    """SQL ASOF semantics: `left_ts >= right_ts` is never true around
+    NULL, so NULL-ts rows on either side must not match — a NULL
+    right_ts would otherwise sort NULLS-FIRST and its payload would
+    carry into every later left row."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from airline_dataset_hadoop_public_spark.operators.range_join import (
+        asof_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    lschema = StructType(
+        [
+            StructField("eid", LongType()),
+            StructField("u", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("u", StringType()),
+            StructField("p_ts", TimestampType()),
+            StructField("p_value", DoubleType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, "a", t(10)), (2, "a", None), (3, "b", t(10))], lschema
+    )
+    right = spark.createDataFrame(
+        [("a", None, 99.0), ("a", t(5), 1.0), ("b", None, 99.0)], rschema
+    )
+    out = {
+        r["eid"]: r["p_value"]
+        for r in asof_join(
+            left, right, keys=["u"], left_ts="ts", right_ts="p_ts",
+            payload=["p_value"], id_col="eid",
+        ).collect()
+    }
+    # eid 1 matches the real t(5) purchase — NEVER the NULL-ts row;
+    # eid 2 (NULL left ts) and eid 3 (only a NULL-ts right row) drop
+    assert out == {1: 1.0}
+
+
+def test_running_count_sum_all_null_key_sums_null(spark, tmp_path):
+    """SQL SUM over only NULLs is NULL, not 0.0 — the state kernel
+    tracks non-NULL contributions so an all-NULL key matches the
+    batch oracle."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=7, event_type="click", value=None,
+            props="{}"),
+        Row(event_id=2, ts=t0, user_id=8, event_type="click", value=2.5,
+            props="{}"),
+        Row(event_id=3, ts=t0, user_id=8, event_type="view", value=None,
+            props="{}"),
+    ]
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    import os
+
+    import __spark_entry__ as e
+    from tests.test_r4_ops import _empty_tables
+
+    # empty fixture set, then swap in our three-event table
+    mix = tmp_path / "mix"
+    mix.mkdir()
+    sf = _empty_tables(mix)
+    # _empty_tables writes single parquet FILES (pyarrow), not dirs
+    ev_path = f"{sf}/events.parquet"
+    if os.path.isfile(ev_path):
+        os.remove(ev_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        ev_path
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in e.queries()["streaming_stateful_running_counts"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {7: (1, None), 8: (2, 2.5)}
