@@ -102,15 +102,24 @@ def test_pagerank_releases_all_storage(spark, qs):
 
     from airline_dataset_hadoop_public_spark.runtime import release_caches
 
+    def persistent_ids() -> set:
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
     release_caches()
     gc.collect()
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # account for pagerank's OWN storage delta, not the session-global
+    # count: in a full-suite session another test's checkpointed RDD
+    # may still be draining through the async ContextCleaner, which
+    # made a global-count assertion order-dependent
+    base = persistent_ids()
     qs["parts_copurchase_pagerank"](spark, SF).collect()
     release_caches()
     gc.collect()
     deadline = time.time() + 30
     while time.time() < deadline:
-        if spark.sparkContext._jsc.getPersistentRDDs().size() <= base:
+        if persistent_ids() <= base:
             break
         time.sleep(0.5)
         gc.collect()
@@ -118,7 +127,7 @@ def test_pagerank_releases_all_storage(spark, qs):
         # collects the weak ref; Spark's own periodic-GC default is 30
         # minutes, so nudge the JVM collector instead of waiting on it.
         spark.sparkContext._jvm.System.gc()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
+    assert persistent_ids() <= base
 
 
 def test_copurchase_edge_semantics(spark):
