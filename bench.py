@@ -50,6 +50,9 @@ _DRAIN_WITH_COUNT = {
     "events_holt_level_trend",
     "parts_itemitem_cf_topk",
     "dedup_containment_neardup",
+    # r4c: per-document cleaning report / fact-sized applied table
+    "dedup_span_removal",
+    "orders_cdc_log_apply",
 }
 
 HEADLINE = [
