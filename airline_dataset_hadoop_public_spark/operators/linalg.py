@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 _GRAM_SCHEMA = "i BIGINT, j BIGINT, partial DOUBLE"
 _GRAM_SCHEMA_Q = "i BIGINT, j BIGINT, partial BIGINT"
 
+# Module-level so tests can shrink it and exercise the flush path
+# without needing 2^32 rows.
+_INT64_HEADROOM = 1 << 62
+
 
 def gram_matrix(
     df: DataFrame,
@@ -49,20 +53,48 @@ def gram_matrix(
     Quantized path (``quantize_bits=b``): every element is quantized
     to ``q = floor(x * 2^b + 0.5)`` — scaling by a power of two is
     EXACT in binary floating point, so q is engine-independent — and
-    the Gramian is accumulated as int64 ``sum(q_i * q_j)``, which is
-    order-independent by integer associativity, then emitted as the
-    exact dyadic double ``sum / 2^(2b)`` with NO rounding.  The
-    result is bit-identical across engines and summation orders at
-    any scale (headroom: |x| < 32 with b=10 keeps 1e12-row sums under
-    2^63).  This is the driver-contract mode; it trades ~2^-b
-    relative input precision for a deterministic contract, same as
-    the quantized-sum averages in the resample fixture.
+    the Gramian is accumulated as integer ``sum(q_i * q_j)``, which
+    is order-independent by integer associativity, then emitted as
+    the dyadic double ``sum / 2^(2b)`` with NO rounding.  This is the
+    driver-contract mode; it trades ~2^-b relative input precision
+    for a deterministic contract, same as the quantized-sum averages
+    in the resample fixture.
+
+    Overflow headroom (two tiers, both enforced, not just claimed):
+
+    * Kernel tier (numpy int64): a per-row product is bounded by
+      ``(|x|_max * 2^b + 1)^2``, so an int64 accumulator holds only
+      ``~2^62 / product_bound`` rows before it can wrap — with b=10
+      and |x| < 32 that is ~2^32 rows per accumulator, NOT 1e12
+      (1e12 rows would need |x| < ~2.8).  numpy wraps silently, so
+      the kernel tracks a conservative running bound and FLUSHES the
+      partial (yields it and restarts at zero) before the bound can
+      cross 2^62.  A single Arrow batch that alone exceeds the bound
+      raises ValueError rather than wrap.
+    * Cross-batch tier (Spark SUM): non-ANSI SUM(BIGINT) also wraps
+      silently, so flushed partials are summed as DECIMAL(38,0)
+      (~1.7e25 x int64 headroom; Spark nulls decimal-sum overflow
+      instead of wrapping, and reaching it would take ~1e19 flushed
+      partials).
+
+    Net contract: the integer sum is exact for any N; the only
+    precision statement left is the final int -> double cast, which
+    is correctly-rounded (round-half-even) and engine-independent.
     """
     import numpy as np
+
+    # Conservative per-accumulator bound: every entry of the running
+    # int64 Gramian is |sum_rows q_i q_j| <= sum_rows qmax^2, so as
+    # long as the accumulated sum of (batch_rows x batch_qmax^2) stays
+    # under 2^62, no entry can have wrapped (docstring "kernel tier").
+    # Captured here (not read inside the kernel) so the executor-side
+    # closure sees a test-time monkeypatch of the module constant.
+    _HEADROOM = _INT64_HEADROOM
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu: tuple | None = None
         acc = None
+        budget = 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -74,6 +106,23 @@ def gram_matrix(
                 x = np.floor(x * float(1 << quantize_bits) + 0.5).astype(
                     np.int64
                 )
+                qmax = int(np.abs(x).max()) if x.size else 0
+                bound = x.shape[0] * qmax * qmax
+                if bound > _HEADROOM:
+                    raise ValueError(
+                        "quantized Gramian batch exceeds int64 headroom: "
+                        f"{x.shape[0]} rows x qmax={qmax}; lower "
+                        "quantize_bits or rescale the embeddings"
+                    )
+                if acc is not None and budget + bound > _HEADROOM:
+                    # flush BEFORE the int64 accumulator can wrap; the
+                    # decimal(38,0) Spark sum absorbs extra partials
+                    yield pd.DataFrame(
+                        {"i": iu[0] + 1, "j": iu[1] + 1, "partial": acc[iu]}
+                    )
+                    acc = None
+                    budget = 0
+                budget += bound
             g = x.T @ x
             acc = g if acc is None else acc + g
             if iu is None:
@@ -98,8 +147,14 @@ def gram_matrix(
             F.round(F.sum("partial"), ndigits).alias("gram")
         )
     scale = float(1 << (2 * quantize_bits))
+    # decimal(38,0) sum: Spark's non-ANSI SUM(BIGINT) wraps silently on
+    # overflow; decimal gives ~1e38 exact-integer headroom and nulls
+    # (never wraps) if that is somehow exceeded (docstring tier 2).
     return partials.groupBy("i", "j").agg(
-        (F.sum("partial") / F.lit(scale)).alias("gram")
+        (
+            F.sum(F.col("partial").cast("decimal(38,0)")).cast("double")
+            / F.lit(scale)
+        ).alias("gram")
     )
 
 

@@ -10,6 +10,18 @@ state is one tuple per key, updates are Arrow-batched, and the
 operator emits its state every batch (update mode), so the *final*
 emission per key equals the batch ground truth — which is what the
 oracle checks.
+
+State-schema history (checkpoint compatibility): the
+``running_count_sum`` state struct changed in r4 from
+``(n bigint, s double)`` to ``(n bigint, m bigint, s double)`` when
+the NULL-sum contract landed (SQL SUM over only NULLs is NULL, so the
+non-NULL count ``m`` joined the state).  applyInPandasWithState does
+NOT migrate state: a stream restarted from a checkpoint written by
+the 2-field schema will fail or misread state under the 3-field code.
+Harmless here (every test/bench run builds its stream and checkpoint
+from scratch), but if checkpoint continuity ever matters, version the
+state struct (e.g. a trailing ``v int`` field, or a new operator name
+per schema) instead of editing it in place.
 """
 
 from __future__ import annotations

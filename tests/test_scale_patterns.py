@@ -623,3 +623,50 @@ def test_gram_quantized_is_exact_dyadic(spark):
     assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
     for r in got:
         assert r["gram"] == expect[r["i"] - 1, r["j"] - 1]  # exact, no eps
+
+
+def test_gram_quantized_flush_keeps_exactness(spark, monkeypatch):
+    """Shrinking the int64 headroom forces the kernel to flush partials
+    mid-partition; the decimal cross-batch sum must reassemble the
+    exact same Gramian (the overflow-guard tier must never change the
+    answer, only the partial count)."""
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.operators import linalg
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").coalesce(1)
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(x * 1024.0 + 0.5).astype(np.int64)
+    expect = (q.T @ q).astype(np.float64) / 1048576.0
+    qmax = int(np.abs(q).max())
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # many small batches in the one task
+    # headroom passes any single 7-row batch but forces a flush every
+    # ~3 batches — multiple partials per (i, j) key reach the agg
+    monkeypatch.setattr(linalg, "_INT64_HEADROOM", 3 * 7 * qmax * qmax)
+    try:
+        got = linalg.gram_matrix(emb, "embedding", quantize_bits=10).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for r in got:
+        assert r["gram"] == expect[r["i"] - 1, r["j"] - 1]  # still exact
+
+
+def test_gram_quantized_single_batch_overflow_raises(spark, monkeypatch):
+    """A batch that alone could wrap int64 must raise, not wrap."""
+    import pytest
+
+    from airline_dataset_hadoop_public_spark.operators import linalg
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(linalg, "_INT64_HEADROOM", 1)
+    with pytest.raises(Exception, match="int64 headroom"):
+        linalg.gram_matrix(emb, "embedding", quantize_bits=10).collect()
