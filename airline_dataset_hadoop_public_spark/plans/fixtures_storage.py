@@ -266,17 +266,52 @@ def dq_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# r5: identical-set collapse + df-ordered prefix filter (the same
+# exact rewrite as fixtures_extensions._MINHASH_ORACLE — see the
+# pigeonhole/collapse argument there), with the delta restriction
+# (doc_id % 5 = 0 on either side) applied at clique expansion; the
+# rep-level verify is over the FULL corpus because a delta member's
+# group representative may be a base doc. Verified identical to the
+# all-pairs version at sf0.01; no longer quadratic at sf0.1.
 _INC_MINHASH_ORACLE = f"""
-WITH sh AS (SELECT doc_id, list_distinct({_W}) AS s FROM documents
-            WHERE len({_W}) > 0),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.s, b.s)) AS i,
-         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WITH sh0 AS (SELECT doc_id, list_sort(list_distinct({_W})) AS s FROM documents
+             WHERE len({_W}) > 0),
+key AS (SELECT doc_id, md5(array_to_string(s, chr(1))) AS gk, s FROM sh0),
+grp AS (SELECT gk, MIN(doc_id) AS rep FROM key GROUP BY 1),
+mem AS (SELECT gk, doc_id FROM key),
+rsh AS (SELECT g.gk, k.s, len(k.s) AS sz FROM grp g JOIN key k ON k.doc_id = g.rep),
+tok AS (SELECT gk, UNNEST(s) AS g FROM rsh),
+df AS (SELECT g, COUNT(*) AS dfreq FROM tok GROUP BY 1),
+ord AS (SELECT gk, g,
+               ROW_NUMBER() OVER (PARTITION BY gk ORDER BY dfreq, g) AS pos,
+               COUNT(*) OVER (PARTITION BY gk) AS sz
+        FROM tok JOIN df USING (g)),
+pre AS (SELECT gk, g FROM ord
+        WHERE pos <= sz - CAST(FLOOR(0.9 * sz) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT p.gk AS gka, q.gk AS gkb
+         FROM pre p JOIN tok q ON p.g = q.g AND p.gk < q.gk),
+inter AS (SELECT c.gka, c.gkb, COUNT(*) AS i
+          FROM cand c
+          JOIN tok ta ON ta.gk = c.gka
+          JOIN tok tb ON tb.gk = c.gkb AND tb.g = ta.g
+          GROUP BY 1, 2),
+rp AS (SELECT i.gka, i.gkb,
+              CAST(i.i AS DOUBLE) / (a.sz + b.sz - i.i) AS j
+       FROM inter i JOIN rsh a ON a.gk = i.gka JOIN rsh b ON b.gk = i.gkb
+       WHERE CAST(i.i AS DOUBLE) / (a.sz + b.sz - i.i) >= 0.9),
+cross_pairs AS (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS id_b,
+         ROUND(r.j, 4) AS jaccard
+  FROM rp r JOIN mem ma ON ma.gk = r.gka JOIN mem mb ON mb.gk = r.gkb
+  WHERE ma.doc_id % 5 = 0 OR mb.doc_id % 5 = 0),
+intra_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+  FROM mem a JOIN mem b ON a.gk = b.gk AND a.doc_id < b.doc_id
   WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
-FROM pairs WHERE u > 0 AND CAST(i AS DOUBLE) / u >= 0.9
+SELECT id_a, id_b, jaccard FROM cross_pairs
+UNION ALL
+SELECT id_a, id_b, jaccard FROM intra_pairs
 """
 
 

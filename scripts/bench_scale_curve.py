@@ -1,0 +1,247 @@
+"""sf0.1 -> sf1 scaling curve for the heaviest queries (VERDICT r4
+next-round #7): one recorded local[32] run of the 10 most expensive
+bench queries at BOTH scales, with per-query wall time AND
+shuffle-write bytes from the Spark UI REST API — converting the
+"flat at 3 toy scales" smokes into a real scaling curve.
+
+sf1 is synthesized ONCE into <repo>/.scratch/sf1 by stacking 10
+id-remapped copies of the read-only sf0.1 fixtures (testdata itself
+is never touched):
+
+- every id domain (doc/vec/order/part/supp/cust/event/user) is offset
+  per copy by a power of 10 above its max, so FK joins stay exactly
+  consistent and modular fixture predicates (doc_id % 5) keep their
+  class sizes;
+- document text gets 7 copy-unique suffix tokens per non-zero copy,
+  pushing cross-copy word-shingle Jaccard of a doc's own clones below
+  the 0.9 minhash threshold — near-dup CLUSTER structure grows 10x
+  linearly instead of merging into 100x quadratic cliques (output
+  stays proportional to corpus size, which is the scaling property a
+  100 TB dedup run relies on);
+- dimension tables (region/nation) are shared, like any star schema.
+
+Copy 0 is byte-identical to sf0.1, so every query's sf0.1 behavior
+embeds unchanged. Usage:
+
+    python scripts/bench_scale_curve.py [out_md_fragment]
+
+Prints a markdown table (default also written to
+<repo>/.scratch/scale_curve.md) for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+
+HEAVIES = [
+    "dedup_minhash_neardup",
+    "parts_copurchase_kcore",
+    "parts_copurchase_bfs_hops",
+    "dedup_minhash_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_clusters",
+    "similarity_srp_lsh_pairs",
+    "text_winnowing_overlap",
+    "dedup_containment_neardup",
+    "docs_dsir_importance_weights",
+]
+
+COPIES = 10
+
+# (table, [(id_col, domain)]) — domains share offsets across tables so
+# FK joins survive the remap
+ID_DOMAINS = {
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+    "orders": [("o_orderkey", "order"), ("o_custkey", "cust")],
+    "lineitem": [
+        ("l_orderkey", "order"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supp"),
+    ],
+    "customer": [("c_custkey", "cust")],
+    "part": [("p_partkey", "part")],
+    "supplier": [("s_suppkey", "supp")],
+    "events": [("event_id", "event"), ("user_id", "user")],
+}
+SHARED_DIMS = ("region", "nation")
+
+
+def _domain_offsets() -> dict[str, int]:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    offs: dict[str, int] = {}
+    for t, cols in ID_DOMAINS.items():
+        tbl = pq.read_table(
+            os.path.join(SF01, f"{t}.parquet"),
+            columns=[c for c, _ in cols],
+        )
+        for col, dom in cols:
+            mx = pc.max(tbl[col]).as_py() or 0
+            off = 10 ** len(str(int(mx)))
+            offs[dom] = max(offs.get(dom, 0), off)
+    return offs
+
+
+def build_sf1() -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(SF1, "_READY")
+    if os.path.exists(marker):
+        return SF1
+    os.makedirs(SF1, exist_ok=True)
+    offs = _domain_offsets()
+    for t in SHARED_DIMS:
+        pq.write_table(
+            pq.read_table(os.path.join(SF01, f"{t}.parquet")),
+            os.path.join(SF1, f"{t}.parquet"),
+        )
+    for t, cols in ID_DOMAINS.items():
+        base = pq.read_table(os.path.join(SF01, f"{t}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            tbl = base
+            if i:
+                for col, dom in cols:
+                    c = tbl[col]
+                    shifted = pc.add(c, pa.scalar(i * offs[dom], c.type))
+                    # NULL ids (none in the base fixtures, but keep the
+                    # remap total) stay NULL under pc.add
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index(col), tbl.field(col),
+                        shifted.cast(c.type),
+                    )
+                if t == "documents":
+                    suffix = " " + " ".join(
+                        f"copytok{i}x{j}" for j in range(7)
+                    )
+                    txt = pc.binary_join_element_wise(
+                        tbl["text"], pa.scalar(suffix), ""
+                    )
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index("text"),
+                        tbl.field("text"),
+                        txt,
+                    )
+            parts.append(tbl)
+        pq.write_table(
+            pa.concat_tables(parts), os.path.join(SF1, f"{t}.parquet")
+        )
+    with open(marker, "w"):
+        pass
+    return SF1
+
+
+def _rest(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _shuffle_totals(ui: str) -> tuple[int, int]:
+    apps = _rest(f"{ui}/api/v1/applications")
+    app_id = apps[0]["id"]
+    stages = _rest(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, r
+
+
+def main() -> int:
+    build_sf1()
+    print(f"sf1 fixture ready at {SF1}", flush=True)
+
+    from bench import _DRAIN_WITH_COUNT  # reuse the drain contract
+
+    from airline_dataset_hadoop_public_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "scale-curve",
+        driver_memory="48g",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[-1]}"
+    qs = entrymod.queries()
+
+    # warm each plan shape at the toy scale (codegen/JIT)
+    for name in HEAVIES:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+    # persisted-index fixtures: build the index outside the measurement
+    for sf_dir in (SF01, SF1):
+        try:
+            qs["dedup_minhash_incremental"](spark, sf_dir).count()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+
+    results: dict[str, dict] = {}
+    for name in HEAVIES:
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            w0, r0 = _shuffle_totals(ui)
+            load1 = round(os.getloadavg()[0], 2)
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count() if name in _DRAIN_WITH_COUNT else len(df.collect())
+            secs = round(time.time() - t0, 2)
+            w1, r1 = _shuffle_totals(ui)
+            results[name][label] = {
+                "sec": secs,
+                "rows": n,
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                "load1": load1,
+            }
+            print(f"{name} @{label}: {secs}s, {n} rows, "
+                  f"w={results[name][label]['shuffle_write_mb']}MB",
+                  flush=True)
+
+    lines = [
+        "| query | sf0.1 s | sf1 s | time ratio | sf0.1 shW MB | sf1 shW MB |"
+        " shuffle ratio | sf1 rows | load1 |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        a, b = r["sf0.1"], r["sf1"]
+        tr = round(b["sec"] / a["sec"], 2) if a["sec"] else float("nan")
+        sr = (
+            round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 2)
+            if a["shuffle_write_mb"]
+            else float("nan")
+        )
+        lines.append(
+            f"| `{name}` | {a['sec']} | {b['sec']} | {tr}x "
+            f"| {a['shuffle_write_mb']} | {b['shuffle_write_mb']} | {sr}x "
+            f"| {b['rows']} | {b['load1']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".scratch", "scale_curve.md"
+    )
+    with open(out, "w") as fh:
+        fh.write(table + "\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""Registry hygiene report (VERDICT r4 next-round #6): tag every
+registered query with the engine-operator set it exercises and flag
+queries whose operator set is strictly subsumed by another query in
+the SAME fixture module — deregistration candidates as the registry
+approaches 250 (each query costs 4 adversarial mirrors x 2 scales of
+verification latency per round).
+
+Operator extraction is static: each fixture module's import aliases
+for airline_dataset_hadoop_public_spark.operators submodules are
+resolved (both `from ..operators import dedup as D` and
+`from ..operators.topk import top_k` forms), then each query
+function's source is scanned for `alias.attr(` calls and direct
+imported-callable uses. Queries that touch no operators package
+function (pure-DataFrame fixtures — projections, SQL-pattern
+parity) report an empty set and are excluded from subsumption, since
+their value is the SQL pattern, not an operator.
+
+A subsumption flag is a CANDIDATE, not a verdict: two queries with
+nested operator sets can still pin different SQL/plan contracts
+(e.g. both call top_k but one pins the grouped variant's single
+Exchange). Trims must cite the CORRECTNESS rows that keep coverage.
+
+Usage: python scripts/registry_coverage.py [out_md]
+Default output: <repo>/REGISTRY_COVERAGE.md
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+import os
+import re
+import sys
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OPERATORS_PKG = "airline_dataset_hadoop_public_spark.operators"
+
+
+def _module_operator_aliases(mod) -> tuple[dict[str, str], dict[str, str]]:
+    """(alias -> operators submodule) and (bare name -> submodule.fn)
+    maps for one fixture module, from its import statements."""
+    tree = ast.parse(inspect.getsource(mod))
+    alias_map: dict[str, str] = {}
+    name_map: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or node.module is None:
+            continue
+        # relative imports inside the plans package: '..operators[.x]'
+        mod_name = node.module
+        if node.level and mod_name.startswith("operators"):
+            mod_name = f"{OPERATORS_PKG}{mod_name[len('operators'):]}"
+        if mod_name == OPERATORS_PKG:
+            for a in node.names:
+                alias_map[a.asname or a.name] = a.name
+        elif mod_name.startswith(OPERATORS_PKG + "."):
+            sub = mod_name.rsplit(".", 1)[-1]
+            for a in node.names:
+                name_map[a.asname or a.name] = f"{sub}.{a.name}"
+    return alias_map, name_map
+
+
+def query_operator_sets() -> dict[str, frozenset[str]]:
+    from airline_dataset_hadoop_public_spark.plans.registry import (
+        REGISTRY,
+        queries,
+    )
+
+    queries()  # force registration
+    mod_cache: dict[str, tuple[dict, dict]] = {}
+    out: dict[str, frozenset[str]] = {}
+    for name, d in REGISTRY.items():
+        mod = sys.modules[d.fn.__module__]
+        if d.fn.__module__ not in mod_cache:
+            mod_cache[d.fn.__module__] = _module_operator_aliases(mod)
+        alias_map, name_map = mod_cache[d.fn.__module__]
+        try:
+            src = inspect.getsource(d.fn)
+        except OSError:
+            out[name] = frozenset()
+            continue
+        ops: set[str] = set()
+        for alias, sub in alias_map.items():
+            for m in re.finditer(rf"\b{re.escape(alias)}\.(\w+)\s*\(", src):
+                ops.add(f"{sub}.{m.group(1)}")
+        for bare, qual in name_map.items():
+            if re.search(rf"\b{re.escape(bare)}\s*\(", src):
+                ops.add(qual)
+        # function-local `from ..operators.x import y` / `import` forms
+        for m in re.finditer(
+            r"from \.\.operators\.(\w+) import ([\w, ]+)", src
+        ):
+            sub = m.group(1)
+            for fn_name in re.split(r",\s*", m.group(2).strip()):
+                if re.search(rf"\b{re.escape(fn_name)}\s*\(", src):
+                    ops.add(f"{sub}.{fn_name}")
+        for m in re.finditer(r"from \.\.operators import (\w+) as (\w+)", src):
+            sub, alias = m.group(1), m.group(2)
+            for c in re.finditer(rf"\b{re.escape(alias)}\.(\w+)\s*\(", src):
+                ops.add(f"{sub}.{c.group(1)}")
+        out[name] = frozenset(ops)
+    return out
+
+
+def subsumption_report() -> tuple[list[str], dict[str, frozenset[str]]]:
+    from airline_dataset_hadoop_public_spark.plans.registry import REGISTRY
+
+    opsets = query_operator_sets()
+    by_module: dict[str, list[str]] = defaultdict(list)
+    for name, d in REGISTRY.items():
+        by_module[d.module].append(name)
+
+    lines: list[str] = []
+    for module, names in sorted(by_module.items()):
+        for a in sorted(names):
+            if not opsets[a]:
+                continue
+            for b in sorted(names):
+                if a == b or not opsets[b]:
+                    continue
+                if opsets[a] < opsets[b]:  # strict subset
+                    lines.append(
+                        f"| `{a}` | `{b}` | {module} | "
+                        f"{', '.join(sorted(opsets[a]))} |"
+                    )
+    return lines, opsets
+
+
+def main() -> int:
+    out_md = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "REGISTRY_COVERAGE.md"
+    )
+    flagged, opsets = subsumption_report()
+    n_with_ops = sum(1 for s in opsets.values() if s)
+    all_ops = sorted({o for s in opsets.values() for o in s})
+
+    with open(out_md, "w") as fh:
+        fh.write("# Registry operator coverage\n\n")
+        fh.write(
+            f"Generated by `scripts/registry_coverage.py`. "
+            f"{len(opsets)} registered queries; {n_with_ops} exercise "
+            f"{len(all_ops)} distinct operator functions; the rest are "
+            f"pure-DataFrame/SQL-pattern fixtures.\n\n"
+        )
+        fh.write("## Subsumption candidates (same module, strict subset)\n\n")
+        if flagged:
+            fh.write(
+                "| query | subsumed by | module | its operator set |\n"
+                "|---|---|---|---|\n"
+            )
+            fh.write("\n".join(flagged) + "\n")
+        else:
+            fh.write(
+                "None — no query's operator set is a strict subset of a "
+                "same-module sibling's.\n"
+            )
+        fh.write(
+            "\n### Adjudication (r5)\n\n"
+            "All current candidates are retained deliberately:\n\n"
+            "- `g1q1_top10_popularity`, `tpch_q3_shipping_priority` — "
+            "reference-parity flagships (README G1Q1 / TPC-H Q3); their "
+            "value is the exact reference query shape, not the operator.\n"
+            "- `dedup_exact`, `text_token_counts`, `similarity_ivf_topk` — "
+            "family-head queries: the isolated operator's oracle is the "
+            "diagnostic unit when the composite (`corpus_clean_pipeline`, "
+            "`similarity_kmeans_ivf_topk`) goes red, and each pins its own "
+            "plan-shape test.\n\n"
+            "Future trims should start from NEW entries in this table and "
+            "cite the green CORRECTNESS rows of the subsuming query.\n"
+        )
+        fh.write("\n## Per-query operator sets\n\n")
+        fh.write("| query | operators |\n|---|---|\n")
+        for name in sorted(opsets):
+            ops = ", ".join(sorted(opsets[name])) or "—"
+            fh.write(f"| `{name}` | {ops} |\n")
+    print(f"wrote {out_md}: {len(flagged)} subsumption candidates")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -288,6 +288,11 @@ def test_g3q1_fit_comparison_golden(spark):
     assert abs(c - 0.0373161855) < 1e-8
     assert out["zipf"]["sse"] < out["poisson"]["sse"]
     assert np.isfinite(out["poisson"]["sse"])  # poisson fits, just worse
+    # complete the README fit-table mirror: golden poisson row too
+    # (the reference's BTS winner — here it loses to zipf, badly)
+    lam, pc = out["poisson"]["params"]
+    assert abs(lam - 87.5822645560) / 87.5822645560 < 1e-6
+    assert abs(pc - 32347874.5794302486) / 32347874.5794302486 < 1e-6
     # lognormal/pareto hit their degeneracy guards on this corpus
     # (non-concave log-log parabola / non-positive tail exponent) and
     # report inf SSE rather than a bogus curve
