@@ -1,0 +1,90 @@
+"""Weighted reservoir sampling per key (Efraimidis & Spirakis 2006,
+"Weighted random sampling with a reservoir", IPL 97(5)).
+
+The 100 TB training-pipeline use: draw k documents per stratum
+(language, source, quality bucket) with probability proportional to a
+weight column — the sampling step behind quality-weighted corpus
+selection and per-domain mixing, where neither the stream length nor
+the per-key weight mass is known up front.
+
+A-ES reduces weighted sampling WITHOUT replacement to a plain top-k:
+each row gets the key ``u^(1/w)`` for an independent uniform u in
+(0,1) — equivalently (monotone transform, numerically saner)
+``es = -ln(u) / w`` taken SMALLEST-k. The top-k of a random key is
+embarrassingly parallel: Spark computes it as one window (or the
+grouped top-k operator) — ONE shuffle on the stratum key, map-side
+partial possible via min_by-style pre-pruning, no global sort, no
+driver state. That is the whole point of A-ES at scale: the
+"reservoir" is just per-partition top-k state that merges
+associatively.
+
+Determinism contract (FIXTURES.md §F discipline): production callers
+pass their own uniform column (any per-row RNG); the DEFAULT u is a
+portable multiplicative-hash fraction both engines compute exactly in
+64-bit integer arithmetic —
+
+    v = (id * 2654435761) % 999999937        (Knuth multiplicative
+    u = (v + 0.5) / 999999937                 hashing; prime modulus)
+
+id*2654435761 stays under 2^63 for ids < 4e9, so DuckDB's checked
+BIGINT multiply never overflows and the oracle reproduces u
+bit-for-bit. ``-ln(u)/w`` then differs across engines by at most an
+ulp (both use a ≤1-ulp libm log); selection flips only if the k-th /
+(k+1)-th ES keys per stratum are within float noise, which the
+fixture test bounds explicitly (min observed relative margin must
+exceed 1e-9).
+
+Rows with NULL or non-positive weight are excluded by contract (a
+zero/negative weight has no ES key; mirrors the §K finite-measure
+rule), as are NULL ids/keys (no u / no stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_PRIME = 999999937
+
+
+def portable_unit_hash(id_col: str | Column) -> Column:
+    """Deterministic u in (0,1) from an integer id — exact in any
+    engine with 64-bit integers (see module docstring)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    v = (c.cast("long") * F.lit(_KNUTH)) % F.lit(_PRIME)
+    return (v.cast("double") + F.lit(0.5)) / F.lit(float(_PRIME))
+
+
+def weighted_reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    u: Column | None = None,
+) -> DataFrame:
+    """k-sample per key_col, weighted by weight_col, via A-ES top-k.
+
+    Returns (key_col, id_col, weight_col, es_key, sample_rank) with
+    sample_rank 1..k ordered by the ES key; ties (float-impossible in
+    practice, but pinned anyway) break on id ascending.
+    """
+    c = df.where(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(id_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    )
+    uu = portable_unit_hash(id_col) if u is None else u
+    keyed = c.withColumn(
+        "es_key", -F.log(uu) / F.col(weight_col).cast("double")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc("es_key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(key_col, id_col, weight_col, "es_key", "sample_rank")
+    )

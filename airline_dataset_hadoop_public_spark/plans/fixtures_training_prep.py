@@ -847,3 +847,53 @@ def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         smoothing=10.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sample per stratum (Efraimidis-Spirakis A-ES,
+# IPL 2006): k=5 documents per source, probability proportional to
+# n_chars — the quality-weighted per-domain selection step of a
+# corpus-mixing pipeline. A-ES turns weighted sampling-without-
+# replacement into a per-key top-k of es = -ln(u)/w, so the engine
+# pays ONE shuffle on the stratum key and no global state; u is the
+# portable Knuth-hash fraction (operators/sampling.py) both engines
+# compute exactly in 64-bit integers, making the selection fully
+# value-oracle-checkable. ln() may differ by an ulp across libms;
+# tests pin the rank-boundary margin (>=1e-9 relative) that makes
+# the selection engine-independent anyway.
+# ---------------------------------------------------------------------------
+
+_WRS_ORACLE = """
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         -ln((((doc_id * 2654435761) % 999999937) + 0.5) / 999999937.0)
+           / CAST(n_chars AS DOUBLE) AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+    AND doc_id IS NOT NULL AND source IS NOT NULL),
+r AS (
+  SELECT source, doc_id, n_chars, es,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY es, doc_id)
+           AS sample_rank
+  FROM c)
+SELECT source, doc_id, n_chars, ROUND(es, 6) AS es_key,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
+@register("docs_weighted_reservoir", _WRS_ORACLE)
+def docs_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_reservoir_per_key(
+        docs, "source", "doc_id", "n_chars", k=5
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round("es_key", 6).alias("es_key"),
+        "sample_rank",
+    )

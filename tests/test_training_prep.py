@@ -143,3 +143,94 @@ def test_temperature_resample_upweights_low_resource(spark, qs):
     # larger language is genuinely downsampled
     assert max(rate_by_lang.values()) > 0.99
     assert min(rate_by_lang.values()) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir per key (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_matches_local_reference(spark):
+    """Engine selection equals a pure-python A-ES over the same
+    portable hash — the operator is exactly top-k of -ln(u)/w."""
+    import math
+
+    from airline_dataset_hadoop_public_spark.operators.sampling import (
+        weighted_reservoir_per_key,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = weighted_reservoir_per_key(
+        docs, "source", "doc_id", "n_chars", k=3
+    ).collect()
+
+    rows = docs.select("source", "doc_id", "n_chars").collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        if r["source"] is None or r["doc_id"] is None:
+            continue
+        if r["n_chars"] is None or r["n_chars"] <= 0:
+            continue
+        u = ((r["doc_id"] * 2654435761) % 999999937 + 0.5) / 999999937.0
+        by_key[r["source"]].append(
+            (-math.log(u) / float(r["n_chars"]), r["doc_id"])
+        )
+    expect = {
+        (k, d): i + 1
+        for k, lst in by_key.items()
+        for i, (_, d) in enumerate(sorted(lst)[:3])
+    }
+    assert {(r["source"], r["doc_id"]): r["sample_rank"] for r in got} == expect
+
+
+def test_weighted_reservoir_rank_boundary_margin(spark):
+    """The k/k+1 ES-key margin per stratum must dwarf libm ln()'s
+    1-ulp cross-engine noise — the condition that makes the oracle's
+    selection engine-independent (operators/sampling.py docstring)."""
+    import math
+
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = docs.select("source", "doc_id", "n_chars").collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        if r["n_chars"] and r["n_chars"] > 0 and r["source"] is not None:
+            u = ((r["doc_id"] * 2654435761) % 999999937 + 0.5) / 999999937.0
+            by_key[r["source"]].append(-math.log(u) / float(r["n_chars"]))
+    worst = 1.0
+    for lst in by_key.values():
+        lst.sort()
+        if len(lst) > 5:
+            gap = (lst[5] - lst[4]) / max(abs(lst[4]), 1e-300)
+            worst = min(worst, gap)
+    assert worst > 1e-9, worst
+
+
+def test_weighted_reservoir_excludes_invalid_rows(spark):
+    """NULL/zero/negative weights and NULL ids/keys never sample."""
+    from airline_dataset_hadoop_public_spark.operators.sampling import (
+        weighted_reservoir_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, None),
+            ("a", 3, 0.0),
+            ("a", 4, -5.0),
+            (None, 5, 10.0),
+            ("a", None, 10.0),
+            ("b", 7, 1.0),
+        ],
+        "k string, id bigint, w double",
+    )
+    got = weighted_reservoir_per_key(df, "k", "id", "w", k=10).collect()
+    assert {(r["k"], r["id"]) for r in got} == {("a", 1), ("b", 7)}
+
+
+def test_weighted_reservoir_single_exchange(spark, qs):
+    plan = _plan(qs["docs_weighted_reservoir"](spark, SF))
+    # one shuffle on the stratum key; row_number + filter share it
+    assert plan.count("Exchange") == 1
