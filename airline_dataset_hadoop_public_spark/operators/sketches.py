@@ -222,6 +222,114 @@ def kmv_set_overlap_per_key_pair(
     )
 
 
+def ddsketch_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(key, q, bucket, n, est, exact_val, rel_err) per (key, quantile):
+    DDSketch relative-error quantile estimates (Masson, Lee & Rim,
+    VLDB 2019) — the mergeable quantile sketch that completes the
+    engine's sketch family next to KMV/HLL (distinct), count-min
+    (frequency), and bloom (membership).
+
+    The sketch is log-bucket counts: value x > 0 lands in bucket
+    ceil(ln(x)/ln(gamma)) with gamma = (1+alpha)/(1-alpha); the bucket
+    midpoint 2*gamma^i/(gamma+1) is then within relative error alpha of
+    every value in the bucket. Why this sketch for a Spark engine:
+
+    - The per-key state is a sparse (bucket -> count) map — constant-ish
+      size (O(log(max/min)/alpha) buckets), MERGEABLE BY ADDITION (the
+      build below is literally a groupBy(key, bucket).count(), so
+      partial aggregation, cross-day rollups, and cross-engine merges
+      are all the same plus), and exact-rank: the q-quantile readout
+      walks the cumulative bucket counts to the ceil(q*n)-th value.
+    - Unlike `approx_percentile` (GK-style, rank error, opaque
+      internals), DDSketch is DETERMINISTIC given the data, so the
+      whole estimator — bucket ids, counts, and estimates — is
+      value-checked by the SQL oracle, per the repo's sketch
+      convention (KMV/count-min are verified the same way).
+    - Guarantee is on the VALUE (|est - true_q|/true_q <= alpha), the
+      form SLO latency/size reporting actually needs.
+
+    Build = one map-side-combinable shuffle on (key, bucket); readout
+    joins the tiny (key, q, rank) frame broadcast against the bucket
+    frame. `exact_val` (the true ceil(q*n)-th smallest value, one
+    per-key sort of the raw values) and `rel_err` make the query its
+    own error report — production keeps only the bucket state.
+
+    Contract (FIXTURES.md §J/§K): the sketch domain is finite values
+    > 0 with non-NULL keys; NULL / NaN / ±Inf / non-positive values
+    are not sketchable and are excluded identically on both sides.
+    """
+    import math
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = math.log(gamma)
+    x = F.col("__x")
+    v = df.select(
+        F.col(key_col).alias("__k"), F.col(value_col).cast("double").alias("__x")
+    ).filter(
+        F.col("__k").isNotNull()
+        & x.isNotNull()
+        & ~F.isnan(x)
+        & (x > 0)
+        & (x != float("inf"))
+    )
+    buckets = v.groupBy(
+        "__k", F.ceil(F.log("__x") / F.lit(ln_gamma)).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative counts in bucket order; buckets are distinct per key so
+    # a rows-frame running sum is exact
+    by_key = Window.partitionBy("__k")
+    cum = buckets.select(
+        "__k",
+        "__b",
+        F.sum("__cnt").over(by_key.orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )).alias("__cum"),
+    )
+    totals = buckets.groupBy("__k").agg(F.sum("__cnt").alias("n"))
+    ranks = totals.select(
+        "__k",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("__rk", F.ceil(F.col("q") * F.col("n")))
+    # smallest bucket whose cumulative count reaches the target rank
+    pick = (
+        cum.join(F.broadcast(ranks), "__k")
+        .filter(F.col("__cum") >= F.col("__rk"))
+        .groupBy("__k", "q", "n", "__rk")
+        .agg(F.min("__b").alias("bucket"))
+    )
+    ranked = v.withColumn(
+        "__rn", F.row_number().over(by_key.orderBy("__x"))
+    )
+    est = F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
+    return (
+        pick.join(
+            ranked,
+            (pick["__k"] == ranked["__k"]) & (F.col("__rn") == F.col("__rk")),
+        )
+        .select(
+            pick["__k"].alias(key_col),
+            "q",
+            "bucket",
+            "n",
+            F.round(est, ndigits).alias("est"),
+            F.round(F.col("__x"), ndigits).alias("exact_val"),
+            F.round(F.abs(est - F.col("__x")) / F.col("__x"), ndigits).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
 def bloom_filter_words(
     keys: DataFrame,
     key_col: str,

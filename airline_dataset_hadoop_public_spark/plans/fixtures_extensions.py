@@ -466,6 +466,85 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, centroids, probes, k=5, nprobe=2)
 
 
+# ANN quality evaluation — recall@k of the IVF index against exact
+# brute-force ground truth, per probe. "Measure, don't guess": every
+# production ANN deployment runs exactly this eval before trusting an
+# index (recall@k is THE reported metric of the ANN-benchmarks suite,
+# Aumüller et al. 2018), and at 100 TB it runs on a probe sample while
+# the index serves the full corpus. Both rankings reuse the engine's
+# own operators with their pinned tie-breaks, so the eval is
+# deterministic and fully value-checked; the oracle rebuilds both
+# pipelines and intersects.
+
+_IVF_RECALL_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE __VALID_EMBEDDING__),
+p AS (SELECT * FROM e WHERE vec_id < 5),
+ex AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(p.v, e.v) DESC, e.vec_id) AS rn
+    FROM p JOIN e ON e.vec_id <> p.vec_id) WHERE rn <= 5),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+pr AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+pcells AS (
+  SELECT probe_id, pv, cid FROM (
+    SELECT pr.probe_id, pr.pv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+             ORDER BY list_cosine_similarity(pr.pv, c.cv) DESC, c.cid) AS rn
+    FROM pr CROSS JOIN c) WHERE rn <= 2),
+ap AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT pc.probe_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY pc.probe_id
+             ORDER BY list_cosine_similarity(pc.pv, a.v) DESC, a.vec_id) AS rn
+    FROM pcells pc JOIN assign a
+      ON a.cid = pc.cid AND a.vec_id <> pc.probe_id) WHERE rn <= 5)
+SELECT ex.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+FROM ex LEFT JOIN ap
+  ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.probe_id
+"""
+
+
+@register("similarity_ivf_recall", _IVF_RECALL_ORACLE)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = S.ivf_topk(emb, centroids, probes, k=5, nprobe=2).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -> str:
     """Unrolled-CTE Lloyd oracle for ``kmeans_fit`` + ``ivf_topk``.
 

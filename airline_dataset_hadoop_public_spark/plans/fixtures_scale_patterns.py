@@ -901,3 +901,153 @@ def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles (Masson, Lee & Rim, VLDB 2019): the mergeable
+# relative-error quantile sketch, completing the engine's sketch
+# family — KMV/HLL (distinct), count-min (frequency), bloom
+# (membership), DDSketch (quantiles). Per-key state is a sparse
+# log-bucket count map that merges BY ADDITION (the build is literally
+# groupBy(key, bucket).count()), so day->month rollups and cross-
+# engine merges are one more partial aggregation; the readout walks
+# cumulative bucket counts to the ceil(q*n)-th rank and reports the
+# bucket midpoint, guaranteed within alpha=1% relative error of the
+# true quantile VALUE. Deterministic given the data, so — unlike
+# approx_percentile — the whole estimator (bucket ids, counts,
+# estimates) is value-checked by the oracle; exact_val / rel_err make
+# the query its own error report (the pytest asserts rel_err <= alpha).
+# Boundary discipline: bucket = CEIL(LN(x)/ln_gamma) is libm-noise-
+# sensitive only within ~1e-13 of an integer; the fixture's only
+# boundary value is 1.0, where ln(1.0)=0.0 exactly in every libm
+# (tests/test_scale_patterns.py pins the >=1e-5 margin of every other
+# value at all three scales).
+# ---------------------------------------------------------------------------
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+_DD_LN_GAMMA = __import__("math").log(_DD_GAMMA)
+
+_DDSKETCH_ORACLE = f"""
+WITH v AS (
+  SELECT event_type AS k, CAST(value AS DOUBLE) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND isfinite(value) AND value > 0),
+b AS (SELECT k, CAST(CEIL(LN(x) / {_DD_LN_GAMMA!r}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+c AS (SELECT k, bucket,
+             CAST(SUM(cnt) OVER (PARTITION BY k ORDER BY bucket) AS BIGINT) AS cum
+      FROM b),
+n AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY k),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+r AS (SELECT n.k, n.n, qs.q, CAST(CEIL(qs.q * n.n) AS BIGINT) AS rk
+      FROM n CROSS JOIN qs),
+pick AS (SELECT r.k, r.q, r.n, r.rk, MIN(c.bucket) AS bucket
+         FROM r JOIN c ON c.k = r.k AND c.cum >= r.rk
+         GROUP BY 1, 2, 3, 4),
+ranked AS (SELECT k, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn
+           FROM v)
+SELECT p.k AS event_type, p.q, p.bucket, p.n,
+       ROUND(2 * POWER({_DD_GAMMA!r}, p.bucket) / ({_DD_GAMMA!r} + 1), 4) AS est,
+       ROUND(rk.x, 4) AS exact_val,
+       ROUND(ABS(2 * POWER({_DD_GAMMA!r}, p.bucket) / ({_DD_GAMMA!r} + 1) - rk.x)
+             / rk.x, 4) AS rel_err
+FROM pick p JOIN ranked rk ON rk.k = p.k AND rk.rn = p.rk
+"""
+
+
+@register("events_ddsketch_quantiles", _DDSKETCH_ORACLE)
+def events_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import ddsketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return ddsketch_quantiles(
+        ev, "event_type", "value", qs=(0.5, 0.9, 0.99), alpha=_DD_ALPHA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (DPP): the third leg of the engine's
+# scan-reduction story next to static partition pruning (SURVEY S3)
+# and the bloom runtime filter (lineitem_bloom_prune_revenue). The
+# fact (events mirrored partitionBy(event_date)) joins a tiny calendar
+# dimension whose filter (weekend days) is only known at RUNTIME from
+# the dim's rows — Catalyst injects a dynamicpruning subquery on the
+# fact's partition column, so only weekend partition DIRECTORIES are
+# ever read. At 100 TB this is the standard star-schema date-dim
+# pattern: the fact scan shrinks by the dim's selectivity before a
+# single fact byte is shuffled. The oracle states the logical result
+# (pruning cannot change it); tests/test_scale_patterns.py pins the
+# dynamicpruningexpression in the scan's PartitionFilters.
+#
+# Measures are integer-only (counts) on purpose: the query's subject
+# is scan pruning, and integer outputs keep it float-contract-free
+# under every adversarial mirror (NULL ts rows land in the HIVE
+# default partition, whose NULL date never equi-joins the calendar —
+# identical to the oracle's dayofweek(NULL) IS NULL drop).
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+GROUP BY event_type
+"""
+
+
+def _events_by_date_dir(spark: SparkSession, sf_dir: str):
+    """Mirror `events` as a date-partitioned parquet layout (the 100 TB
+    fact layout DPP needs). Cache keyed by source identity; returns
+    (path, read_schema) — the explicit schema keeps the read well-typed
+    when a zero-row mirror writes no partition directories at all."""
+    from pyspark.sql.types import DateType, StructField
+
+    from ..runtime import scratch_dir, source_scratch_key
+
+    key = source_scratch_key(sf_dir, "events.parquet")
+    root = scratch_dir("dpp", key)
+    data_dir = os.path.join(root, "data")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        (
+            ev.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(data_dir)
+        )
+        with open(marker, "w"):
+            pass
+    schema = ev.schema
+    # partition-column ordering on read: data columns then partition col
+    base = [f for f in schema.fields if f.name != "event_date"]
+    read_schema = type(schema)(base + [StructField("event_date", DateType())])
+    return data_dir, read_schema
+
+
+@register("events_dpp_weekend_scan", _DPP_ORACLE)
+def events_dpp_weekend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data_dir, read_schema = _events_by_date_dir(spark, sf_dir)
+    fact = spark.read.schema(read_schema).parquet(data_dir)
+    # calendar dim from the raw fixture (a real deployment's date dim):
+    # tiny, broadcast, and its weekend filter is what DPP turns into a
+    # partition filter on the fact scan. Spark dayofweek: 1=Sun..7=Sat.
+    cal = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .filter(F.dayofweek("event_date").isin(1, 7))
+    )
+    return (
+        fact.join(F.broadcast(cal), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

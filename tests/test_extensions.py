@@ -193,3 +193,34 @@ def test_streaming_append_watermark_withholds_open_window(spark, tmp_path):
     # emitted append rows agree with the batch/complete result
     emitted = {tuple(r) for r in append.collect()}
     assert emitted <= {tuple(r) for r in complete.collect()}
+
+
+def test_ivf_recall_matches_python_set_intersection(spark):
+    """similarity_ivf_recall must equal the set-intersection of the
+    engine's own exact and IVF rankings, computed independently in
+    Python — and recall is structurally bounded: 0 <= n_hit <=
+    n_exact = k."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_extensions import (
+        similarity_ivf_recall,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in S.brute_force_topk(emb, probes, k=5).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in S.ivf_topk(emb, centroids, probes, k=5, nprobe=2).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+
+    got = {r["probe_id"]: r for r in similarity_ivf_recall(spark, sf).collect()}
+    assert set(got) == set(exact)
+    for pid, r in got.items():
+        hit = len(exact[pid] & approx.get(pid, set()))
+        assert r["n_exact"] == len(exact[pid]) == 5
+        assert r["n_hit"] == hit
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall_at_k"] == round(hit / 5, 4)

@@ -670,3 +670,113 @@ def test_gram_quantized_single_batch_overflow_raises(spark, monkeypatch):
     monkeypatch.setattr(linalg, "_INT64_HEADROOM", 1)
     with pytest.raises(Exception, match="int64 headroom"):
         linalg.gram_matrix(emb, "embedding", quantize_bits=10).collect()
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_ddsketch_rel_err_within_alpha(spark):
+    """The sketch's guarantee is on the VALUE: every estimate within
+    alpha relative error of the true rank value (Masson et al. 2019,
+    Thm 1 for the midpoint readout)."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        ddsketch_quantiles,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    rows = ddsketch_quantiles(ev, "event_type", "value", alpha=0.01).collect()
+    assert len(rows) == 5 * 3  # |event_type| x |qs|
+    for r in rows:
+        assert r["rel_err"] <= 0.01, r
+        assert abs(r["est"] - r["exact_val"]) / r["exact_val"] <= 0.0101
+
+
+def test_ddsketch_bucket_boundary_margin():
+    """bucket = ceil(ln(x)/ln_gamma) is the one cross-engine float
+    decision in the sketch; a value within libm noise (~1e-13) of an
+    integer boundary could bucket differently in Spark vs DuckDB. Pin
+    the fixture margin at ALL three scales: the only exact-boundary
+    value is 1.0 (ln(1.0) == 0.0 exactly in every libm); every other
+    value sits >= 1e-5 ratio units from its boundary."""
+    import duckdb
+    import numpy as np
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        _DD_LN_GAMMA,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        vals = duckdb.sql(
+            f"SELECT value FROM '/root/testdata/sf{sf}/events.parquet' "
+            "WHERE value IS NOT NULL AND isfinite(value) AND value > 0"
+        ).fetchnumpy()["value"]
+        r = np.log(vals) / _DD_LN_GAMMA
+        d = np.abs(r - np.round(r))
+        on_boundary = vals[d == 0]
+        assert set(np.unique(on_boundary)) <= {1.0}
+        if (d > 0).any():
+            assert d[d > 0].min() >= 1e-5
+
+
+def test_ddsketch_invalid_rows_excluded(spark):
+    """Contract: the sketch domain is finite values > 0 with non-NULL
+    keys — NULL/NaN/Inf/non-positive rows must not shift any rank."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        ddsketch_quantiles,
+    )
+
+    base = [("a", float(i)) for i in range(1, 101)]
+    junk = [
+        ("a", None),
+        ("a", float("nan")),
+        ("a", float("inf")),
+        ("a", -5.0),
+        ("a", 0.0),
+        (None, 50.0),
+    ]
+    clean = spark.createDataFrame(base, "k string, v double")
+    dirty = spark.createDataFrame(base + junk, "k string, v double")
+    a = {(r["q"]): (r["bucket"], r["n"], r["est"]) for r in
+         ddsketch_quantiles(clean, "k", "v").collect()}
+    b = {(r["q"]): (r["bucket"], r["n"], r["est"]) for r in
+         ddsketch_quantiles(dirty, "k", "v").collect()}
+    assert a == b
+    assert all(n == 100 for _, n, _ in a.values())
+
+
+def test_ddsketch_empty_input(spark):
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        ddsketch_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert ddsketch_quantiles(empty, "k", "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_dpp_weekend_scan_plan_prunes_partitions(spark):
+    """The fact scan must carry BOTH scan-reduction mechanisms the
+    query exists to demonstrate: a dynamicpruning subquery on the
+    partition column (DPP proper) and the join-inferred static
+    weekend predicate as a PartitionFilter. Either alone already
+    prunes directories; together they are the star-schema date-dim
+    plan a 100 TB deployment expects."""
+    from airline_dataset_hadoop_public_spark.plans.fixtures_scale_patterns import (
+        events_dpp_weekend_scan,
+    )
+
+    plan = _plan(events_dpp_weekend_scan(spark, SF))
+    assert "dynamicpruning" in plan.lower()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and ".scratch/dpp/" in ln
+    ]
+    assert scan_lines, "date-partitioned fact scan not found in plan"
+    assert "dayofweek(event_date" in scan_lines[0]
