@@ -48,12 +48,20 @@ def main() -> int:
 
     # perturbation hook: the determinism sweep re-runs the whole gate
     # under a different core/shuffle-partition count to prove no query
-    # depends on partition layout or summation order
+    # depends on partition layout or summation order; the plan-shift
+    # sweep (scripts/adversarial_planshift.py) additionally injects
+    # session confs that flip Catalyst's physical strategy choices
     cpus = int(os.environ.get("ADHPS_GATE_CPUS", "8"))
     shuf = os.environ.get("ADHPS_GATE_SHUFFLE")
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("ADHPS_GATE_CONF", "").split(",")
+        if "=" in kv
+    )
     spark = get_spark(
         "correctness-check", cpus=cpus, driver_memory="8g",
         shuffle_partitions=int(shuf) if shuf else None,
+        extra_conf=extra or None,
     )
     con = duckdb.connect()
     for t in FIXTURE_TABLES:

@@ -166,7 +166,12 @@ def main() -> int:
             "family-head queries: the isolated operator's oracle is the "
             "diagnostic unit when the composite (`corpus_clean_pipeline`, "
             "`similarity_kmeans_ivf_topk`) goes red, and each pins its own "
-            "plan-shape test.\n\n"
+            "plan-shape test.\n"
+            "- `similarity_bruteforce_topk`, `similarity_ivf_topk` vs "
+            "`similarity_ivf_recall` (r5) — the recall EVAL is downstream "
+            "of both rankings by construction; when the eval goes red the "
+            "parts' own oracles are what localize the fault, so the parts "
+            "stay registered.\n\n"
             "Future trims should start from NEW entries in this table and "
             "cite the green CORRECTNESS rows of the subsuming query.\n"
         )
