@@ -1220,3 +1220,82 @@ def minhash_neardup_clusters(
             F.col("component").alias("canonical"),
         )
     )
+
+
+def block_dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 20,
+) -> DataFrame:
+    """(id, n_blocks, n_kept, kept_fp): paragraph/block-level exact
+    dedup with keep-first-occurrence semantics — the CCNet / C4
+    dedup granularity (Wenzek et al. 2020 dedupe corpora at the
+    PARAGRAPH level; C4 at the 3-sentence span). The fixture corpus
+    has no newline structure, so "paragraph" is pinned to consecutive
+    `block_words`-word blocks of the normalized text: deterministic,
+    language-free, and the same block boundary both engines compute.
+
+    Semantics (distinct from `duplicate_span_removal`, which removes
+    EVERY copy of any k-gram occurring in >=2 docs): the corpus-wide
+    FIRST occurrence of each distinct block survives, ordered by
+    (id, block index); later copies are dropped. Output per doc:
+    total block count, surviving block count, and md5 of the
+    surviving text (blocks re-joined in position order) — the
+    removal action itself, value-checkable.
+
+    Scale: one shuffle keyed by block text (min(struct(id, idx))
+    per block — map-side combinable, like `exact_dedup`'s
+    whole-doc groupBy; at 100 TB key by a 128-bit block hash to
+    shrink shuffle payload), one join back on the same key, one
+    per-doc regroup. No quadratic stage, no window over the corpus.
+
+    Contract: rows with NULL id or NULL text are excluded on both
+    sides (FIXTURES.md §J); a doc whose every block is a later copy
+    keeps the empty string (kept_fp = md5('')).
+    """
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    b = int(block_words)
+    words = tokens(F.col(text_col))
+    blocks = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(words) / F.lit(b)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(words, i * b + 1, b), " "
+                ),
+            )
+        ).alias("idx", "block"),
+    )
+    first = blocks.groupBy("block").agg(
+        F.min(F.struct("__id", "idx")).alias("__first")
+    )
+    kept = blocks.join(first, "block").filter(
+        (F.col("__id") == F.col("__first.__id"))
+        & (F.col("idx") == F.col("__first.idx"))
+    )
+    totals = blocks.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )
+    survived = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("__kept_txt"),
+    )
+    return totals.join(survived, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.md5(F.coalesce(F.col("__kept_txt"), F.lit(""))).alias("kept_fp"),
+    )

@@ -161,3 +161,77 @@ def asof_join(
     return left.join(
         filled.withColumnRenamed("__id", id_col), id_col, "inner"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    equi_keys: Sequence[str] = (),
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Inner interval x interval overlap join: every (left, right) row
+    pair whose CLOSED intervals intersect — ``l_start <= r_end AND
+    r_start <= l_end`` (and equal `equi_keys`, if given). The third
+    temporal-join shape next to point-in-interval and as-of; absent
+    from the reference (SURVEY.md §2.5) and from Spark's builtin join
+    menu, which compiles the raw inequality predicate to a
+    nested-loop cartesian.
+
+    Scale layout (same discretization as `point_in_interval_join`):
+    both sides explode over the fixed time buckets they cover, the
+    join becomes an EQUI join on (equi_keys..., bucket) + the overlap
+    residual, and each qualifying pair is kept exactly once WITHOUT a
+    `distinct` — a pair overlapping across many shared buckets is
+    attributed to the single canonical bucket containing
+    ``greatest(l_start, r_start)`` (the overlap's first instant, which
+    by definition lies inside both intervals, hence inside both
+    explosion ranges). Cost is linear in Σ interval_len/bucket with no
+    post-shuffle dedup state; skewed hot buckets split under AQE.
+
+    NULL contract: a row with a NULL endpoint or NULL equi key never
+    matches (SQL comparison semantics — the residual predicate is part
+    of the join condition, and NULL buckets explode to nothing).
+
+    Output: all left columns, then right columns not in `equi_keys`.
+    Column names must not otherwise collide.
+    """
+    b = F.lit(bucket_seconds)
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),
+                    F.floor(F.unix_timestamp(F.col(end)) / b).cast("long"),
+                )
+            ),
+        )
+
+    l = bucketed(left, l_start, l_end).alias("__l")
+    r = bucketed(right, r_start, r_end).alias("__r")
+    overlap_start = F.greatest(
+        F.col(f"__l.{l_start}"), F.col(f"__r.{r_start}")
+    )
+    cond = (
+        (F.col("__l.__b") == F.col("__r.__b"))
+        & (F.col(f"__l.{l_start}") <= F.col(f"__r.{r_end}"))
+        & (F.col(f"__r.{r_start}") <= F.col(f"__l.{l_end}"))
+        # canonical-bucket guard: emit the pair only from the bucket
+        # holding the first overlapping instant
+        & (
+            F.col("__l.__b")
+            == F.floor(F.unix_timestamp(overlap_start) / b).cast("long")
+        )
+    )
+    for k in equi_keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    r_cols = [c for c in right.columns if c not in equi_keys]
+    return l.join(r, cond, "inner").select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        *[F.col(f"__r.{c}") for c in r_cols],
+    )

@@ -943,3 +943,117 @@ def orders_window_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("price"), 2).alias("max_price"),
         F.round(F.min("second_lowest"), 2).alias("second_lowest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (extension — the third temporal-join shape
+# next to point-in-interval and as-of, all absent from the reference,
+# SURVEY.md §2.5): which user sessions were live during each incident
+# window? Sessions are the 30-min-gap intervals of
+# events_batch_sessionization; incidents are ±30-min windows around
+# the top-20 events by value. The Spark side runs the bucketed
+# explode + canonical-bucket layout of
+# operators/range_join.py:interval_overlap_join (each qualifying pair
+# emitted exactly once, no distinct); the oracle runs the plain
+# inequality join. One dimension is top-k-bounded on purpose — the
+# OUTPUT of an unrestricted session x session overlap join is
+# inherently quadratic in concurrency, which no engine layout fixes.
+#
+# Contract: rows with NULL user_id/ts never form sessions; incident
+# candidates need a finite, non-NULL value (FIXTURES.md §J/§K).
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY 1, 2),
+inc AS (
+  SELECT event_id AS inc_id,
+         ts - INTERVAL 30 MINUTE AS w_start,
+         ts + INTERVAL 30 MINUTE AS w_end
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+  ORDER BY value DESC, event_id LIMIT 20)
+SELECT i.inc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT se.user_id) AS BIGINT) AS n_users
+FROM inc i JOIN sess se
+  ON se.s_start <= i.w_end AND i.w_start <= se.s_end
+GROUP BY i.inc_id
+"""
+
+
+@register("events_incident_session_overlap", _OVERLAP_ORACLE)
+def events_incident_session_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clean = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = clean.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    v = F.col("value")
+    inc = (
+        ev.filter(
+            F.col("ts").isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+            & (v != float("inf"))
+            & (v != float("-inf"))
+        )
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            F.col("event_id").alias("inc_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        sess,
+        inc,
+        l_start="s_start",
+        l_end="s_end",
+        r_start="w_start",
+        r_end="w_end",
+        bucket_seconds=3_600,
+    )
+    return joined.groupBy("inc_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1211,3 +1211,59 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.duplicate_span_removal(
         docs, "doc_id", "text", k=_SPAN_K, min_docs=2, max_posting=_SPAN_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph/block-level keep-first dedup (CCNet, Wenzek et al. 2020 /
+# C4, Raffel et al. 2020): the corpus-wide FIRST occurrence of each
+# distinct 20-word block survives; later copies are dropped and each
+# doc's surviving text is re-stitched. Distinct from dedup_span_removal
+# (which removes EVERY copy of a duplicated k-gram): this is the
+# keep-one granularity production pipelines run between whole-doc
+# exact dedup and span-level scrubbing. Oracle verifies the md5 of
+# each doc's surviving text — the action, not a pair report.
+# ---------------------------------------------------------------------------
+
+_BLOCK_W = 20
+
+_PARA_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+w AS (SELECT doc_id, string_split(nm, ' ') AS ws FROM n),
+bl AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(CEIL(len(ws) / {_BLOCK_W}.0) AS BIGINT) + 1),
+           i -> array_to_string(
+                  ws[(i - 1) * {_BLOCK_W} + 1 :
+                     least((i - 1) * {_BLOCK_W} + {_BLOCK_W}, len(ws))],
+                  ' ')) AS blocks
+  FROM w),
+flat AS (
+  SELECT doc_id, generate_subscripts(blocks, 1) - 1 AS idx,
+         UNNEST(blocks) AS block
+  FROM bl),
+x AS (
+  SELECT doc_id, idx, block,
+         ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+  FROM flat),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(block, ' ' ORDER BY idx) AS kept_txt
+  FROM x WHERE rn = 1 GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks FROM flat GROUP BY doc_id)
+SELECT t.doc_id, t.n_blocks,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       md5(COALESCE(a.kept_txt, '')) AS kept_fp
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("docs_paragraph_dedup", _PARA_ORACLE)
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.block_dedup_keep_first(
+        docs, "doc_id", "text", block_words=_BLOCK_W
+    )

@@ -53,6 +53,8 @@ _DRAIN_WITH_COUNT = {
     # r4c: per-document cleaning report / fact-sized applied table
     "dedup_span_removal",
     "orders_cdc_log_apply",
+    # r5: per-document survivor report is corpus-sized
+    "docs_paragraph_dedup",
 }
 
 HEADLINE = [
@@ -153,6 +155,13 @@ def main() -> None:
         # r4c additions
         "orders_cdc_log_apply",
         "dedup_span_removal",
+        # r5 additions
+        "events_ddsketch_quantiles",
+        "events_dpp_weekend_scan",
+        "similarity_ivf_recall",
+        "docs_weighted_reservoir",
+        "docs_paragraph_dedup",
+        "events_incident_session_overlap",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

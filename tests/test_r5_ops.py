@@ -1,0 +1,166 @@
+"""r5 additions: interval-overlap join and paragraph/block keep-first
+dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from airline_dataset_hadoop_public_spark.operators.dedup import (
+    block_dedup_keep_first,
+)
+from airline_dataset_hadoop_public_spark.operators.range_join import (
+    interval_overlap_join,
+)
+
+
+def _t(h, m=0, s=0):
+    return dt.datetime(2024, 3, 1, h, m, s)
+
+
+@pytest.fixture()
+def intervals(spark):
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, ls=_t(1), le=_t(3)),
+            Row(lid=2, ls=_t(4), le=_t(5)),
+            # spans many buckets: pair with any right interval must
+            # still be emitted exactly once
+            Row(lid=3, ls=_t(0), le=_t(23)),
+            Row(lid=4, ls=None, le=_t(9)),  # NULL endpoint: never matches
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, rs=_t(2), re=_t(2, 30)),   # overlaps 1 and 3
+            Row(rid=11, rs=_t(3), re=_t(4)),       # touches 1 and 2 and 3
+            Row(rid=12, rs=_t(6), re=_t(7)),       # overlaps 3 only
+            Row(rid=13, rs=_t(22), re=None),       # NULL endpoint
+        ],
+        "rid int, rs timestamp, re timestamp",
+    )
+    return left, right
+
+
+def _naive(left, right):
+    """Ground truth: plain theta join on the overlap predicate."""
+    return {
+        (l["lid"], r["rid"])
+        for l in left.collect()
+        for r in right.collect()
+        if None not in (l["ls"], l["le"], r["rs"], r["re"])
+        and l["ls"] <= r["re"]
+        and r["rs"] <= l["le"]
+    }
+
+
+@pytest.mark.parametrize("bucket", [900, 3600, 86_400])
+def test_interval_overlap_matches_naive_any_bucket(spark, intervals, bucket):
+    """The bucketed layout is an OPTIMIZATION: results must equal the
+    naive theta join at every bucket size, each pair exactly once."""
+    left, right = intervals
+    got = [
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=bucket
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == _naive(left, right)
+
+
+def test_interval_overlap_closed_endpoints(spark):
+    """Touching intervals (l_end == r_start) DO overlap: the contract
+    is closed-interval on both sides."""
+    l = spark.createDataFrame(
+        [Row(lid=1, ls=_t(1), le=_t(2))], "lid int, ls timestamp, le timestamp"
+    )
+    r = spark.createDataFrame(
+        [Row(rid=2, rs=_t(2), re=_t(3))], "rid int, rs timestamp, re timestamp"
+    )
+    assert (
+        interval_overlap_join(l, r, "ls", "le", "rs", "re").count() == 1
+    )
+
+
+def test_interval_overlap_equi_keys(spark):
+    l = spark.createDataFrame(
+        [Row(k="a", lid=1, ls=_t(1), le=_t(9)),
+         Row(k="b", lid=2, ls=_t(1), le=_t(9))],
+        "k string, lid int, ls timestamp, le timestamp",
+    )
+    r = spark.createDataFrame(
+        [Row(k="a", rid=7, rs=_t(2), re=_t(3))],
+        "k string, rid int, rs timestamp, re timestamp",
+    )
+    rows = interval_overlap_join(
+        l, r, "ls", "le", "rs", "re", equi_keys=["k"]
+    ).collect()
+    assert [(x["lid"], x["rid"]) for x in rows] == [(1, 7)]
+
+
+# ---------------------------------------------------------------------------
+# block/paragraph keep-first dedup
+# ---------------------------------------------------------------------------
+
+
+def test_block_dedup_keep_first_semantics(spark):
+    """Block 'a b c' first occurs in doc 1 at block 0; its copies in
+    doc 1 (later block) and doc 2 drop. Unique blocks all survive."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c x y z a b c"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="q r s"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_keep_first(
+            docs, "doc_id", "text", block_words=3
+        ).collect()
+    }
+    # doc 1: blocks [a b c][x y z][a b c] -> third drops
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (3, 2)
+    # doc 2 is entirely a copy -> empty survivor, md5('')
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["kept_fp"] == "d41d8cd98f00b204e9800998ecf8427e"
+    assert (out[3]["n_blocks"], out[3]["n_kept"]) == (1, 1)
+    # surviving text of doc 1 is the first two blocks re-joined
+    expected = spark.createDataFrame(
+        [Row(t="a b c x y z")]
+    ).select(F.md5("t")).first()[0]
+    assert out[1]["kept_fp"] == expected
+
+
+def test_block_dedup_null_rows_excluded(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=None, text="a b"),
+         Row(doc_id=2, text=None)],
+        "doc_id bigint, text string",
+    )
+    out = block_dedup_keep_first(docs, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_kept"] == 1
+
+
+def test_block_dedup_partial_tail_block(spark):
+    """len not divisible by block_words: the short tail is its own
+    block and dedups like any other."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="d e")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_keep_first(
+            docs, "doc_id", "text", block_words=3
+        ).collect()
+    }
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (1, 0)
