@@ -1057,3 +1057,75 @@ def events_incident_session_overlap(
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (extension — the ICDE'01 SKYLINE OF
+# operator, absent from the reference and from Spark's builtin menu):
+# parts no other part beats on BOTH popularity (total quantity sold,
+# maximize) and entry price (cheapest sale, minimize). The Spark side
+# runs the two-phase distributed skyline of operators/skyline.py
+# (partition-local SFS filter -> bounded global refine, never
+# quadratic in the input); the oracle states the definition directly
+# as a NOT EXISTS anti-join — quadratic, but only over the ~2k-row
+# aggregate.
+#
+# Determinism: both dimensions are order-independent aggregates —
+# SUM(l_quantity) over integral-valued doubles is exact in float64
+# (every partial < 2^53), MIN is order-free — so skyline membership
+# is decided on bit-identical values in both engines; best_price is
+# rounded for DISPLAY only, after the dominance test.
+# Contract: rows with NULL part keys or non-finite measures are
+# excluded on both sides (FIXTURES.md §J/§K).
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH a AS (
+  SELECT l_partkey,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty_sold,
+         MIN(l_extendedprice) AS best_price
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL
+    AND l_quantity IS NOT NULL AND isfinite(l_quantity)
+    AND l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+  GROUP BY l_partkey)
+SELECT t.l_partkey, t.qty_sold, ROUND(t.best_price, 4) AS best_price
+FROM a t
+WHERE NOT EXISTS (
+  SELECT 1 FROM a o
+  WHERE o.qty_sold >= t.qty_sold AND o.best_price <= t.best_price
+    AND (o.qty_sold > t.qty_sold OR o.best_price < t.best_price))
+"""
+
+
+@register("parts_value_skyline", _SKYLINE_ORACLE)
+def parts_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def finite(c):
+        col = F.col(c)
+        return (
+            col.isNotNull()
+            & ~F.isnan(col)
+            & (col != float("inf"))
+            & (col != float("-inf"))
+        )
+
+    agg = (
+        li.filter(
+            F.col("l_partkey").isNotNull()
+            & finite("l_quantity")
+            & finite("l_extendedprice")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("qty_sold"),
+            F.min("l_extendedprice").alias("best_price"),
+        )
+    )
+    sky = skyline(agg, maximize=["qty_sold"], minimize=["best_price"])
+    return sky.select(
+        "l_partkey", "qty_sold", F.round("best_price", 4).alias("best_price")
+    )

@@ -389,3 +389,144 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("ca", "cb"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954) over each event type's
+# hourly-count series: the standard drift detector a data pipeline
+# runs on its own ingest volumes. The one-sided positive CUSUM
+# S_t = max(0, S_{t-1} + z_t - slack) looks recursive, but has the
+# classic prefix reflection identity S_t = P_t - min(0..t) P_j with
+# P_t the running sum of (z_t - slack) — so the whole detector is two
+# stacked window functions (running sum, then running min), one
+# exchange partitioned by key, no fold, no UDF, no recursion.
+#
+# Determinism: hourly counts are integers, so n / Σc / Σc² are exact
+# and the z-score arithmetic runs the same IEEE ops on identical
+# operands in identical order in both engines; the running-sum /
+# running-min windows walk the same hour order. Zero-variance keys
+# are excluded via the integer-exact test n·Σc² > (Σc)² — no float
+# epsilon. Contract: NULL keys/timestamps excluded (FIXTURES.md §J).
+# ---------------------------------------------------------------------------
+
+_CUSUM_SLACK = 0.25
+_CUSUM_H = 3.0
+
+_CUSUM_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+         COUNT(*)::BIGINT AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS h),
+ks AS (SELECT DISTINCT k FROM b),
+series AS (
+  SELECT ks.k, epoch(g.h)::BIGINT AS e, COALESCE(b.c, 0)::BIGINT AS c
+  FROM ks CROSS JOIN grid g
+  LEFT JOIN b ON b.k = ks.k AND b.h = g.h),
+stats AS (
+  SELECT k, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
+         SUM(c * c)::BIGINT AS ss
+  FROM series GROUP BY k),
+z AS (
+  SELECT series.k, e,
+         (c - s / CAST(n AS DOUBLE))
+           / sqrt((ss - s * (s / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))
+           AS zs
+  FROM series JOIN stats USING (k)
+  WHERE ss * n > s * s),
+p AS (
+  SELECT k, e,
+         SUM(zs - {_CUSUM_SLACK!r}) OVER
+           (PARTITION BY k ORDER BY e ROWS UNBOUNDED PRECEDING) AS pt
+  FROM z),
+sline AS (
+  SELECT k, e,
+         pt - LEAST(0, MIN(pt) OVER
+           (PARTITION BY k ORDER BY e ROWS UNBOUNDED PRECEDING)) AS st
+  FROM p)
+SELECT k AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN st > {_CUSUM_H!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       ROUND(MAX(st), 4) AS max_cusum,
+       MIN(CASE WHEN st > {_CUSUM_H!r} THEN e END) AS first_alarm_e
+FROM sline GROUP BY k
+"""
+
+
+@register("events_cusum_changepoints", _CUSUM_ORACLE)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..runtime import cache_tracked
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = cache_tracked(
+        ev.groupBy(
+            F.col("event_type").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    ks = counts.select("k").distinct()
+    series = (
+        ks.crossJoin(F.broadcast(grid))
+        .join(counts, ["k", "h"], "left")
+        .select(
+            "k",
+            F.unix_timestamp("h").alias("e"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    stats = series.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        series.join(F.broadcast(stats), "k")
+        .filter(F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+        .select(
+            "k",
+            "e",
+            (
+                (F.col("c") - F.col("s") / nd)
+                / F.sqrt(
+                    (F.col("ss") - F.col("s") * (F.col("s") / nd)) / nd
+                )
+            ).alias("zs"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.select(
+        "k", "e", F.sum(F.col("zs") - F.lit(_CUSUM_SLACK)).over(w).alias("pt")
+    )
+    sline = p.select(
+        "k",
+        "e",
+        (
+            F.col("pt")
+            - F.least(F.lit(0.0), F.min("pt").over(w))
+        ).alias("st"),
+    )
+    alarm = F.col("st") > _CUSUM_H
+    return sline.groupBy(F.col("k").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+        F.round(F.max("st"), 4).alias("max_cusum"),
+        F.min(F.when(alarm, F.col("e"))).alias("first_alarm_e"),
+    )

@@ -162,6 +162,8 @@ def main() -> None:
         "docs_weighted_reservoir",
         "docs_paragraph_dedup",
         "events_incident_session_overlap",
+        "parts_value_skyline",
+        "events_cusum_changepoints",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -164,3 +164,95 @@ def test_block_dedup_partial_tail_block(spark):
     }
     assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
     assert (out[2]["n_blocks"], out[2]["n_kept"]) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+def _sky_naive(rows, maxd, mind):
+    out = []
+    for a in rows:
+        dominated = False
+        for b in rows:
+            if b is a:
+                continue
+            ge = all(b[c] >= a[c] for c in maxd) and all(
+                b[c] <= a[c] for c in mind
+            )
+            gt = any(b[c] > a[c] for c in maxd) or any(
+                b[c] < a[c] for c in mind
+            )
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            out.append(a["id"])
+    return sorted(out)
+
+
+def test_skyline_matches_naive(spark):
+    from airline_dataset_hadoop_public_spark.operators.skyline import skyline
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        {"id": i, "x": rng.randint(0, 20), "y": rng.randint(0, 20)}
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [Row(**r) for r in rows], "id int, x int, y int"
+    ).repartition(8)
+    got = sorted(
+        r["id"]
+        for r in skyline(df, maximize=["x"], minimize=["y"]).collect()
+    )
+    assert got == _sky_naive(rows, ["x"], ["y"])
+
+
+def test_skyline_keeps_duplicate_points(spark):
+    """Equal points dominate neither; both stay (ICDE'01 definition)."""
+    from airline_dataset_hadoop_public_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [Row(id=1, x=5, y=5), Row(id=2, x=5, y=5), Row(id=3, x=4, y=5)],
+        "id int, x int, y int",
+    )
+    got = sorted(r["id"] for r in skyline(df, maximize=["x", "y"]).collect())
+    assert got == [1, 2]
+
+
+def test_skyline_null_nan_rows_excluded(spark):
+    from airline_dataset_hadoop_public_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, x=1.0, y=1.0),
+            Row(id=2, x=None, y=9.0),
+            Row(id=3, x=float("nan"), y=9.0),
+        ],
+        "id int, x double, y double",
+    )
+    got = [r["id"] for r in skyline(df, maximize=["x", "y"]).collect()]
+    assert got == [1]
+
+
+def test_cusum_prefix_identity():
+    """The window formulation S_t = P_t - min(0..t) P_j must equal the
+    recursive definition S_t = max(0, S_(t-1) + d_t)."""
+    import random
+
+    rng = random.Random(3)
+    d = [rng.uniform(-2, 2) for _ in range(500)]
+    s_rec, out_rec = 0.0, []
+    for x in d:
+        s_rec = max(0.0, s_rec + x)
+        out_rec.append(s_rec)
+    p, pmin, out_win = 0.0, 0.0, []
+    for x in d:
+        p += x
+        pmin = min(pmin, p)
+        out_win.append(p - min(0.0, pmin))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out_rec, out_win))
