@@ -256,3 +256,95 @@ def test_cusum_prefix_identity():
         pmin = min(pmin, p)
         out_win.append(p - min(0.0, pmin))
     assert all(abs(a - b) < 1e-9 for a, b in zip(out_rec, out_win))
+
+
+# ---------------------------------------------------------------------------
+# watermark late-data drops (pytest-pinned, deliberately NOT a
+# registered oracle query: Spark filters late rows against a watermark
+# that LAGS the eviction watermark by one micro-batch — SPARK-40925
+# split watermarkForLateEvents from watermarkForEviction — so the
+# admitted-row set depends on batch boundaries in a way no engine-
+# independent SQL oracle should pin. What IS contractual: the drop
+# counter fires, append-mode output is a subset of the batch result,
+# and the final open window is withheld.)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_rows_and_append_is_sound(spark, tmp_path):
+    import glob
+    import os
+    import uuid
+
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    data = str(tmp_path / "replay")
+    os.makedirs(data)
+    # three replay files: the post-day-1 bulk first, then the day-1
+    # stragglers in two batches — the second straggler batch arrives
+    # after the late-event watermark has caught up, so drops fire
+    parts = [
+        ev.filter(F.to_date("ts") > F.lit(d0)),
+        ev.filter((F.to_date("ts") <= F.lit(d0)) & (F.hour("ts") < 12)),
+        ev.filter((F.to_date("ts") <= F.lit(d0)) & (F.hour("ts") >= 12)),
+    ]
+    for i, p in enumerate(parts):
+        tmp = str(tmp_path / f"t{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(tmp + "/part-*.parquet")
+        dst = os.path.join(data, f"b{i}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"late_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for s in (p.get("stateOperators") or [])
+    )
+    assert dropped > 0, "no late rows were dropped by the watermark"
+
+    emitted = {
+        ((r["w"]["start"], r["event_type"])): r["n"]
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # soundness: append never emits a window the batch plan doesn't
+    # have, and never with MORE rows than actually exist
+    assert set(emitted) <= set(batch)
+    assert all(emitted[k] <= batch[k] for k in emitted)
+    # the final open window (containing the max on-time event) is
+    # withheld: its end is above the final watermark
+    last_start = max(s for s, _ in batch)
+    assert all(s < last_start for s, _ in emitted)
+    spark.catalog.dropTempView(name)
