@@ -372,3 +372,45 @@ def test_bfs_hops_result_is_checkpoint_backed(spark, qs):
     plan = _plan(qs["parts_copurchase_bfs_hops"](spark, SF))
     assert plan.count("FileScan") == 0  # lineage truncated at checkpoints
     assert plan.count("Exchange") == 1
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark, qs):
+    """The bucketed layout must compile to a hash-partitioned EQUI
+    join — the raw overlap predicate alone would be a
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(qs["events_incident_session_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_skyline_two_arrow_phases_no_extra_exchange(spark, qs):
+    """Two mapInPandas phases (local SFS, global refine); the only
+    exchanges are the pre-aggregate shuffle and the single-task
+    coalesce for the refine — never a corpus-wide sort or join."""
+    plan = _plan(qs["parts_value_skyline"](spark, SF))
+    assert plan.count("MapInPandas") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Coalesce 1" in plan or "SinglePartition" in plan
+
+
+def test_paragraph_dedup_shuffles_map_side_combinable(spark, qs):
+    """The keep-first aggregate must partial-aggregate before its
+    exchange (min(struct) is map-side combinable) and never window
+    over the corpus."""
+    plan = _plan(qs["docs_paragraph_dedup"](spark, SF))
+    assert "Window" not in plan
+    # partial min before the block-key exchange
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_series_exchange_no_udf(spark, qs):
+    """The detector is window composition over the tiny series frame:
+    no Python anywhere, stats broadcast back onto the series."""
+    plan = _plan(qs["events_cusum_changepoints"](spark, SF))
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
