@@ -66,6 +66,14 @@ AUDIT = {
     "parts_copurchase_kcore": "degree agg + two BroadcastHashJoin semi-joins per round over the checkpointed survivor frame",
     "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
     "dedup_span_removal": "ArrowEvalPython k-gram hash kernel; ONE corpus-wide hash-keyed shuffle (duplicated-gram count); island-merge + stitch are doc-key windows; no CartesianProduct",
+    # r5 additions
+    "events_dpp_weekend_scan": "dynamicpruningexpression + static dayofweek predicate BOTH in the fact scan's PartitionFilters; calendar dim broadcast",
+    "events_ddsketch_quantiles": "ONE map-side-combinable (key, log-bucket) Exchange; rank frame broadcast onto the cumulative walk; no Python",
+    "similarity_ivf_recall": "both rankings reuse the pinned brute/IVF pipelines; left-semi hit join; per-probe counts partial-agg before Exchange",
+    "events_incident_session_overlap": "bucketed explode both sides -> hash EQUI join on __b (no CartesianProduct/BNLJ); canonical-bucket guard in the join condition; incident side auto-broadcast",
+    "docs_paragraph_dedup": "posexplode blocks; partial min(struct) below the block-key Exchange; join back on the same key; no Window over the corpus",
+    "parts_value_skyline": "exactly two MapInPandas phases (local SFS, bounded refine via Coalesce 1); dominance inputs are order-independent aggregates",
+    "events_cusum_changepoints": "tiny series frame: stats BroadcastHashJoin; running-sum + running-min windows share one k-partitioned Exchange; zero Python",
 }
 
 
