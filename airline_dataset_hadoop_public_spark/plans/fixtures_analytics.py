@@ -1129,3 +1129,72 @@ def parts_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.select(
         "l_partkey", "qty_sold", F.round("best_price", 4).alias("best_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchical report (the classic BI share
+# decomposition): revenue per (region, nation) with each nation's
+# share of its region and each region-level share of the world —
+# windows stacked over the 25-row aggregate, never over facts.
+# Revenue is aggregated in integer CENTS (o_totalprice carries 2
+# decimals, so ROUND(x*100) is exact) — integer sums are
+# order-independent, making every share a deterministic ratio of
+# exact integers; the only rounding is the display ROUND(6).
+# Contract: NULL keys drop via the inner joins (SQL equi-join
+# semantics on both sides).
+# ---------------------------------------------------------------------------
+
+_PCT_PARENT_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, revenue_cents,
+       ROUND(revenue_cents / CAST(SUM(revenue_cents) OVER
+         (PARTITION BY region) AS DOUBLE), 6) AS pct_of_region,
+       ROUND(revenue_cents / CAST(SUM(revenue_cents) OVER () AS DOUBLE), 6)
+         AS pct_of_total
+FROM rev
+"""
+
+
+@register("orders_pct_of_parent_rollup", _PCT_PARENT_ORACLE)
+def orders_pct_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("revenue_cents")
+        )
+    )
+    by_region = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents")
+            / F.sum("revenue_cents").over(by_region).cast("double"),
+            6,
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("revenue_cents")
+            / F.sum("revenue_cents")
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("pct_of_total"),
+    )

@@ -530,3 +530,63 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("st"), 4).alias("max_cusum"),
         F.min(F.when(alarm, F.col("e"))).alias("first_alarm_e"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user: the piecewise-constant
+# integral  Σ value_i · (ts_{i+1} − ts_i) / Σ (ts_{i+1} − ts_i)  over
+# each user's event sequence — the correct average for irregularly
+# sampled state (a plain AVG over-weights bursts; this is the
+# financial/metrics TWAP). One lead() window per user, one aggregate;
+# the interval weights are exact integer microseconds, so the only
+# float noise is the value·dt summation order (ROUND(4) per the
+# fixture float contract). The last event of a user has no successor
+# and carries no weight — stated, and mirrored by the oracle's
+# LEAD exclusion. Contract: NULL user/ts excluded; non-finite values
+# excluded before the window so they neither contribute nor shift
+# any interval (FIXTURES.md §J/§K).
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, value
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value)),
+seg AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt_us
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap
+FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@register("events_time_weighted_avg", _TWAP_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import finite_measure
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & finite_measure("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt_us").alias("span_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+        ).alias("twap"),
+    )

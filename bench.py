@@ -164,6 +164,8 @@ def main() -> None:
         "events_incident_session_overlap",
         "parts_value_skyline",
         "events_cusum_changepoints",
+        "events_time_weighted_avg",
+        "orders_pct_of_parent_rollup",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
