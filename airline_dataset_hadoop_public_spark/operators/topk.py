@@ -115,3 +115,43 @@ def rank_table_distributed(
         .withColumn(rank, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    k: int,
+    out: str = "ntile",
+) -> DataFrame:
+    """Exact NTILE(k) over a global order WITHOUT a single-partition
+    window (Spark's `ntile().over(Window.orderBy(...))` coalesces the
+    whole frame into one task — fine for a manifest, fatal for a
+    billion-row customer table).
+
+    Layout: `rank_table_distributed` supplies the global 1..N rank
+    (range-partitioned sort + broadcast offsets), then the SQL NTILE
+    bucket is a closed form of (rank, N): with q = N // k and
+    r = N % k, the first r buckets hold q+1 rows —
+    bucket = ceil(rank/(q+1)) while rank <= r*(q+1), else
+    r + ceil((rank - r*(q+1))/q). Integer arithmetic end to end, so
+    assignment is bit-identical to any engine's NTILE given the same
+    total order (`order` must be total — include a key tie-break).
+    """
+    ranked = rank_table_distributed(df, order, rank="__rk")
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    q = (F.col("__n") / k).cast("long")
+    r = F.col("__n") % k
+    big = r * (q + 1)  # rows living in the size-(q+1) buckets
+    rk = F.col("__rk")
+
+    def ceil_div(a, b):
+        return ((a + b - F.lit(1)) / b).cast("long")
+
+    bucket = F.when(rk <= big, ceil_div(rk, q + 1)).otherwise(
+        r + ceil_div(rk - big, q)
+    )
+    return (
+        ranked.join(F.broadcast(n), how="cross")
+        .withColumn(out, bucket)
+        .drop("__rk", "__n")
+    )

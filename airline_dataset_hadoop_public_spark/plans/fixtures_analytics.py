@@ -1198,3 +1198,127 @@ def orders_pct_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (Hughes 1994 — the classic lifecycle
+# scoring every CRM/retention pipeline runs): per customer, recency =
+# days since last order (against the corpus max date as "today"),
+# frequency = order count, monetary = lifetime revenue in exact
+# integer cents; each dimension scored 1-5 by NTILE quintile, then a
+# coarse segment label from the score triple. Determinism: all three
+# measures are exact integers and every NTILE orders by (measure,
+# custkey) with the tie-break pinned, so bucket assignment is
+# bit-identical cross-engine; recency quintiles order ASCENDING
+# (recent = best = 5 after the 6-x flip), frequency/monetary
+# DESCENDING via the same flip. The Spark side scores with
+# `topk.ntile_distributed` (range-partitioned rank + closed-form
+# bucket mapping) — Spark's own ntile() over a global window would
+# coalesce the billion-customer frame into ONE task; the oracle uses
+# plain NTILE, and the closed form makes them provably identical.
+# Contract: NULL custkey/orderdate rows are excluded on both sides
+# (FIXTURES.md §J).
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders
+                    WHERE o_orderdate IS NOT NULL)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY 1),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         6 - NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+  FROM base)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE
+         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM scored
+"""
+
+
+@register("orders_rfm_segmentation", _RFM_ORACLE)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    today = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(today))
+        .select(
+            "custkey",
+            F.datediff("today", "last_order").cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    from ..operators.topk import ntile_distributed
+
+    scored = ntile_distributed(
+        base, ["recency_days", "custkey"], 5, out="__t_r"
+    )
+    scored = ntile_distributed(
+        scored, ["frequency", "custkey"], 5, out="__t_f"
+    )
+    scored = ntile_distributed(
+        scored, ["monetary_cents", "custkey"], 5, out="__t_m"
+    )
+    scored = scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.col("__t_r")).cast("bigint").alias("r_score"),
+        F.col("__t_f").cast("bigint").alias("f_score"),
+        F.col("__t_m").cast("bigint").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

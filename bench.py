@@ -166,6 +166,7 @@ def main() -> None:
         "events_cusum_changepoints",
         "events_time_weighted_avg",
         "orders_pct_of_parent_rollup",
+        "orders_rfm_segmentation",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -348,3 +348,34 @@ def test_watermark_drops_late_rows_and_append_is_sound(spark, tmp_path):
     last_start = max(s for s, _ in batch)
     assert all(s < last_start for s, _ in emitted)
     spark.catalog.dropTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# distributed NTILE
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (7, 5), (23, 5),
+                                 (100, 7), (101, 7)])
+def test_ntile_distributed_equals_window_ntile(spark, n, k):
+    """The closed-form bucket mapping must equal Spark's own NTILE for
+    every n % k residue class (bucket sizes differ by one, larger
+    buckets first)."""
+    from pyspark.sql import Window
+
+    from airline_dataset_hadoop_public_spark.operators.topk import (
+        ntile_distributed,
+    )
+
+    df = spark.range(n).select(F.col("id")).repartition(4)
+    got = {
+        r["id"]: r["b"]
+        for r in ntile_distributed(df, ["id"], k, out="b").collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("id")).alias("b")
+        ).collect()
+    }
+    assert got == want
