@@ -434,3 +434,142 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("ov") != 0) / F.count(F.lit(1)).cast("double"), 4
         ).alias("retained_user_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency (the product-analytics complement of
+# events_funnel_conversion, which counts WHO converts — this measures
+# HOW FAST): for every purchase, time since the user's most recent
+# preceding click, summarized as interpolated p50/p90. The Spark side
+# reuses the single-shuffle as-of join (operators/range_join.asof_join,
+# union + carry-forward window); the oracle uses DuckDB's native ASOF
+# JOIN. Latencies are exact integer microseconds, and both engines
+# share the linear-interpolation percentile definition (the
+# events_value_percentiles contract). Clicks are deduplicated to
+# (user, ts) on both sides — the as-of payload requires unique right
+# timestamps, and latency depends only on ts. Contract: NULL
+# user/ts excluded; purchases with no preceding click drop (inner
+# as-of semantics, FIXTURES.md §J).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (
+  SELECT DISTINCT user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+j AS (
+  SELECT p.user_id, (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS lat_s
+  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(quantile_cont(lat_s, 0.5), 4) AS p50_sec,
+       ROUND(quantile_cont(lat_s, 0.9), 4) AS p90_sec
+FROM j
+"""
+
+
+@register("events_funnel_step_latency", _FUNNEL_LATENCY_ORACLE)
+def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .distinct()
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        id_col="event_id",
+    )
+    lat = joined.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000.0)
+        ).alias("lat_s"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle (the revenue complement of
+# events_cohort_retention): customers grouped by first-order month,
+# revenue tracked by month-age since that cohort month — the
+# cohort x age triangle every subscription/commerce business reads
+# LTV curves from. Age is exact integer month arithmetic
+# (year*12+month difference, written identically in both engines —
+# months_between's fractional semantics never enter), revenue is
+# exact integer cents, so the whole triangle is deterministic.
+# One aggregate for first-order months (map-side combinable), one
+# join back (Catalyst broadcasts the cohort dim when it fits), one
+# (cohort, age) aggregate. Contract: NULL custkey/orderdate rows
+# excluded on both sides (FIXTURES.md §J).
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+fc AS (
+  SELECT ck, MIN(DATE_TRUNC('month', d)) AS cm FROM o GROUP BY ck)
+SELECT STRFTIME(fc.cm, '%Y-%m') AS cohort_month,
+       CAST((YEAR(DATE_TRUNC('month', o.d)) - YEAR(fc.cm)) * 12
+            + (MONTH(DATE_TRUNC('month', o.d)) - MONTH(fc.cm)) AS BIGINT)
+         AS age_months,
+       CAST(COUNT(DISTINCT o.ck) AS BIGINT) AS active_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN fc ON fc.ck = o.ck
+GROUP BY 1, 2
+"""
+
+
+@register("orders_cohort_ltv_triangle", _LTV_ORACLE)
+def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    fc = o.groupBy("ck").agg(F.min(F.trunc("d", "month")).alias("cm"))
+    om = o.withColumn("m", F.trunc("d", "month"))
+    j = om.join(fc, "ck")
+    age = (
+        (F.year("m") - F.year("cm")) * 12 + (F.month("m") - F.month("cm"))
+    ).cast("bigint")
+    return j.groupBy(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        age.alias("age_months"),
+    ).agg(
+        F.countDistinct("ck").alias("active_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -167,6 +167,8 @@ def main() -> None:
         "events_time_weighted_avg",
         "orders_pct_of_parent_rollup",
         "orders_rfm_segmentation",
+        "events_funnel_step_latency",
+        "orders_cohort_ltv_triangle",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
