@@ -55,6 +55,9 @@ _DRAIN_WITH_COUNT = {
     "orders_cdc_log_apply",
     # r5: per-document survivor report is corpus-sized
     "docs_paragraph_dedup",
+    # r5: per-customer score table is dimension-sized
+    "orders_rfm_segmentation",
+    "events_time_weighted_avg",
 }
 
 HEADLINE = [

@@ -117,7 +117,11 @@ def test_pagerank_releases_all_storage(spark, qs):
     qs["parts_copurchase_pagerank"](spark, SF).collect()
     release_caches()
     gc.collect()
-    deadline = time.time() + 30
+    # 90s: the async ContextCleaner drains through JVM weak refs, and
+    # under co-tenant CPU load a 30s budget flaked (r5 close: failed
+    # with six adversarial sweeps running on the same host, passed
+    # quiet seconds later) — the assertion is about RELEASE, not speed
+    deadline = time.time() + 90
     while time.time() < deadline:
         if persistent_ids() <= base:
             break
