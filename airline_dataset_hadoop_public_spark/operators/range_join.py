@@ -197,8 +197,16 @@ def interval_overlap_join(
     of the join condition, and NULL buckets explode to nothing).
 
     Output: all left columns, then right columns not in `equi_keys`.
-    Column names must not otherwise collide.
+    Column names must not otherwise collide, and `__b` is reserved
+    for the internal bucket column (enforced — a caller's `__b`
+    would be silently overwritten and replicated per covered bucket).
     """
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        if "__b" in cols:
+            raise ValueError(
+                f"interval_overlap_join: {side} input must not have a "
+                "column named '__b' (reserved for the bucket key)"
+            )
     b = F.lit(bucket_seconds)
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:

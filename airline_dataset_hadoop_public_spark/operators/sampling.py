@@ -26,9 +26,12 @@ portable multiplicative-hash fraction both engines compute exactly in
     v = (id * 2654435761) % 999999937        (Knuth multiplicative
     u = (v + 0.5) / 999999937                 hashing; prime modulus)
 
-id*2654435761 stays under 2^63 for ids < 4e9, so DuckDB's checked
-BIGINT multiply never overflows and the oracle reproduces u
-bit-for-bit. ``-ln(u)/w`` then differs across engines by at most an
+id*2654435761 stays under 2^63 for ids < 3,474,701,543 (~3.47e9 —
+2^63/2654435761, NOT 4e9; above it Spark's non-ANSI multiply wraps
+silently while DuckDB raises, r5 review finding), so within that id
+domain DuckDB's checked BIGINT multiply never overflows and the
+oracle reproduces u bit-for-bit. Callers with larger id domains must
+pre-fold ids (e.g. pmod(id, p)) or pass their own uniform column. ``-ln(u)/w`` then differs across engines by at most an
 ulp (both use a ≤1-ulp libm log); selection flips only if the k-th /
 (k+1)-th ES keys per stratum are within float noise, which the
 fixture test bounds explicitly (min observed relative margin must

@@ -31,6 +31,13 @@ is not comparable and is excluded (FIXTURES.md §J/§K); oracles mirror
 with IS NOT NULL + isfinite guards. Duplicate points (equal on every
 dimension) are ALL kept — neither strictly improves on the other, so
 neither dominates (the ICDE'01 definition).
+
+Precision contract: dominance is evaluated in float64, so integer
+dimensions must stay within the exact-double domain (|x| < 2^53 —
+9e15; far above any count/cents measure). Two integers that collide
+in float64 would be treated as ties (both kept) where an exact
+comparison would drop one; keep dimensions inside the domain or
+pre-scale them.
 """
 
 from __future__ import annotations
@@ -102,5 +109,10 @@ def skyline(
     clean = df.filter(cond)
     kernel = _sfs_kernel(dims, signs)
     local = clean.mapInPandas(kernel, clean.schema)
-    # global refine over the bounded union of local skylines: one task
-    return local.coalesce(1).mapInPandas(kernel, clean.schema)
+    # global refine over the bounded union of local skylines in one
+    # task — via repartition(1), an EXCHANGE, not coalesce(1): a
+    # shuffle-free coalesce is a narrow dependency that would collapse
+    # the "parallel" local phase into the same single task (r5 review
+    # finding), whereas the exchange moves only the small local-skyline
+    # union and keeps phase 1 partition-parallel
+    return local.repartition(1).mapInPandas(kernel, clean.schema)

@@ -145,7 +145,12 @@ def ntile_distributed(
     rk = F.col("__rk")
 
     def ceil_div(a, b):
-        return ((a + b - F.lit(1)) / b).cast("long")
+        # exact for any long: subtract the remainder first so the
+        # double division is of an exactly-divisible pair (a `/` of
+        # non-divisible longs near 2^53 could round across the ceil
+        # boundary — r5 review finding)
+        m = a + b - F.lit(1)
+        return ((m - m % b) / b).cast("long")
 
     bucket = F.when(rk <= big, ceil_div(rk, q + 1)).otherwise(
         r + ceil_div(rk - big, q)

@@ -1027,15 +1027,10 @@ def events_incident_session_overlap(
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
-    v = F.col("value")
+    from ..functions.scalar import finite_measure
+
     inc = (
-        ev.filter(
-            F.col("ts").isNotNull()
-            & v.isNotNull()
-            & ~F.isnan(v)
-            & (v != float("inf"))
-            & (v != float("-inf"))
-        )
+        ev.filter(F.col("ts").isNotNull() & finite_measure("value"))
         .orderBy(F.desc("value"), F.asc("event_id"))
         .limit(20)
         .select(
@@ -1100,24 +1095,15 @@ WHERE NOT EXISTS (
 
 @register("parts_value_skyline", _SKYLINE_ORACLE)
 def parts_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import finite_measure
     from ..operators.skyline import skyline
 
     li = load_table(spark, sf_dir, "lineitem")
-
-    def finite(c):
-        col = F.col(c)
-        return (
-            col.isNotNull()
-            & ~F.isnan(col)
-            & (col != float("inf"))
-            & (col != float("-inf"))
-        )
-
     agg = (
         li.filter(
             F.col("l_partkey").isNotNull()
-            & finite("l_quantity")
-            & finite("l_extendedprice")
+            & finite_measure("l_quantity")
+            & finite_measure("l_extendedprice")
         )
         .groupBy("l_partkey")
         .agg(
@@ -1255,10 +1241,18 @@ FROM scored
 
 @register("orders_rfm_segmentation", _RFM_ORACLE)
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").filter(
+    raw = load_table(spark, sf_dir, "orders")
+    o = raw.filter(
         F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
     )
-    today = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    # "today" deliberately ranges over ALL dated orders (the oracle's
+    # scalar subquery filters only o_orderdate IS NOT NULL): a
+    # NULL-custkey row may own the corpus max date, and anchoring
+    # recency to the custkey-filtered max would shift every quintile
+    # boundary on the NULL-injection mirrors (r5 review finding)
+    today = raw.filter(F.col("o_orderdate").isNotNull()).agg(
+        F.max(F.to_date("o_orderdate")).alias("today")
+    )
     base = (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(

@@ -245,8 +245,11 @@ def main() -> int:
                 if best is None or run["sec"] < best["sec"]:
                     best = run
             results[name][label] = best
-            print(f"{name} @{label}: {secs}s, {n} rows, "
-                  f"w={results[name][label]['shuffle_write_mb']}MB",
+            # print the RECORDED pass (the min), not the last loop
+            # iteration — mixing the two made the console evidence
+            # disagree with the table (r5 review finding)
+            print(f"{name} @{label}: {best['sec']}s, {best['rows']} rows, "
+                  f"w={best['shuffle_write_mb']}MB",
                   flush=True)
 
     lines = [

@@ -387,13 +387,18 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark, qs):
 
 
 def test_skyline_two_arrow_phases_no_extra_exchange(spark, qs):
-    """Two mapInPandas phases (local SFS, global refine); the only
-    exchanges are the pre-aggregate shuffle and the single-task
-    coalesce for the refine — never a corpus-wide sort or join."""
+    """Two mapInPandas phases (local SFS, global refine). The refine
+    must sit behind an EXCHANGE to one partition (repartition(1)) —
+    a shuffle-free coalesce(1) would collapse the parallel local
+    phase into the same single task — and never a corpus-wide sort
+    or join."""
     plan = _plan(qs["parts_value_skyline"](spark, SF))
     assert plan.count("MapInPandas") == 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "Coalesce 1" in plan or "SinglePartition" in plan
+    assert "Coalesce 1" not in plan
+    assert (
+        "RoundRobinPartitioning(1)" in plan or "SinglePartition" in plan
+    )
 
 
 def test_paragraph_dedup_shuffles_map_side_combinable(spark, qs):
