@@ -1316,3 +1316,63 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+# classic fabricated-numbers screen auditors run on monetary
+# columns): observed first-significant-digit distribution of
+# o_totalprice vs the Benford expectation log10(1 + 1/d), with the
+# chi-squared contribution per digit. Digit extraction is exact
+# integer/string arithmetic on both sides; counts are exact, so the
+# only float is the expected/chi2 arithmetic (identical operand
+# order, ROUND(4) display). TPC-H-style synthetic prices are NOT
+# Benford-distributed — the audit's point is the report, and the
+# pinned pytest asserts the chi2 actually flags it. Contract:
+# non-finite / non-positive prices excluded both sides (§K).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              CASE WHEN o_totalprice < 1 THEN 3 ELSE 1 END, 1) AS BIGINT)
+         AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    AND o_totalprice >= 1),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       ROUND(total * log10(1 + 1.0 / digit), 4) AS expected_n,
+       ROUND(POWER(n - total * log10(1 + 1.0 / digit), 2)
+             / (total * log10(1 + 1.0 / digit)), 4) AS chi2_contrib
+FROM c CROSS JOIN t
+"""
+
+
+@register("dq_benford_first_digit", _BENFORD_ORACLE)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import finite_measure
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        finite_measure("o_totalprice") & (F.col("o_totalprice") >= 1)
+    )
+    # first significant digit via the decimal string (exact — no float
+    # log10 of the value itself, whose rounding could flip 999.99...);
+    # prices are >= 1 here so the first char is the digit
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    exp_n = F.col("total") * F.log10(1 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(exp_n, 4).alias("expected_n"),
+        F.round(
+            F.pow(F.col("n") - exp_n, 2) / exp_n, 4
+        ).alias("chi2_contrib"),
+    )

@@ -1267,3 +1267,77 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.block_dedup_keep_first(
         docs, "doc_id", "text", block_words=_BLOCK_W
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection (chi-squared two-sample homogeneity test —
+# the monitoring check every production training-data pipeline runs
+# between snapshots/shards: "did the source mix move?"). The two
+# samples are the deterministic md5-parity halves of the corpus (the
+# same row-local split discipline as docs_train_split, so assignment
+# is reproducible across engines and corpus growth); per source, the
+# observed half-counts vs the homogeneity expectation
+# exp = row_total * half_total / grand, with the chi-squared
+# contribution per cell. All counts exact integers; the expectation
+# arithmetic runs the same operand order both sides (ROUND(4)
+# display). Contract: NULL doc_id/source excluded both sides (§J).
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS half
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+c AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_b
+  FROM d GROUP BY source),
+t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+         CAST(SUM(n_b) AS BIGINT) AS tot_b
+  FROM c)
+SELECT source, n_a, n_b,
+       ROUND((n_a + n_b) * tot_a / CAST(tot_a + tot_b AS DOUBLE), 4)
+         AS exp_a,
+       ROUND(POWER(n_a - (n_a + n_b) * tot_a / CAST(tot_a + tot_b AS DOUBLE), 2)
+               / ((n_a + n_b) * tot_a / CAST(tot_a + tot_b AS DOUBLE))
+             + POWER(n_b - (n_a + n_b) * tot_b / CAST(tot_a + tot_b AS DOUBLE), 2)
+               / ((n_a + n_b) * tot_b / CAST(tot_a + tot_b AS DOUBLE)), 4)
+         AS chi2_contrib
+FROM c CROSS JOIN t
+"""
+
+
+@register("docs_source_drift_chi2", _DRIFT_ORACLE)
+def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    half = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    c = docs.select("source", half.alias("half")).groupBy("source").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    t = c.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    grand = (F.col("tot_a") + F.col("tot_b")).cast("double")
+    row_t = F.col("n_a") + F.col("n_b")
+    exp_a = row_t * F.col("tot_a") / grand
+    exp_b = row_t * F.col("tot_b") / grand
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_a",
+        "n_b",
+        F.round(exp_a, 4).alias("exp_a"),
+        F.round(
+            F.pow(F.col("n_a") - exp_a, 2) / exp_a
+            + F.pow(F.col("n_b") - exp_b, 2) / exp_b,
+            4,
+        ).alias("chi2_contrib"),
+    )

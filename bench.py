@@ -172,6 +172,8 @@ def main() -> None:
         "orders_rfm_segmentation",
         "events_funnel_step_latency",
         "orders_cohort_ltv_triangle",
+        "dq_benford_first_digit",
+        "docs_source_drift_chi2",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
