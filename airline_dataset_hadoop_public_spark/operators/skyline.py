@@ -68,9 +68,18 @@ def _sfs_kernel(cols: Sequence[str], signs: Sequence[float]):
         if not len(pdf):
             return
         # SFS order: descending preference sum — any point's dominators
-        # sort at-or-before it (dominance implies >= on every dim,
-        # hence >= on the sum)
-        order = np.argsort(-x.sum(axis=1), kind="stable")
+        # sort at-or-before it. Float addition is monotone, so a
+        # dominator's ROUNDED sum is >= the dominated point's rounded
+        # sum; equality (not inversion) is the only rounding hazard
+        # (e.g. dims summing past 2^53). Break sum ties by descending
+        # lexicographic order on the dimension vector itself: within an
+        # equal-sum group a dominator is >= on every dim with one
+        # strict, so it still sorts strictly before the point it
+        # dominates. lexsort's LAST key is primary.
+        order = np.lexsort(
+            tuple(-x[:, k] for k in reversed(range(x.shape[1])))
+            + (-x.sum(axis=1),)
+        )
         x = x[order]
         keep_rows: list[int] = []
         buf = np.empty((0, x.shape[1]))

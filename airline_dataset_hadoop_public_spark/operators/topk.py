@@ -139,7 +139,10 @@ def ntile_distributed(
     """
     ranked = rank_table_distributed(df, order, rank="__rk")
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    q = (F.col("__n") / k).cast("long")
+    # integer `div`, NOT `/`: double division of longs near 2^53 can
+    # round across the floor boundary (same hazard ceil_div below
+    # works around), and a misrounded q shifts every bucket boundary
+    q = F.expr(f"__n div {int(k)}")
     r = F.col("__n") % k
     big = r * (q + 1)  # rows living in the size-(q+1) buckets
     rk = F.col("__rk")

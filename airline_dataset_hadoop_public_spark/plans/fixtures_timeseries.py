@@ -406,7 +406,20 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operands in identical order in both engines; the running-sum /
 # running-min windows walk the same hour order. Zero-variance keys
 # are excluded via the integer-exact test n·Σc² > (Σc)² — no float
-# epsilon. Contract: NULL keys/timestamps excluded (FIXTURES.md §J).
+# epsilon — with Σc² and both products evaluated in a 128-bit-class
+# domain (Spark decimal(38,0), DuckDB HUGEINT): (Σc)² overflows
+# BIGINT once a key's total count passes ~3.04e9 (√(2^63−1)), and Σc²
+# itself wraps once one hour holds ~3e9 events — both plausible at
+# the 100 TB scale this docstring claims; under ANSI mode (the
+# Spark 4 default) the narrow multiply raises ARITHMETIC_OVERFLOW —
+# a crash at scale — and under non-ANSI it wraps silently while
+# DuckDB raises, so either way the query fails or diverges exactly
+# when it matters. decimal(38,0) is exact up to 10^38, so the
+# guard is exact while n·Σc² < 10^38 (counts up to ~10^15/hour over
+# ~10^6 hours — far past any real ingest). Σc² feeds the z-score as
+# a correctly-rounded double in both engines (exact integer → nearest
+# double), so the float contract is unchanged.
+# Contract: NULL keys/timestamps excluded (FIXTURES.md §J).
 # ---------------------------------------------------------------------------
 
 _CUSUM_SLACK = 0.25
@@ -431,7 +444,7 @@ series AS (
   LEFT JOIN b ON b.k = ks.k AND b.h = g.h),
 stats AS (
   SELECT k, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
-         SUM(c * c)::BIGINT AS ss
+         SUM(c::HUGEINT * c) AS ss
   FROM series GROUP BY k),
 z AS (
   SELECT series.k, e,
@@ -439,7 +452,7 @@ z AS (
            / sqrt((ss - s * (s / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))
            AS zs
   FROM series JOIN stats USING (k)
-  WHERE ss * n > s * s),
+  WHERE ss::HUGEINT * n > s::HUGEINT * s),
 p AS (
   SELECT k, e,
          SUM(zs - {_CUSUM_SLACK!r}) OVER
@@ -490,12 +503,15 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = series.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
     )
     nd = F.col("n").cast("double")
     z = (
         series.join(F.broadcast(stats), "k")
-        .filter(F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+        .filter(
+            F.col("ss") * F.col("n")
+            > F.col("s").cast("decimal(38,0)") * F.col("s")
+        )
         .select(
             "k",
             "e",

@@ -59,21 +59,29 @@ def register(name: str, oracle: str | None):
 
 # The driver verifies a prefix window of the registry (50 queries per
 # round), so exposure order is a coverage decision, not cosmetics.
-# Mechanical packer: queries with no driver-green CORRECTNESS row yet
-# (plans/driver_history.py, regenerated each round by
-# scripts/update_driver_history.py) go first, dealt round-robin across
-# fixture modules — breadth before depth, so every never-verified
-# family lands inside the window before any family gets a second slot.
-# Modules with more unverified queries enter the robin first, so the
-# window's partial last cycle favors the deepest backlogs. Names in
-# _PINNED_FIRST jump the queue (e.g. a query whose oracle was red last
-# round and must re-verify). Already-verified queries close the list
-# in registration order.
+# Mechanical packer, three tiers:
+#   1. _PINNED_FIRST jump the queue (e.g. a query whose oracle was red
+#      last round and must re-verify).
+#   2. Queries with NO driver-green CORRECTNESS row yet
+#      (plans/driver_history.py, regenerated each round by
+#      scripts/update_driver_history.py), dealt round-robin across
+#      fixture modules — breadth before depth, so every never-verified
+#      family lands inside the window before any family gets a second
+#      slot; modules with more unverified queries enter the robin
+#      first, so the window's partial last cycle favors the deepest
+#      backlogs.
+#   3. Already-verified queries, OLDEST newest-green-row FIRST
+#      (registration order within a round tier) — once lifetime
+#      coverage closed in r5, the window's job became bounding
+#      evidence staleness: code reworked in r3–r5 must not coast on an
+#      r1/r2 oracle row (r5 verdict item 1). Each round the ~50
+#      stalest rows refresh, so max staleness stays ≈ ceil(registry /
+#      window) rounds.
 _PINNED_FIRST: list[str] = []
 
 
 def _ordered() -> list[tuple[str, QueryDef]]:
-    from .driver_history import DRIVER_VERIFIED
+    from .driver_history import DRIVER_LAST_GREEN
 
     items = list(REGISTRY.items())
     pinned = [it for it in items if it[0] in _PINNED_FIRST]
@@ -83,7 +91,7 @@ def _ordered() -> list[tuple[str, QueryDef]]:
     fresh: dict[str, list[tuple[str, QueryDef]]] = {}
     verified: list[tuple[str, QueryDef]] = []
     for name, d in rest:  # registration order preserved within buckets
-        if name in DRIVER_VERIFIED:
+        if name in DRIVER_LAST_GREEN:
             verified.append((name, d))
         else:
             fresh.setdefault(d.module, []).append((name, d))
@@ -95,6 +103,10 @@ def _ordered() -> list[tuple[str, QueryDef]]:
         for _, q in queues:
             if q:
                 robin.append(q.pop(0))
+
+    # stalest evidence first; Python's sort is stable, so ties keep
+    # registration order
+    verified.sort(key=lambda it: DRIVER_LAST_GREEN[it[0]])
 
     return pinned + robin + verified
 

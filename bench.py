@@ -254,15 +254,42 @@ def main() -> None:
     # dedicated heavy pass: clean cache + forced JVM and Python GC
     # before each measurement so each heavy starts from the same
     # executor-memory state regardless of pass order
+    def heavy_hygiene() -> None:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        import gc as _gc
+
+        _gc.collect()
+
     for _ in range(2):
         for name in heavies:
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            import gc as _gc
-
-            _gc.collect()
+            heavy_hygiene()
             measure(name)
         spark.catalog.clearCache()
+
+    # Load gate (r5 verdict item 2): a heavy whose recorded min was
+    # captured at load1 > LOAD_GATE is evidence-weak — r5 shipped
+    # dedup_ngram_jaccard 6.28s with its own detail row showing load1
+    # 12.61 at the min, 1.43x its steady state. Re-measure such
+    # heavies up to MAX_RETRY more times, first letting the 1-min
+    # loadavg decay below the gate (bounded wait — the tail of OUR own
+    # 32-thread passes dominates load1 here and decays in ~1 min;
+    # co-tenant noise may not, in which case the retry still lands and
+    # the recorded load1 attributes whatever remains).
+    LOAD_GATE = 8.0
+    MAX_RETRY = 2
+    gate_retries: dict[str, int] = {}
+    for name in heavies:
+        tries = 0
+        while loads.get(name, 0.0) > LOAD_GATE and tries < MAX_RETRY:
+            deadline = time.time() + 90
+            while os.getloadavg()[0] > LOAD_GATE and time.time() < deadline:
+                time.sleep(10)
+            heavy_hygiene()
+            measure(name)
+            tries += 1
+        if tries:
+            gate_retries[name] = tries
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -289,6 +316,12 @@ def main() -> None:
                 # each recorded min (noise attribution, not a metric)
                 "load1_at_min": loads,
                 "isolated_heavy_pass": heavies,
+                # heavies re-measured because their min landed at
+                # load1 > load_gate (value = extra attempts used); a
+                # name still above the gate after retries keeps its
+                # min but stays attributed via load1_at_min
+                "load_gate": 8.0,
+                "load_gate_retries": gate_retries,
                 "sf": sf_val,
             },
             fh,

@@ -72,7 +72,7 @@ AUDIT = {
     "similarity_ivf_recall": "both rankings reuse the pinned brute/IVF pipelines; left-semi hit join; per-probe counts partial-agg before Exchange",
     "events_incident_session_overlap": "bucketed explode both sides -> hash EQUI join on __b (no CartesianProduct/BNLJ); canonical-bucket guard in the join condition; incident side auto-broadcast",
     "docs_paragraph_dedup": "posexplode blocks; partial min(struct) below the block-key Exchange; join back on the same key; no Window over the corpus",
-    "parts_value_skyline": "exactly two MapInPandas phases (local SFS, bounded refine via Coalesce 1); dominance inputs are order-independent aggregates",
+    "parts_value_skyline": "exactly two MapInPandas phases (local SFS, bounded refine via repartition(1) Exchange — not Coalesce(1), which would collapse the local phase); dominance inputs are order-independent aggregates",
     "events_cusum_changepoints": "tiny series frame: stats BroadcastHashJoin; running-sum + running-min windows share one k-partitioned Exchange; zero Python",
 }
 

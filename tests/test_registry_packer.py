@@ -59,14 +59,50 @@ def test_registration_order_is_preserved_within_each_family():
         DRIVER_VERIFIED,
     )
 
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_LAST_GREEN,
+    )
+
     for mod, names in seen.items():
-        # within a family, unverified and verified sublists each keep
-        # registration order (the packer never reorders inside a bucket)
+        # within a family, unverified names keep registration order and
+        # verified names keep it WITHIN a staleness tier (the r6 packer
+        # sorts the verified bucket by newest-green round, stably)
         unv = [n for n in names if n not in DRIVER_VERIFIED]
         ver = [n for n in names if n in DRIVER_VERIFIED]
         ref = reg_order[mod]
         assert unv == [n for n in ref if n not in DRIVER_VERIFIED]
-        assert ver == [n for n in ref if n in DRIVER_VERIFIED]
+        ref_ver = [n for n in ref if n in DRIVER_VERIFIED]
+        assert ver == sorted(ref_ver, key=lambda n: DRIVER_LAST_GREEN[n])
+
+
+def test_window_fronts_globally_stalest_verified_names():
+    """With the never-verified backlog empty (post-r5 state), every
+    window slot not taken by pinned/backlog names must hold a verified
+    query whose newest driver-green row is no fresher than any query
+    OUTSIDE the window — the r5 verdict's 'rotate to evidence
+    freshness' contract."""
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_LAST_GREEN,
+        DRIVER_VERIFIED,
+    )
+
+    items = _ordered()
+    inside = [n for n, _ in items[:WINDOW] if n in DRIVER_VERIFIED]
+    outside = [n for n, _ in items[WINDOW:] if n in DRIVER_VERIFIED]
+    if inside and outside:
+        assert max(DRIVER_LAST_GREEN[n] for n in inside) <= min(
+            DRIVER_LAST_GREEN[n] for n in outside
+        )
+
+
+def test_driver_last_green_covers_verified_set():
+    from airline_dataset_hadoop_public_spark.plans.driver_history import (
+        DRIVER_LAST_GREEN,
+        DRIVER_VERIFIED,
+    )
+
+    assert frozenset(DRIVER_LAST_GREEN) == DRIVER_VERIFIED
+    assert all(r >= 1 for r in DRIVER_LAST_GREEN.values())
 
 
 def test_queries_and_oracles_align():
