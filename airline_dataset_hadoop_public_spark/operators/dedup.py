@@ -528,6 +528,70 @@ def _banded(reps: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFr
     )
 
 
+def _lsh_candidates(
+    banded_probe: DataFrame,
+    banded_universe: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_bucket: int,
+    symmetric: bool,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b when symmetric) from the
+    banded LSH frames — the UNVERIFIED stage, exposed separately so
+    candidate volume is measurable per (bands, rows) configuration
+    (scripts/minhash_band_ab.py) and the hot-bucket cap is testable.
+
+    Hot-bucket guard: any (band, bkey) bucket holding more than
+    ``max_bucket`` universe rows is dropped wholesale BEFORE the
+    bucket equi-join, so per-bucket join fan-out is bounded by
+    max_bucket (self-join: ≤ max_bucket·(max_bucket−1)/2 pairs) and a
+    degenerate corpus (one shingle-set shared by millions of docs —
+    which arrives here as a single collapsed rep, but adversarial
+    band collisions can still pile up) cannot create a quadratic
+    bucket. Cost: a true near-dup whose EVERY band lands in a hot
+    bucket is missed — the cap trades bounded worst-case shuffle for
+    recall on pathological clusters, and recall on ordinary corpora
+    is unaffected (buckets are splitmix64-fold keys of full band
+    signatures, so honest buckets are collision-sparse).
+    """
+    big = (
+        banded_universe.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "bkey")
+    )
+    pa_frame = banded_probe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    pb_frame = (
+        pa_frame
+        if symmetric
+        else banded_universe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
+    )
+    pa = pa_frame.select(
+        F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey"
+    )
+    pb = pb_frame.select(
+        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey"
+    )
+    id_pred = (
+        (F.col("id_a") < F.col("id_b"))
+        if symmetric
+        else (F.col("id_a") != F.col("id_b"))
+    )
+    return (
+        pa.join(pb, ["band", "bkey"])
+        .filter(
+            id_pred
+            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
+            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _rep_neardup_edges(
     reps_probe: DataFrame,
     id_col: str,
@@ -559,41 +623,8 @@ def _rep_neardup_edges(
     if symmetric:
         reps_universe = reps_probe
         banded_universe = banded_probe
-    big = (
-        banded_universe.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "bkey")
-    )
-    pa_frame = banded_probe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    pb_frame = (
-        pa_frame
-        if symmetric
-        else banded_universe.join(F.broadcast(big), ["band", "bkey"], "left_anti")
-    )
-    pa = pa_frame.select(
-        F.col(id_col).alias("id_a"), F.col("__len").alias("__la"), "band", "bkey"
-    )
-    pb = pb_frame.select(
-        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "band", "bkey"
-    )
-    id_pred = (
-        (F.col("id_a") < F.col("id_b"))
-        if symmetric
-        else (F.col("id_a") != F.col("id_b"))
-    )
-    cands = (
-        pa.join(pb, ["band", "bkey"])
-        .filter(
-            id_pred
-            & (F.col("__lb") >= F.lit(threshold) * F.col("__la"))
-            & (F.col("__la") >= F.lit(threshold) * F.col("__lb"))
-        )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .distinct()
+    cands = _lsh_candidates(
+        banded_probe, banded_universe, id_col, threshold, max_bucket, symmetric
     )
     a = reps_universe.select(
         F.col(id_col).alias("id_a"), F.col("__hs").alias("__ha")
@@ -633,6 +664,20 @@ def minhash_neardup_pairs(
     candidate/guard/verify pipeline is the shared
     ``_rep_neardup_edges``. Intra-group pairs carry Jaccard exactly
     1.0; verified rep pairs expand to all member combinations.
+
+    Tuning ``bands``/``rows = num_hashes // bands`` (measured A/B in
+    BASELINE.md r6, scripts/minhash_band_ab.py): per-pair candidate
+    probability is 1-(1-J^rows)^bands, so more rows per band steepens
+    the S-curve at the threshold. On a corpus whose near-miss mass
+    sits just below threshold (the banded-LSH worst case), 16×8 cut
+    candidate volume 6.2× vs the 32×4 default with zero measured
+    recall loss at t=0.9; 8×16 cut it 30× but dropped 7.6% of true
+    pairs. Keep rows=4 when downstream needs per-pair miss ≲ 1e-11
+    (oracle-equality regime); raise rows when candidate shuffle
+    dominates and ~1e-4 miss at the threshold is acceptable.
+    ``max_bucket`` bounds any (band, bucket) to that many reps —
+    worst-case join fan-out per bucket is C(max_bucket, 2) — at the
+    cost of recall only on clusters hot in EVERY band.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

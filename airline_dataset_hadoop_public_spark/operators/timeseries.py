@@ -262,3 +262,80 @@ def holt_per_key(
         F.col("__z.__ys")[0].alias("level"),
         F.col("__z.__ys")[1].alias("trend"),
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delta_col: str,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    out: str = "balance",
+    step: str = "step",
+) -> DataFrame:
+    """Per-key two-sided-clamped running balance, ordered by
+    (ts, delta):  b_t = min(hi, max(lo, b_{t-1} + delta_t)),  b_{-1}=0.
+
+    The inventory / quota / token-bucket walk. Unlike the one-sided
+    Lindley recursion (CUSUM's prefix-reflection identity,
+    fixtures_timeseries.py) a TWO-sided barrier has no prefix-scan
+    closed form — each step's clamp depends on which barrier was hit
+    last — so this is the honest tier-(b) operator per the build
+    rules: built-ins genuinely can't express it, and the sequential
+    fold runs as one Arrow-batched numpy kernel per key batch
+    (``ewma_per_key``'s packed layout: collect each key's sorted
+    series into one array row, fold all rows in one pandas_udf call,
+    posexplode back — a single shuffle, per-key-linear work,
+    partition-parallel across keys).
+
+    Determinism contract: the (ts, delta) sort is total up to ties of
+    identical (ts, delta) pairs, and swapping two identical steps
+    leaves the balance SEQUENCE unchanged, so outputs are
+    well-defined; the emitted ``step`` column (0-based walk position)
+    is the only safe way to address "the final balance" — selecting
+    by max (ts, delta) instead would pick an arbitrary member of a
+    tied group, whose balances differ even though the rows don't;
+    the walk itself is the same IEEE add/min/max sequence in any
+    engine that orders the same way (the DuckDB oracle's recursive
+    CTE reproduces it bit-exactly). NULL key/ts/delta rows must be
+    dropped by the caller (FIXTURES.md §J).
+    """
+
+    def fold_arrays(series: pd.Series) -> pd.Series:
+        outv = []
+        for xs in series:
+            x = np.asarray(xs, dtype=np.float64)
+            y = np.empty_like(x)
+            acc = 0.0
+            for i, v in enumerate(x):
+                acc = acc + v
+                if acc < lo:
+                    acc = lo
+                elif acc > hi:
+                    acc = hi
+                y[i] = acc
+            outv.append(y)
+        return pd.Series(outv)
+
+    kernel = F.pandas_udf(fold_arrays, "array<double>")
+    packed = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col), F.col(delta_col)))
+        ).alias("__s")
+    )
+    folded = packed.select(
+        key_col,
+        F.expr(f"transform(__s, e -> e.{ts_col})").alias("__ts"),
+        F.expr(f"transform(__s, e -> e.{delta_col})").alias("__xs"),
+    ).withColumn("__ys", kernel(F.col("__xs")))
+    return folded.select(
+        key_col,
+        F.posexplode(F.arrays_zip("__ts", "__xs", "__ys")).alias("__i", "__z"),
+    ).select(
+        key_col,
+        F.col("__i").cast("long").alias(step),
+        F.col("__z.__ts").alias(ts_col),
+        F.col("__z.__xs").alias(delta_col),
+        F.col("__z.__ys").alias(out),
+    )

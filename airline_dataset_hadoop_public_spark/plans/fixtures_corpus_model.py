@@ -529,29 +529,69 @@ def docs_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs oracle ⇒ sf0.01 gate only, like the other dedup oracles.
 # ---------------------------------------------------------------------------
 
+# label-propagation CTE text shared with the canonical-cluster oracle
+# (fixtures_extensions defines the generator and the round bound)
+from .fixtures_extensions import _CC_LABEL_ROUNDS as _ml_last  # noqa: E402
+from .fixtures_extensions import _minlabel_rounds  # noqa: E402
+
+_ml_rounds = _minlabel_rounds(_ml_last)
+
 _FUNNEL_ORACLE = f"""
-WITH RECURSIVE
+WITH
 t AS (SELECT doc_id, text, {_W} AS ws, md5(text) AS fp FROM documents),
 e AS (SELECT doc_id, ws FROM (
         SELECT doc_id, ws, fp,
                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM t) WHERE rn = 1),
-sh AS (SELECT doc_id, list_distinct(ws) AS s FROM e WHERE len(ws) > 0),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
-sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT doc_id AS node, doc_id AS r FROM e
-  UNION
-  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node),
-comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node),
-s2 AS (SELECT e.doc_id, e.ws FROM e JOIN comp ON e.doc_id = comp.node
-       WHERE comp.canonical = e.doc_id),
+-- r6 rewrite of the near-dup stage (last sf0.1 quadratic exclusion
+-- in this family): identical-set collapse + df-ordered prefix filter
+-- (the _MINHASH_ORACLE pattern from fixtures_extensions — sound for
+-- Jaccard ≥ t since i ≥ t·|x| for either endpoint), then UNROLLED
+-- min-label propagation on the collapsed rep graph (see the
+-- _CANONICAL_ORACLE note in fixtures_extensions: pairwise recursive
+-- reach accumulates Σ|component|² pairs against this corpus's
+-- 1,593-rep giant component; label rounds are |V|-row joins).
+-- Byte-identical output checked at sf0.01 before the swap.
+sh0 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(ws)) AS s FROM e
+        WHERE len(ws) > 0),
+key AS MATERIALIZED (SELECT doc_id, md5(array_to_string(s, chr(1))) AS gk FROM sh0),
+grp AS MATERIALIZED (SELECT gk, MIN(doc_id) AS rep FROM key GROUP BY 1),
+rsh AS MATERIALIZED (SELECT g.gk, k.s, len(k.s) AS sz
+        FROM grp g JOIN sh0 k ON k.doc_id = g.rep),
+tok AS MATERIALIZED (SELECT gk, UNNEST(s) AS g FROM rsh),
+df AS (SELECT g, COUNT(*) AS dfreq FROM tok GROUP BY 1),
+ord AS (SELECT gk, g,
+               ROW_NUMBER() OVER (PARTITION BY gk ORDER BY dfreq, g) AS pos,
+               COUNT(*) OVER (PARTITION BY gk) AS sz
+        FROM tok JOIN df USING (g)),
+pre AS (SELECT gk, g FROM ord
+        WHERE pos <= sz - CAST(FLOOR(0.9 * sz) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT p.gk AS gka, q.gk AS gkb
+         FROM pre p JOIN tok q ON p.g = q.g AND p.gk < q.gk),
+inter AS (SELECT c.gka, c.gkb, COUNT(*) AS i
+          FROM cand c
+          JOIN tok ta ON ta.gk = c.gka
+          JOIN tok tb ON tb.gk = c.gkb AND tb.g = ta.g
+          GROUP BY 1, 2),
+edge AS MATERIALIZED (SELECT i.gka, i.gkb
+         FROM inter i JOIN rsh a ON a.gk = i.gka JOIN rsh b ON b.gk = i.gkb
+         WHERE CAST(i.i AS DOUBLE) / (a.sz + b.sz - i.i) >= 0.9),
+sym AS MATERIALIZED (SELECT gka AS a, gkb AS b FROM edge
+        UNION ALL SELECT gkb, gka FROM edge),
+{_ml_rounds},
+comp AS (SELECT node, lbl AS ck FROM l{_ml_last}),
+lbl AS (SELECT c.ck, MIN(k.doc_id) AS canonical FROM comp c
+        JOIN key k ON k.gk = c.node GROUP BY c.ck),
+s2 AS (
+  SELECT e.doc_id, e.ws
+  FROM e JOIN key k ON k.doc_id = e.doc_id
+       JOIN comp c ON c.node = k.gk
+       JOIN lbl l ON l.ck = c.ck
+  WHERE l.canonical = e.doc_id
+  UNION ALL
+  SELECT e.doc_id, e.ws
+  FROM e LEFT JOIN key k ON k.doc_id = e.doc_id
+  WHERE k.doc_id IS NULL),
 q AS (SELECT * FROM s2
       WHERE len(ws) >= 15
         AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3)

@@ -312,3 +312,228 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converged"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (r6 wave): for each NON-adjacent part
+# pair sharing at least one co-purchase neighbor, score
+# AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1 / ln(deg(z))  (Adamic & Adar 2003,
+# "Friends and neighbors on the Web") — the classic common-neighbor
+# predictor, weighted so rare shared neighbors count more than hubs.
+#
+# Graph = co-purchase pairs appearing in ≥ 2 orders: link prediction
+# over single-co-occurrence edges scores noise (two parts that shared
+# one cart once), and the support floor is also the scale lever — the
+# full sf0.1 graph has 148M wedges (measured r6: 20k nodes, 1.2M
+# edges, max deg 222) while the ≥2-support graph wedges are ~1000×
+# fewer. The floor is part of the QUERY DEFINITION, mirrored in the
+# oracle — stated, never silently capped.
+#
+# 100 TB shape: wedges expand IN-PARTITION from each center's
+# collected neighbor list (the _copurchase_edges trick), with the
+# center's 1/ln(deg) weight attached as a plain column (deg =
+# size(neighbors) — no separate degree aggregate or join); output is
+# Σ_z deg(z)² rows into one (u, v) score shuffle; the non-adjacency
+# check is one left-anti join on the pair key. Hub mitigation at
+# true scale is the same knob family as LSH's max_bucket: drop wedge
+# centers with deg(z) > D (their 1/ln contribution → 0 while their
+# wedge cost is quadratic); not needed under the support floor here.
+#
+# Determinism: deg(z) is an exact integer; ln(deg) may differ by 1 ulp
+# across libm builds, so the score is ROUND(.,4) per the fixture float
+# contract and the top-k cut orders by the ROUNDED score + pair key.
+# ---------------------------------------------------------------------------
+
+_AA_MIN_SUPPORT = 2
+
+_ADAMIC_ADAR_ORACLE = f"""
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_AA_MIN_SUPPORT}),
+deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+wedge AS (
+  SELECT e1.dst AS u, e2.dst AS v, e1.src AS z
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+score AS (
+  SELECT w.u, w.v, SUM(1.0 / ln(d.d)) AS aa, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM wedge w JOIN deg d ON d.z = w.z
+  WHERE d.d > 1
+  GROUP BY w.u, w.v),
+nonadj AS (
+  SELECT s.* FROM score s
+  LEFT JOIN e ON e.src = s.u AND e.dst = s.v
+  WHERE e.src IS NULL)
+SELECT u AS part_a, v AS part_b, cn AS common_neighbors,
+       ROUND(aa, 4) AS aa_score
+FROM nonadj
+ORDER BY ROUND(aa, 4) DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("parts_copurchase_adamic_adar", _ADAMIC_ADAR_ORACLE)
+def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # support-floored adjacency, both directions (src, dst): keep
+    # pairs co-purchased in >= _AA_MIN_SUPPORT orders (definition +
+    # scale note above)
+    adj = (
+        _copurchase_edges(spark, sf_dir)
+        .filter(F.col("w") >= _AA_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    from ..runtime import cache_tracked
+
+    adj = cache_tracked(adj)
+    # Wedge expansion via the _copurchase_edges trick: group each
+    # center's neighbors into one array and expand u<v pairs
+    # IN-PARTITION, with the center's 1/ln(deg) weight attached as a
+    # plain column — deg is just size(neighbors), so the separate
+    # degree aggregate + join of the naive two-leg self-join layout
+    # disappears, and the only exchanges left are the groupBy(src)
+    # that builds the lists and the final (u, v) score shuffle
+    # (measured r6: 35s → the join layout's two extra exchanges were
+    # most of the query at sf0.1).
+    nbrs = adj.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+    wedges = (
+        nbrs.filter(F.size("ns") >= 2)
+        .select(
+            (F.lit(1.0) / F.log(F.size("ns"))).alias("w"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ns",
+                        lambda a: F.transform(
+                            F.filter("ns", lambda b: b > a),
+                            lambda b: F.struct(
+                                a.alias("u"), b.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "w")
+    )
+    score = wedges.groupBy("u", "v").agg(
+        F.sum("w").alias("aa"), F.count(F.lit(1)).alias("cn")
+    )
+    nonadj = score.join(
+        adj,
+        (score.u == adj.src) & (score.v == adj.dst),
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round("aa", 4).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent 3-itemsets (r6 wave): baskets = an order's DISTINCT
+# part set; L2 = pairs in ≥ MINSUP baskets; candidate triples join L2
+# pairs sharing their first item and are pruned by the Apriori
+# property (EVERY 2-subset must be frequent — Agrawal & Srikant,
+# VLDB'94) before any support counting touches the baskets again.
+#
+# 100 TB shape: support counting joins the candidate list (pruned,
+# small) against the basket-pair table on the (a, b) key and checks c
+# by one more membership join — never a 3-way basket self-join over
+# raw facts. The L2 frame is frequent-pair-sized (support-pruned), so
+# the candidate join is dimension-scale. Determinism: supports are
+# exact integers; the report orders by (support DESC, triple key).
+# ---------------------------------------------------------------------------
+
+_TRIPLE_MINSUP = 2
+
+_TRIPLES_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+l2 AS (
+  SELECT x.p AS a, y.p AS b2, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRIPLE_MINSUP}),
+cand AS (
+  SELECT p.a, p.b2 AS b, q.b2 AS c
+  FROM l2 p JOIN l2 q ON p.a = q.a AND p.b2 < q.b2
+  JOIN l2 r ON r.a = p.b2 AND r.b2 = q.b2),
+sup3 AS (
+  SELECT c.a, c.b, c.c, CAST(COUNT(*) AS BIGINT) AS support
+  FROM cand c
+  JOIN b x ON x.p = c.a
+  JOIN b y ON y.o = x.o AND y.p = c.b
+  JOIN b z ON z.o = x.o AND z.p = c.c
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {_TRIPLE_MINSUP})
+SELECT a AS part_a, b AS part_b, c AS part_c, support
+FROM sup3
+ORDER BY support DESC, part_a, part_b, part_c
+LIMIT 20
+"""
+
+
+@register("parts_copurchase_triple_itemsets", _TRIPLES_ORACLE)
+def parts_copurchase_triple_itemsets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..runtime import cache_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = cache_tracked(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    bx = baskets.select("o", F.col("p").alias("a"))
+    by = baskets.select("o", F.col("p").alias("b"))
+    l2 = cache_tracked(
+        bx.join(by, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRIPLE_MINSUP)
+        .select("a", "b")
+    )
+    # candidate join: L2 pairs sharing the first item, then the
+    # Apriori prune — (b, c) must itself be frequent
+    pq = (
+        l2.alias("p")
+        .join(l2.alias("q"), F.col("p.a") == F.col("q.a"))
+        .filter(F.col("p.b") < F.col("q.b"))
+        .select(
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.col("q.b").alias("c"),
+        )
+    )
+    cand = pq.join(
+        l2.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    sup3 = (
+        cand.join(baskets.select("o", F.col("p").alias("a")), "a")
+        .join(baskets.select("o", F.col("p").alias("b")), ["o", "b"], "left_semi")
+        .join(baskets.select("o", F.col("p").alias("c")), ["o", "c"], "left_semi")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIPLE_MINSUP)
+    )
+    return (
+        sup3.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("c").alias("part_c"),
+            "support",
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
+        .limit(20)
+    )

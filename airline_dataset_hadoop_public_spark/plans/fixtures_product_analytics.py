@@ -573,3 +573,113 @@ def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch revenue attribution (r6): each purchase is credited to
+# the user's most recent non-purchase event ("touch") at or before
+# the purchase, provided it lies within a 7-day lookback window —
+# the standard last-touch marketing-attribution report. Purchases
+# with no touch in the window credit the '(none)' channel.
+#
+# Engine side: the shared as-of operator (operators/range_join.
+# asof_join — one tagged union + one window per user, no join
+# explosion) finds the latest preceding touch; the lookback window
+# and the '(none)' bucket are plain post-filters. The oracle uses
+# DuckDB's native ASOF LEFT JOIN — same greatest-t_ts-≤-p_ts
+# semantics — so the two engines state the identical rule through
+# their own idioms. Touches are pre-collapsed to one per (user, ts)
+# with arg_max / max_by on event_id so the as-of tie rule never
+# depends on physical order (asof_join's uniqueness precondition).
+#
+# Determinism contracts: ts-equal touch collapses use the event_id
+# total order; revenue sums in exact cents (ROUND(value·100) BIGINT,
+# FIXTURES §J/§K discipline); NULL user/ts/type rows, NULL event_id
+# rows, and non-finite purchase values are excluded on both sides.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+t AS (
+  SELECT user_id AS u, ts AS t_ts, arg_max(event_type, event_id) AS ch
+  FROM base
+  WHERE event_type <> 'purchase' AND event_id IS NOT NULL
+  GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id AS u, ts AS p_ts, value
+  FROM base
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value)),
+j AS (
+  SELECT p.u, p.p_ts, p.value, t.t_ts, t.ch
+  FROM p ASOF LEFT JOIN t ON p.u = t.u AND t.t_ts <= p.p_ts),
+lab AS (
+  SELECT CASE WHEN t_ts IS NULL OR t_ts < p_ts - INTERVAL 7 DAY
+              THEN '(none)' ELSE ch END AS channel,
+         value
+  FROM j)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lab GROUP BY channel
+"""
+
+
+@register("events_last_touch_attribution", _ATTR_ORACLE)
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.range_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    touches = (
+        ev.filter(
+            (F.col("event_type") != "purchase")
+            & F.col("event_id").isNotNull()
+        )
+        .groupBy("user_id", F.col("ts").alias("t_ts"))
+        .agg(F.max_by("event_type", "event_id").alias("ch"))
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    ).select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+    hit = asof_join(
+        purchases,
+        touches,
+        keys=["user_id"],
+        left_ts="p_ts",
+        right_ts="t_ts",
+        payload=["ch", "t_ts"],
+        id_col="event_id",
+    )
+    within = F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")
+    labeled = hit.select(
+        F.when(within, F.col("ch")).otherwise(F.lit("(none)")).alias(
+            "channel"
+        ),
+        "value",
+    )
+    untouched = purchases.join(
+        hit.select("event_id"), "event_id", "left_anti"
+    ).select(F.lit("(none)").alias("channel"), "value")
+    return (
+        labeled.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

@@ -606,3 +606,246 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between event-type hourly series (r6):
+# for every unordered type pair and lag in -3..+3 hours, the Pearson
+# correlation of (x_t, y_{t+lag}) over the shared hour grid — the
+# standard "does A lead B" diagnostic a monitoring pipeline runs on
+# its own ingest streams (e.g. errors lagging deploys).
+#
+# Scale: series frames are calendar-bounded (|types| × |hours|), so
+# the pair × lag join is dimension-scale regardless of fact rows; the
+# only fact-sized stage is the one hourly count aggregate. All
+# moments (Σx, Σy, Σxy, Σxx, Σyy) accumulate in decimal(38,0) /
+# HUGEINT — the r6 overflow discipline: per-hour counts up to ~3e9
+# would wrap the BIGINT cross-products that feed the correlation, so
+# the integer algebra runs wide and only the final ratio drops to
+# double (n·Σxy ≤ ~1e31 at hour-grid sizes, far inside 10^38).
+# Determinism: all moments are exact integers; the closing
+# double-divide/sqrt runs the same IEEE ops on identical operands in
+# both engines; ROUND(.,4) per the float contract; zero-variance
+# sides excluded with an exact wide-integer test.
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH b AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+         COUNT(*)::BIGINT AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS h),
+ks AS (SELECT DISTINCT k FROM b),
+series AS (
+  SELECT ks.k, epoch(g.h)::BIGINT AS e, COALESCE(b.c, 0)::BIGINT AS c
+  FROM ks CROSS JOIN grid g
+  LEFT JOIN b ON b.k = ks.k AND b.h = g.h),
+lags AS (SELECT unnest(generate_series(-{_XCORR_MAX_LAG},
+                                       {_XCORR_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT a.k AS ka, b2.k AS kb FROM ks a JOIN ks b2 ON a.k < b2.k),
+joined AS (
+  SELECT p.ka, p.kb, l.lag,
+         x.c AS xc, y.c AS yc
+  FROM pairs p CROSS JOIN lags l
+  JOIN series x ON x.k = p.ka
+  JOIN series y ON y.k = p.kb AND y.e = x.e + l.lag * 3600),
+m AS (
+  SELECT ka, kb, lag,
+         COUNT(*)::HUGEINT AS n,
+         SUM(xc::HUGEINT) AS sx, SUM(yc::HUGEINT) AS sy,
+         SUM(xc::HUGEINT * yc) AS sxy,
+         SUM(xc::HUGEINT * xc) AS sxx,
+         SUM(yc::HUGEINT * yc) AS syy
+  FROM joined GROUP BY 1, 2, 3)
+SELECT ka AS type_a, kb AS type_b, CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_hours,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS xcorr
+FROM m
+WHERE n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+@register("events_xcorr_lead_lag", _XCORR_ORACLE)
+def events_xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..runtime import cache_tracked
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = cache_tracked(
+        ev.groupBy(
+            F.col("event_type").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    ks = counts.select("k").distinct()
+    series = cache_tracked(
+        ks.crossJoin(F.broadcast(grid))
+        .join(counts, ["k", "h"], "left")
+        .select(
+            "k",
+            F.unix_timestamp("h").alias("e"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    pairs = (
+        ks.select(F.col("k").alias("ka"))
+        .crossJoin(ks.select(F.col("k").alias("kb")))
+        .filter(F.col("ka") < F.col("kb"))
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    x = series.select(
+        F.col("k").alias("ka"), F.col("e").alias("e"), F.col("c").alias("xc")
+    )
+    y = series.select(
+        F.col("k").alias("kb2"), F.col("e").alias("ey"), F.col("c").alias("yc")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        pairs.crossJoin(F.broadcast(lags))
+        .join(x, "ka")
+        .join(
+            y,
+            (F.col("kb") == F.col("kb2"))
+            & (F.col("ey") == F.col("e") + F.col("lag") * 3600),
+        )
+        .drop("kb2")
+    )
+    m = joined.groupBy("ka", "kb", "lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("xc")).alias("sx"),
+        F.sum(dec("yc")).alias("sy"),
+        F.sum(dec("xc") * F.col("yc")).alias("sxy"),
+        F.sum(dec("xc") * F.col("xc")).alias("sxx"),
+        F.sum(dec("yc") * F.col("yc")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            F.col("ka").alias("type_a"),
+            F.col("kb").alias("type_b"),
+            F.col("lag").alias("lag"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                4,
+            ).alias("xcorr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sided clamped running balance (r6): per user, the walk
+# b_t = min(100, max(0, b_{t-1} + delta_t)) over (ts, delta)-ordered
+# events, delta = +value on purchase and -value otherwise — the
+# inventory / quota / token-bucket recurrence. Unlike CUSUM's
+# one-sided barrier (prefix-reflection identity, above) the two-sided
+# clamp has NO prefix-scan closed form, so the engine runs the honest
+# Arrow-batched sequential kernel (operators/timeseries.
+# clamped_running_balance — packed fold, one shuffle, linear per key)
+# and the oracle replays the identical walk with a recursive CTE
+# stepping one row per user per iteration (bounded: ≤ max per-user
+# event count iterations, each dimension-sized).
+#
+# Determinism: the walk is the same IEEE add/min/max sequence on the
+# same (ts, delta)-ordered operands in both engines, so balances are
+# bit-identical; saturation counts compare against the exact barrier
+# values; the checksum is ROUND(.,4) per the float contract. NULLs
+# and non-finite deltas excluded on both sides (FIXTURES.md §J/§K).
+# ---------------------------------------------------------------------------
+
+_BAL_HI = 100.0
+
+_BALANCE_ORACLE = f"""
+WITH RECURSIVE
+src AS (
+  SELECT user_id AS u, ts,
+         CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS d
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value)),
+ord AS (
+  SELECT u, d, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, d) AS rn
+  FROM src),
+walk AS (
+  SELECT u, rn, LEAST({_BAL_HI!r}, GREATEST(0.0, d)) AS b
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.u, o.rn, LEAST({_BAL_HI!r}, GREATEST(0.0, w.b + o.d))
+  FROM walk w JOIN ord o ON o.u = w.u AND o.rn = w.rn + 1)
+SELECT u AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(arg_max(b, rn), 4) AS final_balance,
+       CAST(SUM(CASE WHEN b >= {_BAL_HI!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sat_hi,
+       CAST(SUM(CASE WHEN b <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sat_lo,
+       ROUND(SUM(b), 4) AS walk_cksum
+FROM walk GROUP BY u
+"""
+
+
+@register("events_clamped_running_balance", _BALANCE_ORACLE)
+def events_clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.timeseries import clamped_running_balance
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    deltas = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("d"),
+    )
+    walk = clamped_running_balance(
+        deltas, "user_id", "ts", "d", lo=0.0, hi=_BAL_HI, out="b", step="step"
+    )
+    # final balance addressed by WALK STEP, not by max (ts, d): tied
+    # (ts, d) rows are interchangeable as rows but sit at different
+    # walk positions with different balances (operator docstring)
+    return (
+        walk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max(F.struct("step", "b"))["b"], 4).alias(
+                "final_balance"
+            ),
+            F.sum(
+                F.when(F.col("b") >= _BAL_HI, 1).otherwise(0)
+            ).alias("n_sat_hi"),
+            F.sum(F.when(F.col("b") <= 0.0, 1).otherwise(0)).alias(
+                "n_sat_lo"
+            ),
+            F.round(F.sum("b"), 4).alias("walk_cksum"),
+        )
+    )

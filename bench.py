@@ -58,6 +58,8 @@ _DRAIN_WITH_COUNT = {
     # r5: per-customer score table is dimension-sized
     "orders_rfm_segmentation",
     "events_time_weighted_avg",
+    # r6: per-user walk summary is dimension-sized
+    "events_clamped_running_balance",
 }
 
 HEADLINE = [
@@ -174,6 +176,12 @@ def main() -> None:
         "orders_cohort_ltv_triangle",
         "dq_benford_first_digit",
         "docs_source_drift_chi2",
+        # r6 additions
+        "parts_copurchase_adamic_adar",
+        "parts_copurchase_triple_itemsets",
+        "events_xcorr_lead_lag",
+        "events_clamped_running_balance",
+        "events_last_touch_attribution",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

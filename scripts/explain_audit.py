@@ -74,6 +74,11 @@ AUDIT = {
     "docs_paragraph_dedup": "posexplode blocks; partial min(struct) below the block-key Exchange; join back on the same key; no Window over the corpus",
     "parts_value_skyline": "exactly two MapInPandas phases (local SFS, bounded refine via repartition(1) Exchange — not Coalesce(1), which would collapse the local phase); dominance inputs are order-independent aggregates",
     "events_cusum_changepoints": "tiny series frame: stats BroadcastHashJoin; running-sum + running-min windows share one k-partitioned Exchange; zero Python",
+    "parts_copurchase_adamic_adar": "wedge equi-join on the center key with degree weight attached pre-expansion; one anti-join non-adjacency check; TakeOrderedAndProject top-20",
+    "parts_copurchase_triple_itemsets": "L2 support-pruned self-join + Apriori semi-join prune before any basket re-scan; exact integer supports; TakeOrderedAndProject",
+    "events_xcorr_lead_lag": "one fact-sized hourly aggregate, then calendar-bounded series joins (broadcast lags); decimal(38,0) moment sums; no Python",
+    "events_clamped_running_balance": "packed fold: one collect_list aggregate Exchange -> one ArrowEvalPython kernel -> posexplode; never FlatMapGroupsInPandas per group",
+    "events_last_touch_attribution": "as-of tagged union + per-user window carry-forward; anti-join '(none)' bucket; exact-cents revenue",
 }
 
 

@@ -419,3 +419,51 @@ def test_cusum_single_series_exchange_no_udf(spark, qs):
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_adamic_adar_no_cartesian_deg_joined_at_center(spark, qs):
+    """Wedge expansion is an equi-join on the center key; the degree
+    weight joins on z BEFORE expansion; non-adjacency is a single
+    anti join. Nothing quadratic in |V|, no Python."""
+    plan = _plan(qs["parts_copurchase_adamic_adar"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "TakeOrderedAndProject" in plan  # distributed top-20 cut
+
+
+def test_triple_itemsets_apriori_prunes_before_support_count(spark, qs):
+    """Candidate triples come from the L2 self-join + semi-join prune;
+    support counting is joins against the basket frame — no 3-way
+    basket self-join, no Python, exact-integer supports."""
+    plan = _plan(qs["parts_copurchase_triple_itemsets"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_xcorr_series_frames_broadcast_no_fact_blowup(spark, qs):
+    """Everything after the one fact-sized hourly aggregate is
+    calendar-bounded; the lag join must be an equi-join (shifted key),
+    never a range/cartesian explosion over facts."""
+    plan = _plan(qs["events_xcorr_lead_lag"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_clamped_balance_single_shuffle_packed_fold(spark, qs):
+    """The walk is ONE Arrow kernel over packed per-user arrays: one
+    aggregate exchange into collect_list, one pandas_udf, posexplode
+    back — not applyInPandas-per-group, not a window fold."""
+    plan = _plan(qs["events_clamped_running_balance"](spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan  # packed, not per-group
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # the kernel
+    assert "CartesianProduct" not in plan
+
+
+def test_last_touch_attribution_no_join_explosion(spark, qs):
+    """As-of layout: tagged union + per-user window, then one anti
+    join for the untouched bucket — no range join, no cartesian."""
+    plan = _plan(qs["events_last_touch_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the as-of carry-forward
