@@ -1376,3 +1376,170 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n") - exp_n, 2) / exp_n, 4
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot allocation (r6): per part, match returned quantities ('R'
+# lineitems, the "sells") against non-returned lots (the "buys") in
+# strict (shipdate, orderkey, linenumber) FIFO order. The classic
+# "needs a cursor" query done declaratively: both sides get cumulative
+# quantity intervals [cum − qty, cum), and a lot funds a sell exactly
+# where their intervals overlap — allocation = overlap length. No
+# loop, no UDF; correctness falls out of interval arithmetic.
+#
+# 100 TB shape: the interval join is per-part (equi-join on partkey +
+# overlap predicate), and FIFO structure bounds output linearly —
+# each lot overlaps a CONTIGUOUS run of sells, so matched pairs ≤
+# lots + sells per part (each pair boundary consumes a lot or a
+# sell). Per-part row counts bound the pre-filter join fan-out the
+# same way order size bounds the co-purchase expansion; a part with
+# pathologically many lines would use the bucketed interval-overlap
+# operator (operators/range_join.py) instead of the raw predicate.
+#
+# Determinism: quantities are exact integers (TPC-H l_quantity is
+# integral; cast long), the FIFO order is total ((shipdate, orderkey,
+# linenumber) — orderkey+linenumber is the table's PK), and every
+# output column is integer arithmetic. NULL part/qty/date rows and
+# qty ≤ 0 excluded on both sides (FIXTURES.md §J).
+# ---------------------------------------------------------------------------
+
+_FIFO_ORACLE = """
+WITH base AS (
+  SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS qty,
+         l_shipdate AS sd, l_orderkey AS ok, l_linenumber AS ln,
+         (l_returnflag = 'R') AS is_sell
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_shipdate IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+iv AS (
+  SELECT p, qty, is_sell,
+         ROW_NUMBER() OVER (PARTITION BY p, is_sell
+                            ORDER BY sd, ok, ln) AS rnk,
+         SUM(qty) OVER (PARTITION BY p, is_sell ORDER BY sd, ok, ln
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base),
+lots AS (SELECT p, rnk AS lot_rank, cum - qty AS s, cum AS e
+         FROM iv WHERE NOT is_sell),
+sells AS (SELECT p, rnk AS sell_rank, cum - qty AS s, cum AS e
+          FROM iv WHERE is_sell)
+SELECT l.p AS partkey,
+       CAST(l.lot_rank AS BIGINT) AS lot_rank,
+       CAST(s2.sell_rank AS BIGINT) AS sell_rank,
+       CAST(LEAST(l.e, s2.e) - GREATEST(l.s, s2.s) AS BIGINT)
+         AS alloc_qty
+FROM lots l JOIN sells s2
+  ON l.p = s2.p AND l.s < s2.e AND s2.s < l.e
+"""
+
+
+@register("lineitem_fifo_lot_allocation", _FIFO_ORACLE)
+def lineitem_fifo_lot_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_quantity").cast("long") > 0)
+    )
+    base = li.select(
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").alias("is_sell"),
+    )
+    w = Window.partitionBy("p", "is_sell").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    iv = base.select(
+        "p",
+        "qty",
+        "is_sell",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("qty")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    lots = iv.filter(~F.col("is_sell")).select(
+        "p",
+        F.col("rnk").alias("lot_rank"),
+        (F.col("cum") - F.col("qty")).alias("ls"),
+        F.col("cum").alias("le"),
+    )
+    sells = iv.filter(F.col("is_sell")).select(
+        F.col("p").alias("p2"),
+        F.col("rnk").alias("sell_rank"),
+        (F.col("cum") - F.col("qty")).alias("ss"),
+        F.col("cum").alias("se"),
+    )
+    return (
+        lots.join(
+            sells,
+            (F.col("p") == F.col("p2"))
+            & (F.col("ls") < F.col("se"))
+            & (F.col("ss") < F.col("le")),
+        )
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("lot_rank").cast("long").alias("lot_rank"),
+            F.col("sell_rank").cast("long").alias("sell_rank"),
+            (
+                F.least("le", "se") - F.greatest("ls", "ss")
+            ).cast("long").alias("alloc_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (r6): revenue per order month in
+# exact cents, previous month via lag over the month frame (tiny —
+# one row per calendar month), growth in basis points from a double
+# ratio of exact integers. The standard warehouse period-over-period
+# report; everything after the one fact aggregate is month-frame
+# sized. Difference and ratio operands stay exact while monthly
+# revenue < 2^53 cents (~$90T/month — documented bound).
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1)
+SELECT strftime(month, '%Y-%m') AS month,
+       revenue_cents, n_orders,
+       LAG(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+       ROUND(CAST(revenue_cents - LAG(revenue_cents) OVER (ORDER BY month)
+                  AS DOUBLE)
+             * 10000 / LAG(revenue_cents) OVER (ORDER BY month), 4)
+         AS growth_bp
+FROM m
+"""
+
+
+@register("orders_mom_revenue_growth", _MOM_ORACLE)
+def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("revenue_cents").over(w)
+    return m.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "revenue_cents",
+        "n_orders",
+        prev.alias("prev_cents"),
+        F.round(
+            (F.col("revenue_cents") - prev).cast("double") * 10000 / prev, 4
+        ).alias("growth_bp"),
+    )

@@ -683,3 +683,110 @@ def events_last_touch_attribution(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (r6): the even-split counterpart of
+# last-touch above — EVERY touch in the purchase's 7-day lookback
+# gets an equal share of the conversion value, the standard
+# comparison baseline in attribution analysis. Touchless purchases
+# credit '(none)' in full.
+#
+# Scale shape: the lookback join is a per-user equi-join with the
+# window predicate (per-user pair fan-out is bounded by per-user
+# activity; a true planet-scale run buckets by day exactly like the
+# interval-overlap operator — documented, not needed at these
+# per-user counts).
+#
+# Determinism: a rational share cents/n summed as doubles can land
+# EXACTLY on a .005 boundary (odd cents, n = 2), where Spark's
+# HALF_UP and DuckDB's binary-value rounding disagree by convention —
+# so shares are FLOORED TO EXACT INTEGER BASIS POINTS instead:
+# share_bp = (cents · 100) div n_touches (floor; operands
+# non-negative, so Spark's truncating `div` and DuckDB's flooring
+# `//` agree). Each purchase leaves at most n_touches − 1 bp
+# unattributed — stated rounding semantics, bit-exact in any engine.
+# NULL/non-finite contracts mirror last-touch.
+# ---------------------------------------------------------------------------
+
+_LINEAR_ATTR_ORACLE = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+t AS (
+  SELECT user_id AS u, ts AS t_ts, event_type AS ch
+  FROM base WHERE event_type <> 'purchase' AND event_id IS NOT NULL),
+p AS (
+  SELECT event_id AS pid, user_id AS u, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM base
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value)),
+hits AS (
+  SELECT p.pid, p.cents, t.ch
+  FROM p JOIN t ON t.u = p.u
+   AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+nt AS (SELECT pid, COUNT(*) AS n FROM hits GROUP BY pid),
+shares AS (
+  SELECT h.ch AS channel, (h.cents * 100) // nt.n AS share_bp
+  FROM hits h JOIN nt ON nt.pid = h.pid),
+untouched AS (
+  SELECT '(none)' AS channel, cents * 100 AS share_bp
+  FROM p LEFT JOIN nt ON nt.pid = p.pid WHERE nt.pid IS NULL)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_share_events,
+       CAST(SUM(share_bp) AS BIGINT) AS attributed_bp
+FROM (SELECT * FROM shares UNION ALL SELECT * FROM untouched)
+GROUP BY channel
+"""
+
+
+@register("events_linear_touch_attribution", _LINEAR_ATTR_ORACLE)
+def events_linear_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    touches = ev.filter(
+        (F.col("event_type") != "purchase") & F.col("event_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("ch"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hits = purchases.join(touches, "u").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    nt = hits.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    shares = hits.join(nt, "pid").select(
+        F.col("ch").alias("channel"),
+        F.expr("(cents * 100) div n").alias("share_bp"),
+    )
+    untouched = purchases.join(nt, "pid", "left_anti").select(
+        F.lit("(none)").alias("channel"),
+        (F.col("cents") * 100).alias("share_bp"),
+    )
+    return (
+        shares.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_share_events"),
+            F.sum("share_bp").alias("attributed_bp"),
+        )
+    )

@@ -849,3 +849,120 @@ def events_clamped_running_balance(
             F.round(F.sum("b"), 4).alias("walk_cksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (r6): per event type, the LOWER MEDIAN of all
+# pairwise slopes (c_j − c_i) / Δhours over the zero-filled hourly
+# count series — the classic outlier-resistant alternative to the OLS
+# slope already registered (events_regr_value_trend): a burst hour
+# shifts OLS arbitrarily but moves the slope median by one rank.
+# Theil (1950) / Sen (1968).
+#
+# Scale: the pairwise expansion is over the CALENDAR-bounded series
+# (|hours|² pairs per type, independent of fact rows — ~260k pairs
+# for a 30-day hourly grid), generated by a per-type self-join on the
+# tiny series frame; the only fact-sized stage is the hourly count.
+# Median selection is an exact-rank window pick over per-type
+# partitions of bounded size — never over facts.
+#
+# Determinism: each slope is one IEEE division of exact integers
+# ((c_j − c_i) integer, Δhours integer), identical in both engines;
+# the lower median picks the element at rank (n+1) div 2 under the
+# total order (slope, e_i, e_j), so the SELECTED VALUE is the same
+# bit pattern; ROUND(.,6) per the float contract.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+         COUNT(*)::BIGINT AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                (SELECT h1 FROM bounds),
+                                INTERVAL 1 HOUR)) AS h),
+ks AS (SELECT DISTINCT k FROM b),
+series AS (
+  SELECT ks.k, epoch(g.h)::BIGINT AS e, COALESCE(b.c, 0)::BIGINT AS c
+  FROM ks CROSS JOIN grid g
+  LEFT JOIN b ON b.k = ks.k AND b.h = g.h),
+slopes AS (
+  SELECT a.k,
+         CAST(b2.c - a.c AS DOUBLE) / ((b2.e - a.e) / 3600) AS slope,
+         a.e AS ei, b2.e AS ej
+  FROM series a JOIN series b2 ON a.k = b2.k AND a.e < b2.e),
+ranked AS (
+  SELECT k, slope,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY slope, ei, ej) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM slopes)
+SELECT k AS event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(slope, 6) AS theilsen_slope_per_hour
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@register("events_theilsen_trend", _THEILSEN_ORACLE)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..runtime import cache_tracked
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    counts = cache_tracked(
+        ev.groupBy(
+            F.col("event_type").alias("k"),
+            F.date_trunc("hour", "ts").alias("h"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    ks = counts.select("k").distinct()
+    series = cache_tracked(
+        ks.crossJoin(F.broadcast(grid))
+        .join(counts, ["k", "h"], "left")
+        .select(
+            "k",
+            F.unix_timestamp("h").alias("e"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    a = series.select("k", F.col("e").alias("ei"), F.col("c").alias("ci"))
+    b = series.select(
+        F.col("k").alias("k2"), F.col("e").alias("ej"), F.col("c").alias("cj")
+    )
+    slopes = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("ei") < F.col("ej")))
+        .select(
+            "k",
+            "ei",
+            "ej",
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / ((F.col("ej") - F.col("ei")) / F.lit(3600))
+            ).alias("slope"),
+        )
+    )
+    wk = Window.partitionBy("k")
+    ranked = slopes.select(
+        "k",
+        "slope",
+        F.row_number()
+        .over(wk.orderBy("slope", "ei", "ej"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        F.col("k").alias("event_type"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("theilsen_slope_per_hour"),
+    )

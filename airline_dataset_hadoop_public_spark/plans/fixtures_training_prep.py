@@ -897,3 +897,101 @@ def docs_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("es_key", 6).alias("es_key"),
         "sample_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning (r6): the
+# classic credit-scoring feature diagnostic — bin `value` into 10
+# global equal-frequency buckets, label each event by whether it is a
+# purchase, and per bucket report WOE = ln((pos/Σpos)/(neg/Σneg)) and
+# the IV contribution (pos/Σpos − neg/Σneg)·WOE. The binning rides
+# `topk.ntile_distributed` (the RFM machinery): Spark's global-window
+# NTILE single-tasks the frame, while the distributed form is a
+# range-partitioned rank + a closed-form bucket assignment that is
+# bit-identical to any engine's NTILE given the same total order —
+# which is exactly what lets the oracle use DuckDB's native NTILE.
+#
+# Determinism: total order (value, event_id) — event_id is unique —
+# so bucket membership is identical; pos/neg counts are exact
+# integers; WOE/IV are the same IEEE log/ratio ops on identical
+# integer operands, ROUND(.,4)/(.,6). NULL value/event_id/type rows
+# and non-finite values excluded both sides; buckets with zero pos or
+# zero neg are excluded (WOE undefined — stated, and at 10k+ rows per
+# bucket a zero side never occurs on real data).
+# ---------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH base AS (
+  SELECT value, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE value IS NOT NULL AND isfinite(value)
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+b AS (
+  SELECT NTILE(10) OVER (ORDER BY value, event_id) AS bucket, pos
+  FROM base),
+agg AS (
+  SELECT bucket,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM b GROUP BY bucket),
+tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM agg)
+SELECT CAST(bucket AS INT) AS bucket, n_pos, n_neg,
+       ROUND(LN((CAST(n_pos AS DOUBLE) * tn)
+                / (CAST(n_neg AS DOUBLE) * tp)), 4) AS woe,
+       ROUND((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+             * LN((CAST(n_pos AS DOUBLE) * tn)
+                  / (CAST(n_neg AS DOUBLE) * tp)), 6) AS iv_contrib
+FROM agg CROSS JOIN tot
+WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@register("events_value_woe_iv", _WOE_ORACLE)
+def events_value_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import ntile_distributed
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    binned = ntile_distributed(base, ["value", "event_id"], 10, out="bucket")
+    agg = binned.groupBy("bucket").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n_neg"),
+    )
+    tot = agg.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    woe = F.log(
+        (F.col("n_pos").cast("double") * F.col("tn"))
+        / (F.col("n_neg").cast("double") * F.col("tp"))
+    )
+    return (
+        agg.join(F.broadcast(tot), how="cross")
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_pos",
+            "n_neg",
+            F.round(woe, 4).alias("woe"),
+            F.round(
+                (
+                    F.col("n_pos").cast("double") / F.col("tp")
+                    - F.col("n_neg").cast("double") / F.col("tn")
+                )
+                * woe,
+                6,
+            ).alias("iv_contrib"),
+        )
+    )

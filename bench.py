@@ -60,6 +60,8 @@ _DRAIN_WITH_COUNT = {
     "events_time_weighted_avg",
     # r6: per-user walk summary is dimension-sized
     "events_clamped_running_balance",
+    # r6: allocation pair report is fact-sized
+    "lineitem_fifo_lot_allocation",
 }
 
 HEADLINE = [
@@ -182,6 +184,11 @@ def main() -> None:
         "events_xcorr_lead_lag",
         "events_clamped_running_balance",
         "events_last_touch_attribution",
+        "events_linear_touch_attribution",
+        "lineitem_fifo_lot_allocation",
+        "orders_mom_revenue_growth",
+        "events_theilsen_trend",
+        "events_value_woe_iv",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -79,6 +79,11 @@ AUDIT = {
     "events_xcorr_lead_lag": "one fact-sized hourly aggregate, then calendar-bounded series joins (broadcast lags); decimal(38,0) moment sums; no Python",
     "events_clamped_running_balance": "packed fold: one collect_list aggregate Exchange -> one ArrowEvalPython kernel -> posexplode; never FlatMapGroupsInPandas per group",
     "events_last_touch_attribution": "as-of tagged union + per-user window carry-forward; anti-join '(none)' bucket; exact-cents revenue",
+    "lineitem_fifo_lot_allocation": "FIFO as cumulative-interval overlap: two windows on one (part, side) Exchange; per-part interval equi-join; zero Python, output linear in lots+sells",
+    "events_theilsen_trend": "pairwise slopes over the calendar-bounded series self-join; exact-rank median pick per type; no Python",
+    "events_value_woe_iv": "ntile_distributed equal-frequency binning (range sort + broadcast __pid/__off offsets); integer pos/neg counts; broadcast totals",
+    "orders_mom_revenue_growth": "one fact aggregate to the month frame; lag window over ~tens of rows; exact-cents revenue",
+    "events_linear_touch_attribution": "per-user lookback equi-join; exact floored basis-point shares (div) — no float boundary in the hash",
 }
 
 

@@ -467,3 +467,40 @@ def test_last_touch_attribution_no_join_explosion(spark, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # the as-of carry-forward
+
+
+def test_fifo_allocation_no_udf_no_cartesian(spark, qs):
+    """FIFO = cumulative-interval overlap: two windows sharing the
+    (part, side) exchange, one per-part interval join. No Python
+    cursor, no cartesian."""
+    plan = _plan(qs["lineitem_fifo_lot_allocation"](spark, SF))
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_theilsen_pairs_only_over_calendar_series(spark, qs):
+    """Pairwise slopes expand the calendar-bounded series frame, not
+    facts; median pick is a bounded per-type window."""
+    plan = _plan(qs["events_theilsen_trend"](spark, SF))
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_woe_iv_uses_distributed_ntile(spark, qs):
+    """Equal-frequency binning must ride ntile_distributed (range
+    partitioner + broadcast offsets), never a single-partition global
+    NTILE window."""
+    plan = _plan(qs["events_value_woe_iv"](spark, SF))
+    # ntile_distributed's signature in the FINAL plan: the broadcast
+    # per-partition offset frame (__pid/__off) joined onto the
+    # range-sorted data (the range exchange itself runs eagerly inside
+    # rank_table_distributed when it sizes partitions)
+    assert "__pid" in plan and "__off" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_linear_attribution_no_cartesian_exact_bp(spark, qs):
+    plan = _plan(qs["events_linear_touch_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
