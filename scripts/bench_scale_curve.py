@@ -186,6 +186,13 @@ def main() -> int:
 
     from bench import _DRAIN_WITH_COUNT  # reuse the drain contract
 
+    # subset override (r6): rerun the curve for newly added heavies
+    # without re-measuring the recorded r5 rows
+    global HEAVIES
+    subset = os.environ.get("SPARK_GRAFT_CURVE_QUERIES")
+    if subset:
+        HEAVIES = [n.strip() for n in subset.split(",") if n.strip()]
+
     from airline_dataset_hadoop_public_spark.session import get_spark
     import __spark_entry__ as entrymod
 
