@@ -1438,3 +1438,74 @@ def docs_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring (r6): per document, the fraction of its
+# DISTINCT word 3-grams whose corpus-wide FIRST occurrence (min
+# doc_id — ingestion order in this fixture) is this document — a
+# training-data curation signal orthogonal to dedup/repetition:
+# near-zero novelty flags derivative text even when no single
+# document matches it (template/boilerplate recombination).
+#
+# Scale: one distinct (doc, gram) explode, one min-per-gram
+# aggregate (map-side-combinable), one join back on the gram key —
+# every stage hash-partitioned on the gram, no windows over facts.
+# Ratio in exact floored basis points ((novel · 10000) div n_grams —
+# non-negative, so div == //), counts exact. Docs with < 3 tokens
+# have no 3-grams and are excluded on both sides (stated).
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_W} AS ws FROM documents
+           WHERE doc_id IS NOT NULL),
+g3 AS (SELECT DISTINCT doc_id,
+              UNNEST([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                      for i in range(1, len(ws) - 1)]) AS g
+       FROM t WHERE len(ws) >= 3),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM g3 GROUP BY g)
+SELECT g3.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g3.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = g3.doc_id THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS novelty_bp
+FROM g3 JOIN first f ON f.g = g3.g
+GROUP BY g3.doc_id
+"""
+
+
+@register("docs_ngram_novelty", _NOVELTY_ORACLE)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ws = tokens("text")
+    t = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    g3 = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first = g3.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g3.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_grams").alias("novelty_bp"),
+        )
+    )

@@ -966,3 +966,103 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round("slope", 6).alias("theilsen_slope_per_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats (r6): per event type, the exact p05/p95
+# value boundaries and the winsorized (clipped) sum — the standard
+# outlier-capping step before feature scaling.
+#
+# Exactness AT scale without a per-type fact sort: `value` is a
+# 2-decimal measure, so the exact k-th order statistic comes from the
+# VALUE HISTOGRAM — one fact-sized groupBy(type, value) count, then a
+# cumulative walk over the tiny (type × distinct-value) frame; the
+# p-th percentile is the smallest value whose cumulative count
+# reaches ceil(p·n). No per-type global sort, no single-task window
+# over facts — the same low-cardinality-measure trick a 100 TB
+# winsorization would use (or DDSketch when the measure is truly
+# continuous — events_ddsketch_quantiles is the approximate cousin).
+#
+# Determinism: boundaries are SELECTED data values (bit-identical);
+# counts exact; the winsorized sum uses the quantized-sum contract
+# (ROUND(SUM, 2) of 2-decimal values — events_resample_15m_ffill's
+# documented argument). NULL/non-finite excluded both sides.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND isfinite(value)),
+h AS (SELECT k, value, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+cw AS (
+  SELECT k, value, c,
+         SUM(c) OVER (PARTITION BY k ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY k) AS n
+  FROM h),
+b AS (
+  SELECT k,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.05 * n) AS BIGINT)
+                  THEN value END) AS p05,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT)
+                  THEN value END) AS p95,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM cw GROUP BY k)
+SELECT base.k AS event_type, b.n AS n, b.p05, b.p95,
+       ROUND(SUM(LEAST(b.p95, GREATEST(b.p05, base.value))), 2)
+         AS winsor_sum
+FROM base JOIN b ON b.k = base.k
+GROUP BY base.k, b.n, b.p05, b.p95
+"""
+
+
+@register("events_winsorized_stats", _WINSOR_ORACLE)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..runtime import cache_tracked
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    base = cache_tracked(
+        ev.select(F.col("event_type").alias("k"), "value")
+    )
+    h = base.groupBy("k", "value").agg(F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy("k")
+    cw = h.select(
+        "k",
+        "value",
+        F.sum("c")
+        .over(
+            wk.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(wk).alias("n"),
+    )
+    b = cw.groupBy("k").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.05 * F.col("n")), F.col("value")
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.95 * F.col("n")), F.col("value")
+            )
+        ).alias("p95"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return (
+        base.join(F.broadcast(b), "k")
+        .groupBy(F.col("k").alias("event_type"), "n", "p05", "p95")
+        .agg(
+            F.round(
+                F.sum(F.least("p95", F.greatest("p05", F.col("value")))), 2
+            ).alias("winsor_sum")
+        )
+        .select("event_type", "n", "p05", "p95", "winsor_sum")
+    )

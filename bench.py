@@ -62,6 +62,8 @@ _DRAIN_WITH_COUNT = {
     "events_clamped_running_balance",
     # r6: allocation pair report is fact-sized
     "lineitem_fifo_lot_allocation",
+    # r6: per-document novelty report is corpus-sized
+    "docs_ngram_novelty",
 }
 
 HEADLINE = [
@@ -189,6 +191,8 @@ def main() -> None:
         "orders_mom_revenue_growth",
         "events_theilsen_trend",
         "events_value_woe_iv",
+        "events_winsorized_stats",
+        "docs_ngram_novelty",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
@@ -293,12 +297,22 @@ def main() -> None:
     # the recorded load1 attributes whatever remains).
     LOAD_GATE = 8.0
     MAX_RETRY = 2
+    # Global wall budget for the whole gate phase: on a busy host
+    # every heavy could otherwise burn MAX_RETRY × 90s of decay waits
+    # (~20 min worst case) — past the budget, remaining heavies keep
+    # their min and stay attributed via load1_at_min + the retry map.
+    GATE_BUDGET_S = 300.0
+    gate_deadline = time.time() + GATE_BUDGET_S
     gate_retries: dict[str, int] = {}
     for name in heavies:
         tries = 0
-        while loads.get(name, 0.0) > LOAD_GATE and tries < MAX_RETRY:
-            deadline = time.time() + 90
-            while os.getloadavg()[0] > LOAD_GATE and time.time() < deadline:
+        while (
+            loads.get(name, 0.0) > LOAD_GATE
+            and tries < MAX_RETRY
+            and time.time() < gate_deadline
+        ):
+            wait_until = min(time.time() + 90, gate_deadline)
+            while os.getloadavg()[0] > LOAD_GATE and time.time() < wait_until:
                 time.sleep(10)
             heavy_hygiene()
             measure(name)

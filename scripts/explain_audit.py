@@ -84,6 +84,8 @@ AUDIT = {
     "events_value_woe_iv": "ntile_distributed equal-frequency binning (range sort + broadcast __pid/__off offsets); integer pos/neg counts; broadcast totals",
     "orders_mom_revenue_growth": "one fact aggregate to the month frame; lag window over ~tens of rows; exact-cents revenue",
     "events_linear_touch_attribution": "per-user lookback equi-join; exact floored basis-point shares (div) — no float boundary in the hash",
+    "events_winsorized_stats": "exact percentile via the VALUE-HISTOGRAM cumulative walk (tiny type x distinct-value frame) — no per-type fact sort; boundaries broadcast back for the clip",
+    "docs_ngram_novelty": "distinct (doc, gram) explode -> min-per-gram partial agg -> gram-key join back; every stage hash-partitioned on the gram; exact basis points",
 }
 
 

@@ -504,3 +504,19 @@ def test_linear_attribution_no_cartesian_exact_bp(spark, qs):
     plan = _plan(qs["events_linear_touch_attribution"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_winsorized_stats_no_fact_sort_no_python(spark, qs):
+    """Exact percentiles come from the value-histogram walk: the only
+    windows run over the tiny (type, value) frame, boundaries come
+    back as a broadcast join, and no Python appears."""
+    plan = _plan(qs["events_winsorized_stats"](spark, SF))
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_gram_keyed_no_window(spark, qs):
+    plan = _plan(qs["docs_ngram_novelty"](spark, SF))
+    assert "PythonUDF" not in plan
+    assert "Window" not in plan  # min-per-gram is an aggregate, not a sort
+    assert "CartesianProduct" not in plan
