@@ -986,7 +986,16 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: boundaries are SELECTED data values (bit-identical);
 # counts exact; the winsorized sum uses the quantized-sum contract
 # (ROUND(SUM, 2) of 2-decimal values — events_resample_15m_ffill's
-# documented argument). NULL/non-finite excluded both sides.
+# documented argument). The percentile RANKS are pure integer
+# arithmetic — ceil(n/20) = (n+19) div 20 and ceil(19n/20) =
+# (19n+19) div 20 — never CEIL(0.05·n): Spark evaluates the 0.05
+# literal as a binary double while DuckDB parses it as exact
+# DECIMAL(3,2), so the two engines compute the rank through DIFFERENT
+# arithmetic. For these specific constants the double error happens
+# to stay under half an ulp of the integer boundary, but that is a
+# proof obligation per constant; integer div needs none (the same
+# discipline as ntile_distributed's q — ADVICE r5). NULL/non-finite
+# excluded both sides.
 # ---------------------------------------------------------------------------
 
 _WINSOR_ORACLE = """
@@ -1002,10 +1011,8 @@ cw AS (
   FROM h),
 b AS (
   SELECT k,
-         MIN(CASE WHEN cum >= CAST(CEIL(0.05 * n) AS BIGINT)
-                  THEN value END) AS p05,
-         MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT)
-                  THEN value END) AS p95,
+         MIN(CASE WHEN cum >= (n + 19) // 20 THEN value END) AS p05,
+         MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN value END) AS p95,
          CAST(MAX(n) AS BIGINT) AS n
   FROM cw GROUP BY k)
 SELECT base.k AS event_type, b.n AS n, b.p05, b.p95,
@@ -1046,12 +1053,13 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cw.groupBy("k").agg(
         F.min(
             F.when(
-                F.col("cum") >= F.ceil(0.05 * F.col("n")), F.col("value")
+                F.col("cum") >= F.expr("(n + 19) div 20"), F.col("value")
             )
         ).alias("p05"),
         F.min(
             F.when(
-                F.col("cum") >= F.ceil(0.95 * F.col("n")), F.col("value")
+                F.col("cum") >= F.expr("(19 * n + 19) div 20"),
+                F.col("value"),
             )
         ).alias("p95"),
         F.max("n").cast("long").alias("n"),
