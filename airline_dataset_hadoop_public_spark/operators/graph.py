@@ -334,3 +334,56 @@ def kcore_peel(
         if n == 0:
             break
     return surv
+
+
+def adamic_adar_scores(
+    adj: DataFrame, hub_cap: int | None = None
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores over a symmetric adjacency.
+
+    ``adj``: deduplicated directed edge list holding BOTH directions
+    of each undirected edge (src, dst). Returns one row per unordered
+    node pair (u < v) sharing ≥ 1 common neighbor:
+    (u, v, cn = common-neighbor count, aa = Σ_z 1/ln(deg z)) —
+    Adamic & Adar 2003, "Friends and neighbors on the Web". The
+    caller applies any non-adjacency filter and top-k cut.
+
+    Shape (the r6-measured winner): wedges expand IN-PARTITION from
+    each center's collected neighbor array with the center's
+    1/ln(deg) weight attached as a plain column (deg = size(ns) — no
+    separate degree aggregate or join). Exchanges: the groupBy(src)
+    that builds neighbor lists + the final (u, v) score shuffle. The
+    naive two-leg self-join layout measured 35s vs 2.6s at sf0.1.
+
+    ``hub_cap``: the true-scale hub mitigation (r6 verdict item 8).
+    Wedge cost per center is C(deg, 2) — quadratic — while a hub
+    center's per-wedge contribution 1/ln(deg) → 0, so centers with
+    deg > hub_cap are DROPPED before expansion: wedge count per
+    center is bounded by C(hub_cap, 2) (pytest-pinned), making
+    worst-case work linear in edges for fixed cap. Score impact is
+    quantified per-graph by scripts/adamic_adar_hubcap_ab.py
+    (table in BASELINE.md §r7): each surviving pair loses at most
+    the dropped centers' Σ 1/ln(deg) — a bias, not noise, and
+    monotone in the cap. ``None`` = exact (no drop).
+    """
+    nbrs = adj.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+    centers = nbrs.filter(F.size("ns") >= 2)
+    if hub_cap is not None:
+        centers = centers.filter(F.size("ns") <= hub_cap)
+    wedges = centers.select(
+        (F.lit(1.0) / F.log(F.size("ns"))).alias("w"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ns",
+                    lambda a: F.transform(
+                        F.filter("ns", lambda b: b > a),
+                        lambda b: F.struct(a.alias("u"), b.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "w")
+    return wedges.groupBy("u", "v").agg(
+        F.sum("w").alias("aa"), F.count(F.lit(1)).alias("cn")
+    )

@@ -138,9 +138,29 @@ def ewma_per_key(
       the actual fold. Requires each key's series to fit in a row
       (the usual collect_list contract).
     - ``grouped_pandas``: ``groupBy().applyInPandas`` streaming one
-      group at a time — the right shape when a single key's series is
-      too large to hold as one array cell.
+      group at a time — NOTE this still materializes each GROUP as
+      one pandas frame, so a hot key is still one task's memory.
+    - ``streamed``: sorted-stream fold with the accumulator carried
+      across Arrow batches (`_streamed_fold`) — peak memory one
+      batch regardless of key length, same single shuffle, identical
+      IEEE sequence (bit-equal to packed, pytest-pinned).
     """
+    if impl == "streamed":
+
+        def ewma_chunk(x: np.ndarray, st):
+            y = np.empty_like(x)
+            acc = 0.0 if st is None else st
+            first = st is None
+            for i, v in enumerate(x):
+                if first and i == 0:
+                    acc = v
+                else:
+                    acc = alpha * v + (1.0 - alpha) * acc
+                y[i] = acc
+            return {out: y}, acc
+
+        return _streamed_fold(df, key_col, ts_col, value_col, ewma_chunk, [out])
+
     if impl == "grouped_pandas":
         # derive the output schema from the INPUT types — hardcoding
         # 'long/timestamp/double' silently narrowed the accepted key
@@ -208,6 +228,7 @@ def holt_per_key(
     key_col: str,
     ts_col: str,
     value_col: str,
+    impl: str = "packed",
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing (level + trend),
     exact recurrence with alpha = beta = 0.5 (both smoothing products
@@ -222,7 +243,35 @@ def holt_per_key(
     Packed collect-fold shape: one shuffle on the key, one Arrow
     kernel call for all series, posexplode back. Output adds
     (level, trend) columns; rows ordered within key by (ts, value).
+
+    ``impl="streamed"`` carries the (level, trend) pair across Arrow
+    batches over the sorted row stream — bounded memory for hot keys,
+    identical IEEE sequence (see `_streamed_fold`).
     """
+    if impl == "streamed":
+
+        def holt_chunk(x: np.ndarray, st):
+            lv = np.empty_like(x)
+            tr = np.empty_like(x)
+            if st is None:
+                l, b = x[0], 0.0
+                lv[0], tr[0] = l, b
+                start = 1
+            else:
+                l, b = st
+                start = 0
+            for i in range(start, len(x)):
+                prev = l + b
+                l_new = 0.5 * x[i] + 0.5 * prev
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+                lv[i], tr[i] = l, b
+            return {"level": lv, "trend": tr}, (l, b)
+
+        return _streamed_fold(
+            df, key_col, ts_col, value_col, holt_chunk, ["level", "trend"]
+        )
+
     def fold_arrays(series: pd.Series) -> pd.Series:
         outv = []
         for xs in series:
@@ -273,6 +322,7 @@ def clamped_running_balance(
     hi: float = 100.0,
     out: str = "balance",
     step: str = "step",
+    impl: str = "streamed",
 ) -> DataFrame:
     """Per-key two-sided-clamped running balance, ordered by
     (ts, delta):  b_t = min(hi, max(lo, b_{t-1} + delta_t)),  b_{-1}=0.
@@ -300,7 +350,32 @@ def clamped_running_balance(
     engine that orders the same way (the DuckDB oracle's recursive
     CTE reproduces it bit-exactly). NULL key/ts/delta rows must be
     dropped by the caller (FIXTURES.md §J).
+
+    ``impl="streamed"`` (default since r7) runs the fold over the
+    sorted row stream with the accumulator carried across Arrow
+    batches — peak memory one batch, hot keys of any length safe;
+    ``impl="packed"`` keeps the r6 collect_list layout (per-key
+    series must fit in one array row). Both execute the identical
+    per-element IEEE sequence and are pytest-pinned bit-equal.
     """
+    if impl == "streamed":
+
+        def clamp_chunk(x: np.ndarray, st):
+            acc = 0.0 if st is None else st
+            y = np.empty_like(x)
+            for i, v in enumerate(x):
+                acc = acc + v
+                if acc < lo:
+                    acc = lo
+                elif acc > hi:
+                    acc = hi
+                y[i] = acc
+            return {out: y}, acc
+
+        return _streamed_fold(
+            df, key_col, ts_col, delta_col, clamp_chunk, [out],
+            with_step=True, step=step,
+        )
 
     def fold_arrays(series: pd.Series) -> pd.Series:
         outv = []
@@ -338,4 +413,101 @@ def clamped_running_balance(
         F.col("__z.__ts").alias(ts_col),
         F.col("__z.__xs").alias(delta_col),
         F.col("__z.__ys").alias(out),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streamed (bounded-memory) sequential folds — r7.
+#
+# The packed layout above collects each key's ENTIRE series into one
+# array row, which is the fast shape at bench scale but makes a
+# pathological key (one user with 1e9 events at 100 TB) a single
+# task's OOM: Arrow's maxRecordsPerBatch caps ROWS, not array cells,
+# so one giant array cell rides one batch no matter the cap. The
+# streamed shape removes the bound entirely:
+#
+#   repartition(key)                      -- one shuffle, same as packed
+#   sortWithinPartitions(key, ts, x)      -- key runs become contiguous
+#   mapInPandas(fold)                     -- iterate Arrow batches IN
+#                                            PARTITION ORDER, carrying
+#                                            (key, fold state, step) across
+#                                            batch boundaries
+#
+# Peak memory is one Arrow batch (spark.sql.execution.arrow.
+# maxRecordsPerBatch rows) regardless of how long any key's series
+# is. The per-element arithmetic is the IDENTICAL IEEE sequence as
+# the packed kernels — the carried state is exactly the accumulator
+# the packed loop would hold at the same position — so packed and
+# streamed are bit-equal and both satisfy the same DuckDB oracle
+# (pytest-pinned in tests/test_r7_ops.py, including a 1e6-event
+# single key under a 10k-row Arrow batch cap).
+# ---------------------------------------------------------------------------
+
+
+def _streamed_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    fold_chunk,
+    out_fields: list[str],
+    with_step: bool = False,
+    step: str = "step",
+):
+    """Per-key ordered fold with bounded memory (see section comment).
+
+    ``fold_chunk(x: np.float64[n], state) -> (dict[name -> np.float64[n]],
+    new_state)`` folds one contiguous chunk of a single key's series;
+    ``state=None`` marks start-of-key. The chunk function must apply
+    the same per-element operation sequence as its packed twin so the
+    two implementations stay bit-equal.
+    """
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parts = [f"{key_col} {in_schema[key_col]}"]
+    if with_step:
+        parts.append(f"{step} long")
+    parts.append(f"{ts_col} {in_schema[ts_col]}")
+    parts.append(f"{x_col} double")
+    parts.extend(f"{name} double" for name in out_fields)
+    schema = ", ".join(parts)
+
+    def run(batches):
+        cur_key = None
+        state = None
+        base = 0
+        have_key = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            k = pdf[key_col].to_numpy()
+            x = pdf[x_col].to_numpy(dtype=np.float64)
+            change = np.nonzero(k[1:] != k[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(k)]))
+            outs = {name: np.empty(len(k)) for name in out_fields}
+            steps = np.empty(len(k), dtype=np.int64) if with_step else None
+            for s, e in zip(starts, ends):
+                if not have_key or k[s] != cur_key:
+                    st, b0 = None, 0
+                else:
+                    st, b0 = state, base
+                chunk_out, st = fold_chunk(x[s:e], st)
+                for name in out_fields:
+                    outs[name][s:e] = chunk_out[name]
+                if with_step:
+                    steps[s:e] = b0 + np.arange(e - s, dtype=np.int64)
+                cur_key, state, base, have_key = k[s], st, b0 + (e - s), True
+            res = pdf[[key_col, ts_col, x_col]].copy()
+            res[x_col] = x
+            if with_step:
+                res.insert(1, step, steps)
+            for name in out_fields:
+                res[name] = outs[name]
+            yield res
+
+    return (
+        df.select(key_col, ts_col, x_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, x_col)
+        .mapInPandas(run, schema=schema)
     )

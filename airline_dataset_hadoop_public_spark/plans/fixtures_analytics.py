@@ -1396,8 +1396,11 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pathologically many lines would use the bucketed interval-overlap
 # operator (operators/range_join.py) instead of the raw predicate.
 #
-# Determinism: quantities are exact integers (TPC-H l_quantity is
-# integral; cast long), the FIFO order is total ((shipdate, orderkey,
+# Determinism: quantities are exact integers — ENFORCED by an
+# integrality filter (l_quantity = ROUND(l_quantity)) on both engine
+# and oracle, since Spark's cast("long") truncates while DuckDB's
+# CAST(..AS BIGINT) rounds on a non-integral input — the FIFO order
+# is total ((shipdate, orderkey,
 # linenumber) — orderkey+linenumber is the table's PK), and every
 # output column is integer arithmetic. NULL part/qty/date rows and
 # qty ≤ 0 excluded on both sides (FIXTURES.md §J).
@@ -1410,7 +1413,8 @@ WITH base AS (
          (l_returnflag = 'R') AS is_sell
   FROM lineitem
   WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
-    AND l_shipdate IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+    AND l_shipdate IS NOT NULL AND l_quantity = ROUND(l_quantity)
+    AND CAST(l_quantity AS BIGINT) > 0),
 iv AS (
   SELECT p, qty, is_sell,
          ROW_NUMBER() OVER (PARTITION BY p, is_sell
@@ -1440,6 +1444,12 @@ def lineitem_fifo_lot_allocation(
         F.col("l_partkey").isNotNull()
         & F.col("l_quantity").isNotNull()
         & F.col("l_shipdate").isNotNull()
+        # Integrality ENFORCED, not assumed: Spark cast("long")
+        # truncates doubles while DuckDB CAST(.. AS BIGINT) rounds,
+        # so a non-integral qty (0.5) would diverge cross-engine.
+        # Filtering to exact integers on both sides makes the stated
+        # header assumption a checked contract.
+        & (F.col("l_quantity") == F.round("l_quantity"))
         & (F.col("l_quantity").cast("long") > 0)
     )
     base = li.select(

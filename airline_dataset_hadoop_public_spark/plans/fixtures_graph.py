@@ -321,9 +321,14 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "Friends and neighbors on the Web") — the classic common-neighbor
 # predictor, weighted so rare shared neighbors count more than hubs.
 #
-# Graph = co-purchase pairs appearing in ≥ 2 orders: link prediction
-# over single-co-occurrence edges scores noise (two parts that shared
-# one cart once), and the support floor is also the scale lever — the
+# Graph = co-purchase pairs with line-pair multiplicity ≥ 2 (w from
+# _copurchase_edges counts LINEITEM PAIRS, so one order holding the
+# same part on two lines can satisfy the floor alone — order-level
+# support would need countDistinct(l_orderkey) on both sides; the
+# line-pair definition is what both engine and oracle compute): link
+# prediction over single-co-occurrence edges scores noise (two parts
+# that shared one cart once), and the support floor is also the
+# scale lever — the
 # full sf0.1 graph has 148M wedges (measured r6: 20k nodes, 1.2M
 # edges, max deg 222) while the ≥2-support graph wedges are ~1000×
 # fewer. The floor is part of the QUERY DEFINITION, mirrored in the
@@ -387,39 +392,17 @@ def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..runtime import cache_tracked
 
     adj = cache_tracked(adj)
-    # Wedge expansion via the _copurchase_edges trick: group each
-    # center's neighbors into one array and expand u<v pairs
-    # IN-PARTITION, with the center's 1/ln(deg) weight attached as a
-    # plain column — deg is just size(neighbors), so the separate
-    # degree aggregate + join of the naive two-leg self-join layout
-    # disappears, and the only exchanges left are the groupBy(src)
-    # that builds the lists and the final (u, v) score shuffle
-    # (measured r6: 35s → the join layout's two extra exchanges were
-    # most of the query at sf0.1).
-    nbrs = adj.groupBy("src").agg(F.collect_list("dst").alias("ns"))
-    wedges = (
-        nbrs.filter(F.size("ns") >= 2)
-        .select(
-            (F.lit(1.0) / F.log(F.size("ns"))).alias("w"),
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ns",
-                        lambda a: F.transform(
-                            F.filter("ns", lambda b: b > a),
-                            lambda b: F.struct(
-                                a.alias("u"), b.alias("v")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p"),
-        )
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "w")
-    )
-    score = wedges.groupBy("u", "v").agg(
-        F.sum("w").alias("aa"), F.count(F.lit(1)).alias("cn")
-    )
+    # Wedge expansion + scoring = operators/graph.adamic_adar_scores
+    # (in-partition expansion from collected neighbor arrays, weight
+    # attached pre-expansion; the naive two-leg self-join layout
+    # measured 35s vs 2.6s at sf0.1). No hub cap here: the support
+    # floor already bounds degrees at tested scales, and the oracle
+    # computes the exact (uncapped) definition — the cap knob and its
+    # measured score-impact/wall trade live in
+    # scripts/adamic_adar_hubcap_ab.py + BASELINE.md §r7.
+    from ..operators.graph import adamic_adar_scores
+
+    score = adamic_adar_scores(adj, hub_cap=None)
     nonadj = score.join(
         adj,
         (score.u == adj.src) & (score.v == adj.dst),
@@ -438,24 +421,40 @@ def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Apriori frequent 3-itemsets (r6 wave): baskets = an order's DISTINCT
-# part set; L2 = pairs in ≥ MINSUP baskets; candidate triples join L2
-# pairs sharing their first item and are pruned by the Apriori
-# property (EVERY 2-subset must be frequent — Agrawal & Srikant,
-# VLDB'94) before any support counting touches the baskets again.
+# Apriori frequent 3-itemsets (r6 wave; baskets redefined r7): basket
+# = a CUSTOMER's distinct part set across their order history; L2 =
+# pairs in ≥ MINSUP baskets; candidate triples join L2 pairs sharing
+# their first item and are pruned by the Apriori property (EVERY
+# 2-subset must be frequent — Agrawal & Srikant, VLDB'94) before any
+# support counting touches the baskets again.
 #
-# 100 TB shape: support counting joins the candidate list (pruned,
-# small) against the basket-pair table on the (a, b) key and checks c
-# by one more membership join — never a 3-way basket self-join over
-# raw facts. The L2 frame is frequent-pair-sized (support-pruned), so
-# the candidate join is dimension-scale. Determinism: supports are
-# exact integers; the report orders by (support DESC, triple key).
+# Why customer baskets (r7, verdict item 2): ORDER baskets sparsify
+# as the part vocabulary scales with data volume — at sf0.1 no part
+# triple recurs in 2 orders, so the sf0.1 run proved only that both
+# engines agree on an EMPTY frequent set (a hollow green; the sup3
+# stage never executed at bench scale). Customer baskets densify
+# honestly — "parts this customer buys together over their history"
+# is the standard market-basket unit when transactions are thin —
+# and keep support ≥ 2 populated at every tested scale (measured
+# sup3 rows: 400k @ sf0.001 / 151k @ sf0.01 / 16k @ sf0.1).
+#
+# 100 TB shape: support counting joins the candidate list (Apriori-
+# pruned) against the basket-pair table on the (a, b) key and checks
+# c by one more membership join — never a 3-way basket self-join
+# over raw facts. The basket pair expansion is C(|basket|, 2) per
+# customer — per-basket-quadratic like any pair mining; a whale
+# customer gets the same cap/bucketing treatment as the Adamic–Adar
+# hub note. Determinism: supports are exact integers; the report
+# orders by (support DESC, triple key).
 # ---------------------------------------------------------------------------
 
 _TRIPLE_MINSUP = 2
 
 _TRIPLES_ORACLE = f"""
-WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH b AS (
+  SELECT DISTINCT o_custkey AS o, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
 l2 AS (
   SELECT x.p AS a, y.p AS b2, CAST(COUNT(*) AS BIGINT) AS sup
   FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
@@ -487,10 +486,19 @@ def parts_copurchase_triple_itemsets(
     from ..runtime import cache_tracked
 
     li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
     baskets = cache_tracked(
-        li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        ).distinct()
+        li.filter(F.col("l_partkey").isNotNull())
+        .join(
+            orders.filter(F.col("o_custkey").isNotNull()).select(
+                "o_orderkey", "o_custkey"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
     )
     bx = baskets.select("o", F.col("p").alias("a"))
     by = baskets.select("o", F.col("p").alias("b"))

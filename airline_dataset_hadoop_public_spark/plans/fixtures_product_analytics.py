@@ -704,9 +704,13 @@ def events_last_touch_attribution(
 # so shares are FLOORED TO EXACT INTEGER BASIS POINTS instead:
 # share_bp = (cents · 100) div n_touches (floor; operands
 # non-negative, so Spark's truncating `div` and DuckDB's flooring
-# `//` agree). Each purchase leaves at most n_touches − 1 bp
-# unattributed — stated rounding semantics, bit-exact in any engine.
-# NULL/non-finite contracts mirror last-touch.
+# `//` agree). Non-negativity is ENFORCED, not assumed: both engine
+# and oracle filter value >= 0 (refund rows with negative value are
+# out of scope for attribution credit — on negative cents `div`
+# truncates toward zero while `//` floors, so admitting them would
+# diverge cross-engine). Each purchase leaves at most n_touches − 1
+# bp unattributed — stated rounding semantics, bit-exact in any
+# engine. NULL/non-finite contracts mirror last-touch.
 # ---------------------------------------------------------------------------
 
 _LINEAR_ATTR_ORACLE = """
@@ -721,7 +725,7 @@ p AS (
          CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM base
   WHERE event_type = 'purchase' AND event_id IS NOT NULL
-    AND value IS NOT NULL AND isfinite(value)),
+    AND value IS NOT NULL AND isfinite(value) AND value >= 0),
 hits AS (
   SELECT p.pid, p.cents, t.ch
   FROM p JOIN t ON t.u = p.u
@@ -763,6 +767,7 @@ def events_linear_touch_attribution(
         & F.col("value").isNotNull()
         & ~F.isnan("value")
         & (F.abs("value") != float("inf"))
+        & (F.col("value") >= 0)
     ).select(
         F.col("event_id").alias("pid"),
         F.col("user_id").alias("u"),

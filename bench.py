@@ -270,6 +270,20 @@ def main() -> None:
             measure(name)
         spark.catalog.clearCache()
 
+    # Sub-2s tier (r6 verdict item 4): 1-second queries are noise-
+    # dominated well below the heavy LOAD_GATE — r6 recorded
+    # events_incident_session_overlap 0.77 -> 1.16s (1.51x) on
+    # unchanged code with its min landing at load1 6.11, UNDER the
+    # 8.0 gate, so no retry fired. Short queries get a third measured
+    # pass (best-of-3): one extra ~1s sample per short query buys
+    # most of the variance reduction the gate buys heavies, at a
+    # bounded cost (~the sub-2s tier's own total, < 30s).
+    SHORT_TIER_S = 2.0
+    shorts = [n for n in regular if timings.get(n, SHORT_TIER_S) < SHORT_TIER_S]
+    for name in shorts:
+        measure(name)
+    spark.catalog.clearCache()
+
     # dedicated heavy pass: clean cache + forced JVM and Python GC
     # before each measurement so each heavy starts from the same
     # executor-memory state regardless of pass order
@@ -349,8 +363,14 @@ def main() -> None:
                 # load1 > load_gate (value = extra attempts used); a
                 # name still above the gate after retries keeps its
                 # min but stays attributed via load1_at_min
-                "load_gate": 8.0,
+                "load_gate": LOAD_GATE,
                 "load_gate_retries": gate_retries,
+                # sub-2s queries measured best-of-3 (third pass) —
+                # their per-sample noise floor is a large fraction of
+                # the measurement, so they get an extra sample instead
+                # of a load-gated retry
+                "short_best_of_3": sorted(shorts),
+                "short_tier_s": SHORT_TIER_S,
                 "sf": sf_val,
             },
             fh,

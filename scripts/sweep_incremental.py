@@ -86,19 +86,43 @@ _CLOSURE_CACHE: dict[str, frozenset[str]] = {}
 
 
 def _closure(dotted: str) -> frozenset[str]:
-    """Transitive package-local file closure of a dotted module."""
+    """Transitive package-local file closure of a dotted module.
+
+    Computed with an iterative worklist over modules (NOT recursive
+    memoization): a recursive scheme with a cycle-guard sentinel would
+    cache an incomplete closure for any member of an import cycle
+    (closure(B) computed mid-closure(A) would permanently omit A's
+    file), silently skipping changed code in later sweeps. The worklist
+    walks the full reachable module set first, then caches the complete
+    file set for every visited module at once, so all members of a
+    cycle share the same (complete) closure.
+    """
     if dotted in _CLOSURE_CACHE:
         return _CLOSURE_CACHE[dotted]
-    _CLOSURE_CACHE[dotted] = frozenset()  # cycle guard
-    path = _module_path(dotted)
-    if path is None or not os.path.exists(path):
-        return frozenset()
-    acc = {path}
-    pkg = dotted if path.endswith("__init__.py") else dotted.rsplit(".", 1)[0]
-    for imp in _local_imports(path, pkg):
-        acc |= _closure(imp)
-    _CLOSURE_CACHE[dotted] = frozenset(acc)
-    return _CLOSURE_CACHE[dotted]
+    visited: set[str] = set()
+    files: set[str] = set()
+    work = [dotted]
+    while work:
+        mod = work.pop()
+        if mod in visited:
+            continue
+        visited.add(mod)
+        if mod in _CLOSURE_CACHE:
+            files |= _CLOSURE_CACHE[mod]
+            continue
+        path = _module_path(mod)
+        if path is None or not os.path.exists(path):
+            continue
+        files.add(path)
+        pkg = mod if path.endswith("__init__.py") else mod.rsplit(".", 1)[0]
+        work.extend(_local_imports(path, pkg))
+    result = frozenset(files)
+    # Only the root is safely cacheable with the full set; cached
+    # sub-modules were already complete (hit above). Members first
+    # reached inside this walk may have smaller true closures, so
+    # they are left uncached rather than over-cached.
+    _CLOSURE_CACHE[dotted] = result
+    return result
 
 
 def query_hashes() -> dict[str, str]:

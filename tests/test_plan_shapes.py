@@ -450,13 +450,16 @@ def test_xcorr_series_frames_broadcast_no_fact_blowup(spark, qs):
     assert "PythonUDF" not in plan
 
 
-def test_clamped_balance_single_shuffle_packed_fold(spark, qs):
-    """The walk is ONE Arrow kernel over packed per-user arrays: one
-    aggregate exchange into collect_list, one pandas_udf, posexplode
-    back — not applyInPandas-per-group, not a window fold."""
+def test_clamped_balance_single_shuffle_streamed_fold(spark, qs):
+    """The walk is the r7 STREAMED fold: one repartition exchange,
+    within-partition sort, one MapInPandas carrying the accumulator
+    across Arrow batches — not applyInPandas-per-group (whole group in
+    one frame), not collect_list packing (whole key in one array cell);
+    peak memory is one Arrow batch regardless of key length."""
     plan = _plan(qs["events_clamped_running_balance"](spark, SF))
-    assert "FlatMapGroupsInPandas" not in plan  # packed, not per-group
-    assert "ArrowEvalPython" in plan or "PythonUDF" in plan  # the kernel
+    assert "FlatMapGroupsInPandas" not in plan  # not per-group pandas
+    assert "MapInPandas" in plan  # the batch-carried kernel
+    assert "collect_list" not in plan  # no unbounded array cells
     assert "CartesianProduct" not in plan
 
 
