@@ -77,7 +77,17 @@ def register(name: str, oracle: str | None):
 #      r1/r2 oracle row (r5 verdict item 1). Each round the ~50
 #      stalest rows refresh, so max staleness stays ≈ ceil(registry /
 #      window) rounds.
-_PINNED_FIRST: list[str] = []
+# r7 pins: queries whose DEFINITION changed after their newest green
+# row (r6) — re-basketed triples, the value>=0 / integrality contract
+# filters, and the streamed-fold balance default. Their r6 evidence
+# verified the OLD semantics, so they jump the queue instead of
+# coasting at the window's back for ~4 rounds.
+_PINNED_FIRST: list[str] = [
+    "parts_copurchase_triple_itemsets",
+    "events_clamped_running_balance",
+    "events_linear_touch_attribution",
+    "lineitem_fifo_lot_allocation",
+]
 
 
 def _ordered() -> list[tuple[str, QueryDef]]:
