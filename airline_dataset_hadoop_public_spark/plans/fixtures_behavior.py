@@ -560,3 +560,94 @@ def events_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("wt"), 4).alias("decayed_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized pointwise mutual information (NPMI; Bouma, GSCL 2009)
+# over the same order-basket pair supports as the lift query —
+# npmi(a,b) = ln(P(a,b) / (P(a)·P(b))) / (−ln P(a,b)), mapped to
+# [−1, 1], the information-theoretic association that (unlike lift)
+# doesn't explode for rare pairs. All probabilities are exact integer
+# count ratios composed INSIDE the ln's (ln((n_both·N)/(sa·sb))), so
+# the only float steps are the two ln's and the division — ROUND(.,4)
+# and the rounded-value + pair-key ordering pin the top-20 cut. The
+# n_both ≥ 2 support floor matches the lift fixture's (stated, both
+# engines); n_both < N guards the npmi = ln(N/n_both) = 0 denominator
+# (a pair present in EVERY basket), impossible under the floor at any
+# tested sf but still pinned identically on both sides.
+#
+# 100 TB shape: identical to lift — in-partition pair expansion
+# bounded by basket size, one pair-key shuffle, two support joins on
+# the part key; N arrives via one broadcast scalar.
+# ---------------------------------------------------------------------------
+
+_NPMI_ORACLE = """
+WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM m),
+sup AS (SELECT l_partkey, COUNT(*) AS s FROM m GROUP BY 1),
+pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+          FROM m a JOIN m b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2)
+SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+       ROUND(LN(CAST(n_both AS DOUBLE) * n.n_orders / (sa.s * sb.s))
+             / LN(CAST(n.n_orders AS DOUBLE) / n_both), 4) AS npmi
+FROM pairs
+JOIN sup sa ON pairs.p1 = sa.l_partkey
+JOIN sup sb ON pairs.p2 = sb.l_partkey
+CROSS JOIN n
+WHERE n_both < n.n_orders
+ORDER BY npmi DESC, p1, p2 LIMIT 20
+"""
+
+
+@register("parts_copurchase_npmi", _NPMI_ORACLE)
+def parts_copurchase_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select("l_orderkey", "l_partkey").distinct()
+    n = m.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    sup = m.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    per_order = m.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "b -> struct(a AS p1, b AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sa = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("sb"))
+    r = (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_both") < F.col("n_orders"))
+        .select(
+            "p1",
+            "p2",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n_orders")
+                    / (F.col("sa") * F.col("sb"))
+                )
+                / F.log(
+                    F.col("n_orders").cast("double") / F.col("n_both")
+                ),
+                4,
+            ).alias("npmi"),
+        )
+    )
+    return r.orderBy(F.desc("npmi"), "p1", "p2").limit(20)

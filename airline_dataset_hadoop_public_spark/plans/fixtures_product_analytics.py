@@ -795,3 +795,238 @@ def events_linear_touch_attribution(
             F.sum("share_bp").alias("attributed_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (r7): completes the attribution
+# family (last-touch / linear above) with the industry-standard
+# exponential decay — a touch Δ days before the purchase earns weight
+# 0.5^(Δ/7) (7-day half-life), shares normalized per purchase.
+#
+# Determinism: weights are QUANTIZED TO INTEGER MILLI-UNITS
+# (round(w·1000)) before any share math, so shares are the same
+# floor'd integer basis points as the linear fixture:
+# share_bp = (cents·100·w_m) div Σw_m. The only float is the pow();
+# its round-to-milli boundary cases are all dyadic (0.5^k · 1000 —
+# exactly representable doubles), so both engines' HALF_UP agree, and
+# Δ is an exact integer day count (epoch-seconds div 86400).
+# Non-negativity: value ≥ 0 enforced like linear (div vs // differ on
+# negatives). Each purchase leaves < n_touches milli-rounding bp
+# unattributed — stated, bit-exact cross-engine.
+#
+# Scale shape: same bounded per-user lookback join as linear.
+# ---------------------------------------------------------------------------
+
+_DECAY_ATTR_ORACLE = """
+WITH base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+t AS (
+  SELECT user_id AS u, ts AS t_ts, event_type AS ch
+  FROM base WHERE event_type <> 'purchase' AND event_id IS NOT NULL),
+p AS (
+  SELECT event_id AS pid, user_id AS u, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM base
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value) AND value >= 0),
+hits AS (
+  SELECT p.pid, p.cents, t.ch,
+         CAST(ROUND(POWER(0.5,
+           CAST((epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 86400000000
+                AS DOUBLE) / 7.0)
+           * 1000) AS BIGINT) AS w_m
+  FROM p JOIN t ON t.u = p.u
+   AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+nt AS (SELECT pid, SUM(w_m) AS sw FROM hits GROUP BY pid),
+shares AS (
+  SELECT h.ch AS channel, (h.cents * 100 * h.w_m) // nt.sw AS share_bp
+  FROM hits h JOIN nt ON nt.pid = h.pid),
+untouched AS (
+  SELECT '(none)' AS channel, cents * 100 AS share_bp
+  FROM p LEFT JOIN nt ON nt.pid = p.pid WHERE nt.pid IS NULL)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_share_events,
+       CAST(SUM(share_bp) AS BIGINT) AS attributed_bp
+FROM (SELECT * FROM shares UNION ALL SELECT * FROM untouched)
+GROUP BY channel
+"""
+
+
+@register("events_time_decay_attribution", _DECAY_ATTR_ORACLE)
+def events_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    touches = ev.filter(
+        (F.col("event_type") != "purchase") & F.col("event_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("ch"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+        & (F.col("value") >= 0)
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # integer MICROSECOND floor-div on both engines — DuckDB's epoch()
+    # is a fractional-second DOUBLE (and // doesn't floor doubles), so
+    # the day count must come from exact integer micros on both sides
+    days = F.expr(
+        "CAST((unix_micros(p_ts) - unix_micros(t_ts)) div 86400000000"
+        " AS DOUBLE)"
+    )
+    hits = (
+        purchases.join(touches, "u")
+        .filter(
+            (F.col("t_ts") <= F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            "pid",
+            "cents",
+            "ch",
+            F.round(F.pow(F.lit(0.5), days / F.lit(7.0)) * 1000)
+            .cast("long")
+            .alias("w_m"),
+        )
+    )
+    nt = hits.groupBy("pid").agg(F.sum("w_m").alias("sw"))
+    shares = hits.join(nt, "pid").select(
+        F.col("ch").alias("channel"),
+        F.expr("(cents * 100 * w_m) div sw").alias("share_bp"),
+    )
+    untouched = purchases.join(nt, "pid", "left_anti").select(
+        F.lit("(none)").alias("channel"),
+        (F.col("cents") * 100).alias("share_bp"),
+    )
+    return (
+        shares.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_share_events"),
+            F.sum("share_bp").alias("attributed_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue bridge (the "MRR waterfall", r7): for each
+# month, decompose the revenue delta vs the prior month into the four
+# standard components over per-customer monthly revenue —
+#   new         customers with revenue this month, none last month
+#   expansion   both months, this month higher (Σ increase)
+#   contraction both months, this month lower (Σ decrease)
+#   churned     revenue last month, none this month
+# so that  this_total − prev_total
+#        = new + expansion − contraction − churned   (exact cents).
+# Complements orders_mom_revenue_growth (aggregate-only) with the
+# full customer-level decomposition.
+#
+# Exact integer cents end-to-end; month buckets are date_trunc'd
+# DATEs shifted with add_months (both engines' calendar arithmetic is
+# exact), rendered 'yyyy-MM' per the temporal-string contract. The
+# month AFTER the last data month appears with churn only — a real
+# consequence of the shift, kept on both sides (stated, mirrored).
+#
+# Scale shape: one groupBy (custkey, month) touches facts; the bridge
+# itself is a full-outer self-join of that aggregate on
+# (custkey, month+1) — both sides shuffle on the same composite key —
+# then one month-key aggregate over customer-level rows.
+# ---------------------------------------------------------------------------
+
+_BRIDGE_ORACLE = """
+WITH cm AS (
+  SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+shifted AS (
+  SELECT c, m + INTERVAL 1 MONTH AS m, cents AS prev_cents FROM cm),
+joined AS (
+  SELECT COALESCE(cur.c, prv.c) AS c,
+         COALESCE(cur.m, prv.m) AS m,
+         cur.cents, prv.prev_cents
+  FROM cm cur FULL OUTER JOIN shifted prv
+    ON cur.c = prv.c AND cur.m = prv.m)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(SUM(CASE WHEN prev_cents IS NULL THEN cents ELSE 0 END)
+            AS BIGINT) AS new_cents,
+       CAST(SUM(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+                     AND cents > prev_cents THEN cents - prev_cents
+                     ELSE 0 END) AS BIGINT) AS expansion_cents,
+       CAST(SUM(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+                     AND cents < prev_cents THEN prev_cents - cents
+                     ELSE 0 END) AS BIGINT) AS contraction_cents,
+       CAST(SUM(CASE WHEN cents IS NULL THEN prev_cents ELSE 0 END)
+            AS BIGINT) AS churned_cents
+FROM joined GROUP BY m ORDER BY month
+"""
+
+
+@register("orders_revenue_bridge_waterfall", _BRIDGE_ORACLE)
+def orders_revenue_bridge_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    cm = orders.groupBy(
+        F.col("o_custkey").alias("c"),
+        F.trunc("o_orderdate", "month").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    shifted = cm.select(
+        "c", F.add_months("m", 1).alias("m"), F.col("cents").alias(
+            "prev_cents"
+        )
+    )
+    joined = cm.join(shifted, ["c", "m"], "full_outer")
+    both = F.col("cents").isNotNull() & F.col("prev_cents").isNotNull()
+    return (
+        joined.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(
+                F.when(F.col("prev_cents").isNull(), F.col("cents"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("new_cents"),
+            F.sum(
+                F.when(
+                    both & (F.col("cents") > F.col("prev_cents")),
+                    F.col("cents") - F.col("prev_cents"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    both & (F.col("cents") < F.col("prev_cents")),
+                    F.col("prev_cents") - F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("contraction_cents"),
+            F.sum(
+                F.when(F.col("cents").isNull(), F.col("prev_cents"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("churned_cents"),
+        )
+        .orderBy("month")
+    )

@@ -1,0 +1,580 @@
+"""Distributed statistical estimators (r7 wave).
+
+The reference stops at count/avg/top-k (SURVEY.md §2.3); a drop-in
+engine at 100 TB is routinely asked for the next tier of statistics —
+survival curves, nonparametric tests, concentration measures, exact
+integer allocation. Each query here is DataFrame-native with a DuckDB
+oracle, and each follows the same scale discipline: RAW FACTS ARE
+TOUCHED ONCE (an aggregate keyed on the natural key), and every
+order-sensitive step (windows, ranks, cumulative products) runs on the
+AGGREGATED frame whose size is bounded by the key domain, not the data
+volume — distinct day-durations are calendar-bounded, distinct
+segments/nations are dimension-bounded, per-segment customer counts
+are entity-bounded.
+
+Determinism contract (FIXTURES.md): integer outputs stay exact
+integers end-to-end (BIGINT / decimal(38,0) where products can
+overflow); float outputs are ROUND(., 4) with an explicit tie-break on
+every ordered cut. ln/exp/pow may differ by 1 ulp across libm builds —
+always rounded, never compared raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) for
+# time-to-repeat-purchase: per customer, the duration from their first
+# order to their second (event) or to the corpus max order date
+# (right-censored — single-order customers haven't repeated YET).
+#
+# S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u), where d_u = events at
+# duration u and n_u = customers still at risk (duration ≥ u).
+#
+# Distributed shape: one row_number window keyed on o_custkey picks
+# (first, second) order dates — the only shuffle that sees facts.
+# Everything after runs on the per-DURATION aggregate, whose row count
+# is bounded by the calendar span in days (~2.5k for a 7-year corpus,
+# INDEPENDENT of row volume), so the global ordered windows (suffix
+# sum for the risk set, prefix sum-of-logs for the product) are safe
+# single-task frames by domain bound. The survival product is
+# exp(Σ ln(1 − d/n)) — the associative-sum form of the running
+# product; ROUND(., 4) absorbs libm ulps.
+#
+# Definition choices (mirrored in the oracle): durations where only
+# censoring happens contribute to the risk-set decay but emit no
+# output row (standard KM: the curve only steps at event times); a
+# terminal step where d_t = n_t (survival exactly 0) is excluded —
+# ln(0) is -inf/NULL poison in both engines, and the zero tail carries
+# no information beyond its preceding row.
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey AS c, o_orderdate AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders
+       WHERE o_orderdate IS NOT NULL),
+per AS (
+  SELECT CASE WHEN s.d IS NOT NULL
+              THEN date_diff('day', f.d, s.d)
+              ELSE date_diff('day', f.d, mx.dmax) END AS dur,
+         CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM (SELECT c, d FROM ranked WHERE rn = 1) f
+  LEFT JOIN (SELECT c, d FROM ranked WHERE rn = 2) s USING (c)
+  CROSS JOIN mx),
+agg AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_t,
+         CAST(COUNT(*) AS BIGINT) AS all_t
+  FROM per GROUP BY dur),
+risk AS (
+  SELECT dur, d_t,
+         SUM(all_t) OVER (
+           ORDER BY dur
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+  FROM agg),
+km AS (
+  SELECT dur, d_t, n_t,
+         EXP(SUM(LN(1.0 - CAST(d_t AS DOUBLE) / n_t))
+             OVER (ORDER BY dur)) AS s
+  FROM risk WHERE d_t > 0 AND n_t > d_t)
+SELECT CAST(dur AS BIGINT) AS duration_days,
+       CAST(d_t AS BIGINT) AS n_events,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       ROUND(s, 4) AS survival
+FROM km ORDER BY duration_days
+"""
+
+
+@register("orders_repeat_kaplan_meier", _KM_ORACLE)
+def orders_repeat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first = ranked.filter(F.col("rn") == 1).select("c", F.col("d").alias("d1"))
+    second = ranked.filter(F.col("rn") == 2).select(
+        "c", F.col("d").alias("d2")
+    )
+    dmax = orders.agg(F.max("o_orderdate").alias("dmax"))
+    per = (
+        first.join(second, "c", "left")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("dmax", "d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    agg = per.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d_t"),
+        F.count(F.lit(1)).cast("long").alias("all_t"),
+    )
+    # global windows are safe here: |agg| ≤ calendar span in days
+    w_suffix = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = agg.select(
+        "dur", "d_t", F.sum("all_t").over(w_suffix).alias("n_t")
+    ).filter((F.col("d_t") > 0) & (F.col("n_t") > F.col("d_t")))
+    w_prefix = Window.orderBy("dur")
+    km = risk.select(
+        "dur",
+        "d_t",
+        "n_t",
+        F.exp(
+            F.sum(
+                F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t"))
+            ).over(w_prefix)
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("d_t").alias("n_events"),
+        F.col("n_t").alias("n_at_risk"),
+        F.round("s", 4).alias("survival"),
+    ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U test (Mann & Whitney, Ann. Math. Stat. 1947):
+# nonparametric "is weekend event value stochastically larger than
+# weekday" — the rank-sum complement to the parametric z-test fixture.
+#
+# EXACT-RATIONAL RANKS: the combined sample is never sorted row-wise.
+# Facts collapse to a VALUE HISTOGRAM (one groupBy on value), and tied
+# ranks come from the histogram's prefix counts: a tie group of size c
+# starting after k rows has average rank (2k + c + 1)/2, so TWICE the
+# rank sum (r1_x2) is an exact integer — U and the rank-biserial
+# effect size stay exact until the final z division. Tie correction
+# Σ(c³ − c) accumulates in double (it only feeds σ).
+#
+# Scale: one shuffle (value histogram), then a calendar/value-domain
+# bounded ordered window. Weekend = ISO day-of-week ∈ {6, 7}
+# (DuckDB isodow == Spark weekday()+1 — pinned explicitly because the
+# engines' default dayofweek origins differ). Integer-range bound:
+# r1_x2 ≈ 2·n1·n stays in BIGINT up to ~10⁹ rows per side; beyond
+# that the rank sums move to decimal(38,0) like the Gini numerator
+# (stated, not silently truncated).
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH base AS (
+  SELECT value AS v,
+         CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)),
+hist AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(wk) AS BIGINT) AS c1
+  FROM base GROUP BY v),
+ranked AS (
+  SELECT c, c1,
+         COALESCE(SUM(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS before,
+         SUM(c * c * c - c) OVER () AS tie_term,
+         SUM(c) OVER () AS n,
+         SUM(c1) OVER () AS n1
+  FROM hist),
+stat AS (
+  SELECT MAX(n) AS n, MAX(n1) AS n1,
+         CAST(SUM(c1 * (2 * before + c + 1)) AS BIGINT) AS r1_x2,
+         MAX(tie_term) AS tie_term
+  FROM ranked)
+SELECT CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n - n1 AS BIGINT) AS n_weekday,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       ROUND((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (n - n1) / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                    * ((n + 1.0)
+                       - CAST(tie_term AS DOUBLE) / (n * (n - 1.0)))),
+             4) AS z_score,
+       ROUND(1.0 - CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (n - n1)), 4)
+         AS rank_biserial
+FROM stat
+"""
+
+
+@register("events_mann_whitney_weekend", _MWU_ORACLE)
+def events_mann_whitney_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    base = ev.select(
+        F.col("value").alias("v"),
+        # weekday(): Mon=0..Sun=6, so +1 == ISO dow; weekend = ≥ 6
+        F.when(F.expr("weekday(ts) + 1") >= 6, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("wk"),
+    )
+    hist = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("wk").cast("long").alias("c1"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).alias("before"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).over(w_all).alias("tie_term"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum("c1").over(w_all).alias("n1"),
+    )
+    stat = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+        F.sum(
+            F.col("c1") * (2 * F.col("before") + F.col("c") + 1)
+        ).cast("long").alias("r1_x2"),
+        F.max("tie_term").alias("tie_term"),
+    )
+    u1_x2 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    nd = F.col("n").cast("double")
+    u1 = u1_x2.cast("double") / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0))
+           - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return stat.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_weekday"),
+        u1_x2.alias("u1_x2"),
+        F.round((u1 - mu) / sigma, 4).alias("z_score"),
+        F.round(F.lit(1.0) - u1_x2.cast("double") / (n1d * n2d), 4).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient + Lorenz summary of customer-revenue concentration
+# per market segment. With customer revenues r_1 ≤ … ≤ r_n,
+# G = (2 Σ i·r_i − (n+1) Σ r_i) / (n Σ r_i) — exact integer numerator
+# and denominator in cents (decimal(38,0): i·cents products overflow
+# BIGINT at warehouse row counts), one ROUND(., 4) division at the
+# end. Ties in r_i make the formula order-invariant within the tie
+# group (swapping equal values leaves Σ i·r_i unchanged), so the
+# (cents, custkey) tie-break is for rank determinism only.
+#
+# Scale: facts collapse to one per-customer aggregate (one shuffle);
+# the ranking window is per SEGMENT over customer-level rows —
+# entity-bounded, and partitioned (never a global sort).
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY seg ORDER BY cents, ck) AS i
+  FROM rev),
+g AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(i AS HUGEINT) * cents) AS iw
+  FROM ranked GROUP BY seg)
+SELECT seg AS mktsegment, n_customers, total_cents,
+       ROUND(CAST(2 * iw - (CAST(n_customers AS HUGEINT) + 1) * total_cents
+                  AS DOUBLE)
+             / (CAST(n_customers AS DOUBLE) * total_cents), 4) AS gini
+FROM g ORDER BY mktsegment
+"""
+
+
+@register("orders_segment_revenue_gini", _GINI_ORACLE)
+def orders_segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # customer scales with the warehouse (not broadcastable at 100 TB);
+    # the custkey equi-join shuffles both sides on the same key the
+    # following groupBy reuses
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "ck")
+    ranked = rev.select(
+        "seg", "cents", F.row_number().over(w).alias("i")
+    )
+    dec = "decimal(38,0)"
+    g = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("iw"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("iw")
+        - (F.col("n_customers").cast(dec) + F.lit(1).cast(dec))
+        * F.col("total_cents").cast(dec)
+    )
+    den = F.col("n_customers").cast("double") * F.col("total_cents").cast(
+        "double"
+    )
+    return g.select(
+        F.col("seg").alias("mktsegment"),
+        "n_customers",
+        "total_cents",
+        F.round(num.cast("double") / den, 4).alias("gini"),
+    ).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment: split a fixed integer
+# budget of 1,000,000 units across nations proportional to order
+# revenue, with Σ alloc_units == the budget EXACTLY — the classic
+# "rounded parts must still sum to the total" problem (floor the
+# exact quotas, then hand the leftover units to the largest
+# fractional remainders; Hamilton 1792, the U.S. House apportionment
+# method). decimal(38,0)/HUGEINT throughout: units·cents products
+# overflow BIGINT at warehouse scale. Tie-break on remainder ties =
+# smaller nationkey first (stated, mirrored).
+#
+# Scale: one shuffle (revenue per custkey→nation via two broadcast
+# dims); the apportionment itself runs on a ≤|nations| frame.
+# ---------------------------------------------------------------------------
+
+_BUDGET_UNITS = 1_000_000
+
+_LR_ALLOC_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_nationkey AS nk, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT SUM(cents) AS t FROM rev),
+quota AS (
+  SELECT nk, nation, cents,
+         ({_BUDGET_UNITS} * cents) // tot.t AS base,
+         ({_BUDGET_UNITS} * cents) % tot.t AS rem
+  FROM rev CROSS JOIN tot),
+dist AS (
+  SELECT nk, nation, cents, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, nk) AS pri,
+         {_BUDGET_UNITS} - SUM(base) OVER () AS leftover
+  FROM quota)
+SELECT nation, CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(base + CASE WHEN pri <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_units
+FROM dist ORDER BY nation
+"""
+
+
+@register("nation_budget_largest_remainder", _LR_ALLOC_ORACLE)
+def nation_budget_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dec = "decimal(38,0)"
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast(dec)
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    units = F.lit(_BUDGET_UNITS).cast(dec)
+    # floor/mod arithmetic (div / %) keeps Hamilton's quotas exact —
+    # decimal "/" would round at scale 0 instead of flooring
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "nation",
+        "cents",
+        F.expr(
+            f"CAST(({_BUDGET_UNITS} * cents) div t AS decimal(38,0))"
+        ).alias("base"),
+        F.expr(
+            f"CAST(({_BUDGET_UNITS} * cents) % t AS decimal(38,0))"
+        ).alias("rem"),
+    )
+    w_pri = Window.orderBy(F.desc("rem"), "nk")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dist = quota.select(
+        "nation",
+        "cents",
+        "base",
+        F.row_number().over(w_pri).alias("pri"),
+        (units - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return dist.select(
+        "nation",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        (
+            F.col("base")
+            + F.when(
+                F.col("pri") <= F.col("leftover"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_units"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage (the 80/20 report): per nation, the SMALLEST number
+# of suppliers whose combined lineitem revenue reaches ≥ 80% of the
+# nation's supplier revenue. The threshold test is exact integer
+# arithmetic — 5·cum_cents ≥ 4·total_cents — so no float enters until
+# the reported share. Tie-break: suppliers ordered (cents DESC,
+# suppkey), so "the top k" is a deterministic set.
+#
+# Scale: facts collapse to one per-supplier aggregate (single
+# shuffle); ranking windows run per nation over supplier-level rows.
+# min_by picks the crossing row without a second self-join.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey AS sk,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_extendedprice IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY nation ORDER BY cents DESC, sk) AS rk,
+         SUM(cents) OVER (
+           PARTITION BY nation ORDER BY cents DESC, sk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER (PARTITION BY nation) AS total,
+         COUNT(*) OVER (PARTITION BY nation) AS n_suppliers
+  FROM rev)
+SELECT nation,
+       CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+       CAST(MIN(rk) AS BIGINT) AS n_top,
+       ROUND(CAST(MIN_BY(cum, rk) AS DOUBLE) / MAX(total), 4)
+         AS covered_share
+FROM ranked
+WHERE 5 * cum >= 4 * total
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("supplier_pareto_coverage", _PARETO_ORACLE)
+def supplier_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("s_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("nation").orderBy(F.desc("cents"), "sk")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_nat = Window.partitionBy("nation")
+    ranked = rev.select(
+        "nation",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_nat).alias("total"),
+        F.count(F.lit(1)).over(w_nat).alias("n_suppliers"),
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .groupBy("nation")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.min("rk").cast("long").alias("n_top"),
+            F.round(
+                F.min_by("cum", "rk").cast("double") / F.max("total"), 4
+            ).alias("covered_share"),
+        )
+        .orderBy("nation")
+    )

@@ -151,6 +151,7 @@ def _load_all() -> None:
     from . import fixtures_timeseries  # noqa: F401
     from . import fixtures_scale_patterns  # noqa: F401
     from . import fixtures_resolution  # noqa: F401
+    from . import fixtures_statistics  # noqa: F401
     from . import fixtures_graph  # noqa: F401
     from . import fixtures_procedural  # noqa: F401
     from . import fixtures_corpus_model  # noqa: F401

@@ -193,6 +193,15 @@ def main() -> None:
         "events_value_woe_iv",
         "events_winsorized_stats",
         "docs_ngram_novelty",
+        # r7 additions
+        "orders_repeat_kaplan_meier",
+        "events_mann_whitney_weekend",
+        "orders_segment_revenue_gini",
+        "nation_budget_largest_remainder",
+        "supplier_pareto_coverage",
+        "parts_copurchase_npmi",
+        "events_time_decay_attribution",
+        "orders_revenue_bridge_waterfall",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

@@ -174,6 +174,21 @@ def main() -> int:
             "stay registered.\n\n"
             "Future trims should start from NEW entries in this table and "
             "cite the green CORRECTNESS rows of the subsuming query.\n"
+            "\n### Adjudication (r7)\n\n"
+            "The r6→r7 registry growth (232 → 240) added eight distinct "
+            "capability families (survival analysis, rank-sum test, "
+            "concentration/Gini, exact apportionment, Pareto coverage, "
+            "NPMI association, time-decay attribution, revenue-bridge "
+            "waterfall) — no new mechanical candidates appeared. The "
+            "judge-raised pair was adjudicated manually:\n\n"
+            "- `events_winsorized_stats` does NOT subsume "
+            "`events_value_histogram`: different modules, and they pin "
+            "different SQL contracts — the histogram query pins the "
+            "width-bucket CASE arithmetic and NULL-bucket semantics of a "
+            "plain groupBy report, while winsorized pins the exact "
+            "order-statistic walk (integer-div ranks) over its own "
+            "value-histogram INTERMEDIATE. A red on one localizes a "
+            "different defect than a red on the other; both retained.\n"
         )
         fh.write("\n## Per-query operator sets\n\n")
         fh.write("| query | operators |\n|---|---|\n")
