@@ -86,6 +86,14 @@ AUDIT = {
     "events_linear_touch_attribution": "per-user lookback equi-join; exact floored basis-point shares (div) — no float boundary in the hash",
     "events_winsorized_stats": "exact percentile via the VALUE-HISTOGRAM cumulative walk (tiny type x distinct-value frame) — no per-type fact sort; boundaries broadcast back for the clip",
     "docs_ngram_novelty": "distinct (doc, gram) explode -> min-per-gram partial agg -> gram-key join back; every stage hash-partitioned on the gram; exact basis points",
+    "orders_repeat_kaplan_meier": "one custkey window picks (first, second) order dates; per-duration aggregate; suffix-sum risk set + prefix sum-of-logs on the calendar-bounded duration frame (single-task window is domain-bounded, <= span days)",
+    "events_mann_whitney_weekend": "facts collapse to ONE value histogram Exchange; exact-rational tied ranks from prefix counts; single-row output — no row-level sort of the combined sample",
+    "orders_segment_revenue_gini": "custkey-join + per-customer aggregate (one fact shuffle); per-SEGMENT rank window on customer-level rows; decimal(38,0) rank-weighted sum, one rounded division",
+    "nation_budget_largest_remainder": "fact aggregate -> <=|nations| frame; exact div/% quotas; remainder ranking window on the tiny frame; broadcast total",
+    "supplier_pareto_coverage": "suppkey join + per-supplier aggregate (one fact shuffle); per-nation rank/cumsum windows on supplier-level rows; integer 5*cum >= 4*total crossing test",
+    "parts_copurchase_npmi": "in-partition basket pair expansion (same as lift) -> one pair-key shuffle; two support joins; broadcast N; ln only in the final rounded score",
+    "events_time_decay_attribution": "per-user lookback equi-join; milli-quantized dyadic weights; exact floored bp shares (div) — no float boundary in the hash",
+    "orders_revenue_bridge_waterfall": "one (custkey, month) fact aggregate; full-outer self-join on the shifted composite key (both sides share the partitioning); month-key final aggregate",
 }
 
 
