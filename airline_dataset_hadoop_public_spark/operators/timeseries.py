@@ -121,29 +121,32 @@ def ewma_per_key(
     value_col: str,
     alpha: float = 0.3,
     out: str = "ewma",
-    impl: str = "packed",
+    impl: str = "streamed",
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average, exact recurrence
     y_t = alpha*x_t + (1-alpha)*y_{t-1} (y_0 = x_0), ordered by
     (ts, value). A window function cannot express the recurrence
     without exponentially-scaled weights that overflow on long series.
 
-    Two implementations, same semantics and the same single shuffle:
+    Three implementations, same semantics and the same single shuffle:
 
-    - ``packed`` (default): collect each key's sorted series into one
-      array row, fold all series in ONE Arrow-batched kernel call,
+    - ``streamed`` (default since r7): sorted-stream fold with the
+      accumulator carried across Arrow batches (`_streamed_fold`) —
+      peak memory one batch regardless of key length, identical IEEE
+      sequence (bit-equal to packed, pytest-pinned). Also measured
+      FASTER than packed at sf0.1 (0.50s vs 0.62s): it skips the
+      collect_list materialization and the posexplode.
+    - ``packed``: collect each key's sorted series into one array
+      row, fold all series in ONE Arrow-batched kernel call,
       posexplode back. ~4x faster than grouped-pandas at sf0.1 —
       ``applyInPandas`` flushes a separate Arrow batch per GROUP, and
       with thousands of small groups that per-group overhead dominates
       the actual fold. Requires each key's series to fit in a row
-      (the usual collect_list contract).
+      (the usual collect_list contract) — a hot key is one task's OOM,
+      which is why it lost the default to streamed.
     - ``grouped_pandas``: ``groupBy().applyInPandas`` streaming one
       group at a time — NOTE this still materializes each GROUP as
       one pandas frame, so a hot key is still one task's memory.
-    - ``streamed``: sorted-stream fold with the accumulator carried
-      across Arrow batches (`_streamed_fold`) — peak memory one
-      batch regardless of key length, same single shuffle, identical
-      IEEE sequence (bit-equal to packed, pytest-pinned).
     """
     if impl == "streamed":
 
@@ -228,7 +231,7 @@ def holt_per_key(
     key_col: str,
     ts_col: str,
     value_col: str,
-    impl: str = "packed",
+    impl: str = "streamed",
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing (level + trend),
     exact recurrence with alpha = beta = 0.5 (both smoothing products
@@ -240,13 +243,15 @@ def holt_per_key(
         l_t = 0.5·x_t + 0.5·(l_{t-1} + b_{t-1})
         b_t = 0.5·(l_t − l_{t-1}) + 0.5·b_{t-1}
 
-    Packed collect-fold shape: one shuffle on the key, one Arrow
-    kernel call for all series, posexplode back. Output adds
-    (level, trend) columns; rows ordered within key by (ts, value).
+    One shuffle on the key either way. Output adds (level, trend)
+    columns; rows ordered within key by (ts, value).
 
-    ``impl="streamed"`` carries the (level, trend) pair across Arrow
-    batches over the sorted row stream — bounded memory for hot keys,
-    identical IEEE sequence (see `_streamed_fold`).
+    ``impl="streamed"`` (default since r7) carries the (level, trend)
+    pair across Arrow batches over the sorted row stream — bounded
+    memory for hot keys, identical IEEE sequence (see
+    `_streamed_fold`), and measured faster than packed at sf0.1
+    (0.44s vs 0.70s). ``impl="packed"`` keeps the collect-fold-explode
+    layout (whole key in one array cell).
     """
     if impl == "streamed":
 

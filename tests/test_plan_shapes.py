@@ -189,13 +189,30 @@ def test_ingest_roundtrip_prunes_canonical_partitions(spark, qs):
     assert part and "Year" in part[0]
 
 
-def test_ewma_packed_is_arrow_single_shuffle(spark, qs):
-    """Default EWMA path: collect-fold-explode — one key shuffle, one
-    Arrow kernel call per batch (NOT one flush per group)."""
+def test_ewma_default_is_streamed_single_shuffle(spark, qs):
+    """Default EWMA path (streamed since r7): one repartition
+    exchange, within-partition sort, one MapInPandas carrying the
+    accumulator across batches — no per-group pandas flush, no
+    unbounded collect_list cells."""
     plan = _plan(qs["events_ewma_per_user"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "collect_list" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_ewma_packed_is_arrow_single_shuffle(spark):
+    """The packed variant keeps its shape: collect-fold-explode — one
+    key shuffle, one Arrow kernel call per batch."""
+    from airline_dataset_hadoop_public_spark.operators.timeseries import (
+        ewma_per_key,
+    )
+    from airline_dataset_hadoop_public_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").limit(500)
+    plan = _plan(ewma_per_key(ev, "user_id", "ts", "value", impl="packed"))
     assert "ArrowEvalPython" in plan
     assert "FlatMapGroupsInPandas" not in plan
-    assert plan.count("Exchange") <= 2
 
 
 def test_ewma_grouped_pandas_variant(spark):
