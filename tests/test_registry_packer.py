@@ -14,15 +14,35 @@ def _ordered():
     return registry._ordered()
 
 
+def _pinned():
+    from airline_dataset_hadoop_public_spark.plans import registry
+
+    registry._load_all()
+    return [n for n in registry._PINNED_FIRST if n in registry.REGISTRY]
+
+
+def test_pinned_redefinitions_lead_the_window():
+    """Queries whose DEFINITION changed after their newest green row
+    jump the queue (r7 tier 1): their old evidence verified old
+    semantics, so they must not coast at the verified tier's back."""
+    items = _ordered()
+    pins = _pinned()
+    assert [n for n, _ in items[: len(pins)]] == pins
+
+
 def test_window_is_all_unverified_while_backlog_exceeds_window():
     from airline_dataset_hadoop_public_spark.plans.driver_history import (
         DRIVER_VERIFIED,
     )
 
     items = _ordered()
-    unverified = [n for n, _ in items if n not in DRIVER_VERIFIED]
-    window = [n for n, _ in items[:WINDOW]]
-    if len(unverified) >= WINDOW:
+    pins = _pinned()
+    # pins occupy the very front; the tier contract below applies to
+    # the remaining slots
+    rest = [n for n, _ in items[len(pins) :]]
+    unverified = [n for n in rest if n not in DRIVER_VERIFIED]
+    window = rest[: WINDOW - len(pins)]
+    if len(unverified) >= len(window):
         assert all(n not in DRIVER_VERIFIED for n in window)
     else:
         # backlog smaller than the window: all of it must be in front
@@ -63,15 +83,19 @@ def test_registration_order_is_preserved_within_each_family():
         DRIVER_LAST_GREEN,
     )
 
+    pins = set(_pinned())
     for mod, names in seen.items():
         # within a family, unverified names keep registration order and
         # verified names keep it WITHIN a staleness tier (the r6 packer
-        # sorts the verified bucket by newest-green round, stably)
+        # sorts the verified bucket by newest-green round, stably);
+        # pinned redefinitions are their own tier and exempt
         unv = [n for n in names if n not in DRIVER_VERIFIED]
-        ver = [n for n in names if n in DRIVER_VERIFIED]
+        ver = [n for n in names if n in DRIVER_VERIFIED and n not in pins]
         ref = reg_order[mod]
         assert unv == [n for n in ref if n not in DRIVER_VERIFIED]
-        ref_ver = [n for n in ref if n in DRIVER_VERIFIED]
+        ref_ver = [
+            n for n in ref if n in DRIVER_VERIFIED and n not in pins
+        ]
         assert ver == sorted(ref_ver, key=lambda n: DRIVER_LAST_GREEN[n])
 
 
@@ -87,7 +111,10 @@ def test_window_fronts_globally_stalest_verified_names():
     )
 
     items = _ordered()
-    inside = [n for n, _ in items[:WINDOW] if n in DRIVER_VERIFIED]
+    pins = set(_pinned())
+    inside = [
+        n for n, _ in items[:WINDOW] if n in DRIVER_VERIFIED and n not in pins
+    ]
     outside = [n for n, _ in items[WINDOW:] if n in DRIVER_VERIFIED]
     if inside and outside:
         assert max(DRIVER_LAST_GREEN[n] for n in inside) <= min(
