@@ -421,12 +421,32 @@ def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Apriori frequent 3-itemsets (r6 wave; baskets redefined r7): basket
-# = a CUSTOMER's distinct part set across their order history; L2 =
-# pairs in ≥ MINSUP baskets; candidate triples join L2 pairs sharing
-# their first item and are pruned by the Apriori property (EVERY
-# 2-subset must be frequent — Agrawal & Srikant, VLDB'94) before any
-# support counting touches the baskets again.
+# Apriori frequent 3-itemsets (r6 wave; baskets redefined r7; shape
+# reworked r7b): basket = a CUSTOMER's distinct part set across their
+# order history; L2 = pairs in ≥ MINSUP baskets; a triple's support
+# is counted as PER-BASKET TRIANGLES over the frequent-pair edge set
+# — for each basket, wedges (a,b),(a,c) of surviving pairs close into
+# a triangle iff (b,c) also survives, and support(a,b,c) = number of
+# basket-triangles. Monotonicity (Agrawal & Srikant, VLDB'94) makes
+# this EXACTLY the Apriori answer: any triple in ≥ MINSUP baskets has
+# all three pairs in ≥ MINSUP baskets, so every supporting basket
+# contributes exactly one triangle; sub-MINSUP noise dies at the
+# final HAVING.
+#
+# Why triangles (r7b): at sf0.01 the L2 floor of 2 admits 274k
+# frequent pairs, and candidate generation (L2 ⋈ L2 on the shared
+# first item, then the every-2-subset prune) materializes 27.3M
+# candidate triples BEFORE the prune can cut — 93s of driver-scale
+# wall (36s of it DuckDB). The triangle form never builds a candidate
+# absent from a concrete basket, so its work is wedge-bounded:
+# measured oracle wall 0.4s / 1.0s / 4.1s at sf0.001/0.01/0.1 (was
+# 1.4s / 36s / 2.0s), identical result rows at all three scales.
+# The ENGINE picks between the two shapes per dataset with an exact
+# cost statistic (see the branch comment in the fixture) because
+# their crossover is real: sparse L2 favors the candidate join
+# (sf0.1: 4.7s vs ~8s triangle), dense L2 the triangle form
+# (sf0.01: ~4s vs 58s candidate). The ORACLE stays the one fixed
+# triangle SQL — worst case 4.1s at any tested scale.
 #
 # Why customer baskets (r7, verdict item 2): ORDER baskets sparsify
 # as the part vocabulary scales with data volume — at sf0.1 no part
@@ -438,39 +458,49 @@ def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and keep support ≥ 2 populated at every tested scale (measured
 # sup3 rows: 400k @ sf0.001 / 151k @ sf0.01 / 16k @ sf0.1).
 #
-# 100 TB shape: support counting joins the candidate list (Apriori-
-# pruned) against the basket-pair table on the (a, b) key and checks
-# c by one more membership join — never a 3-way basket self-join
-# over raw facts. The basket pair expansion is C(|basket|, 2) per
-# customer — per-basket-quadratic like any pair mining; a whale
-# customer gets the same cap/bucketing treatment as the Adamic–Adar
-# hub note. Determinism: supports are exact integers; the report
-# orders by (support DESC, triple key).
+# 100 TB shape: the basket-pair expansion is C(|basket|, 2) per
+# customer IN-PARTITION from the collected part list (the
+# _copurchase_edges trick — no shuffle self-join on the basket key);
+# the frequent-pair filter is a semi-join against the (broadcastable
+# under AQE) L2 frame; wedges expand in-partition from each basket's
+# per-part partner list and close via one semi-join on the
+# (basket, b, c) key. Every shuffled frame is frequent-pair- or
+# wedge-bounded — never all-candidate-bounded. A whale customer gets
+# the same cap/bucketing treatment as the Adamic–Adar hub note.
+# Determinism: supports are exact integers; the report orders by
+# (support DESC, triple key).
 # ---------------------------------------------------------------------------
 
 _TRIPLE_MINSUP = 2
 
+# Plan-selection threshold (exact candidate-triple count from L2
+# degree stats): measured statistic is 1.2M @ sf0.001 / 27.3M @
+# sf0.01 / 6.5M @ sf0.1; the candidate join measured 4.7s at 6.5M
+# (vs ~8s triangle) and 58s+ at 27.3M (vs ~4s triangle), so the cap
+# sits at the geometric midpoint of the measured crossover.
+_TRIPLE_CAND_CAP = 12_000_000
+
 _TRIPLES_ORACLE = f"""
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS o, l_partkey AS p
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
-l2 AS (
-  SELECT x.p AS a, y.p AS b2, CAST(COUNT(*) AS BIGINT) AS sup
-  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+bp0 AS MATERIALIZED (
+  SELECT x.o, x.p AS a, y.p AS b2
+  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+l2 AS MATERIALIZED (
+  SELECT a, b2 FROM bp0
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_TRIPLE_MINSUP}),
-cand AS (
-  SELECT p.a, p.b2 AS b, q.b2 AS c
-  FROM l2 p JOIN l2 q ON p.a = q.a AND p.b2 < q.b2
-  JOIN l2 r ON r.a = p.b2 AND r.b2 = q.b2),
+bp AS MATERIALIZED (
+  SELECT bp0.o, bp0.a, bp0.b2 FROM bp0 SEMI JOIN l2 USING (a, b2)),
+tri AS (
+  SELECT e1.o, e1.a, e1.b2 AS b, e2.b2 AS c
+  FROM bp e1 JOIN bp e2 ON e1.o = e2.o AND e1.a = e2.a AND e1.b2 < e2.b2
+  SEMI JOIN bp e3 ON e3.o = e1.o AND e3.a = e1.b2 AND e3.b2 = e2.b2),
 sup3 AS (
-  SELECT c.a, c.b, c.c, CAST(COUNT(*) AS BIGINT) AS support
-  FROM cand c
-  JOIN b x ON x.p = c.a
-  JOIN b y ON y.o = x.o AND y.p = c.b
-  JOIN b z ON z.o = x.o AND z.p = c.c
-  GROUP BY 1, 2, 3
+  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+  FROM tri GROUP BY 1, 2, 3
   HAVING COUNT(*) >= {_TRIPLE_MINSUP})
 SELECT a AS part_a, b AS part_b, c AS part_c, support
 FROM sup3
@@ -487,7 +517,10 @@ def parts_copurchase_triple_itemsets(
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    baskets = cache_tracked(
+    # ONE shuffle builds the deduped basket lists: collect_set fuses
+    # the (o, p) distinct into the per-basket grouping (a separate
+    # .distinct() would be a second full shuffle of the fact join)
+    lists = cache_tracked(
         li.filter(F.col("l_partkey").isNotNull())
         .join(
             orders.filter(F.col("o_custkey").isNotNull()).select(
@@ -498,43 +531,127 @@ def parts_copurchase_triple_itemsets(
         .select(
             F.col("o_custkey").alias("o"), F.col("l_partkey").alias("p")
         )
-        .distinct()
+        .groupBy("o")
+        .agg(F.collect_set("p").alias("ps"))
     )
-    bx = baskets.select("o", F.col("p").alias("a"))
-    by = baskets.select("o", F.col("p").alias("b"))
+    # basket pairs expand IN-PARTITION from each basket's part set
+    # (no shuffle self-join on the basket key); the set semantics make
+    # the b > a pair expansion order-insensitive, so the frame is
+    # deterministic even though collect_set order is not
+    bp0 = lists.select(
+        "o",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda a: F.transform(
+                        F.filter("ps", lambda b: b > a),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("q"),
+    ).select("o", F.col("q.a").alias("a"), F.col("q.b").alias("b"))
     l2 = cache_tracked(
-        bx.join(by, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        bp0.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= _TRIPLE_MINSUP)
         .select("a", "b")
     )
-    # candidate join: L2 pairs sharing the first item, then the
-    # Apriori prune — (b, c) must itself be frequent
-    pq = (
-        l2.alias("p")
-        .join(l2.alias("q"), F.col("p.a") == F.col("q.a"))
-        .filter(F.col("p.b") < F.col("q.b"))
-        .select(
-            F.col("p.a").alias("a"),
-            F.col("p.b").alias("b"),
-            F.col("q.b").alias("c"),
+    # Cost-based physical-plan selection (both branches are proven
+    # result-identical — see the header): the Apriori candidate join
+    # materializes EXACTLY sum_a C(deg_a, 2) candidate triples, an
+    # exact statistic computable from the (pair-vocabulary-bounded)
+    # L2 frame for the cost of one tiny aggregate + a scalar collect.
+    # Sparse L2 (bench scale: 6.5M at sf0.1) → candidate join, whose
+    # downstream membership joins touch only the pruned candidates;
+    # dense L2 (driver scale: 27.3M at sf0.01) → basket-triangle
+    # counting, whose work is wedge-bounded instead of
+    # candidate-bounded. The same decision an optimizer would make
+    # from table stats, made here from the exact statistic.
+    cand_est = (
+        l2.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+        or 0
+    )
+    if cand_est <= _TRIPLE_CAND_CAP:
+        # sparse path: candidate generation + every-2-subset Apriori
+        # prune, support counted by membership joins on the baskets
+        baskets = lists.select("o", F.explode("ps").alias("p"))
+        pq = (
+            l2.alias("p")
+            .join(l2.alias("q"), F.col("p.a") == F.col("q.a"))
+            .filter(F.col("p.b") < F.col("q.b"))
+            .select(
+                F.col("p.a").alias("a"),
+                F.col("p.b").alias("b"),
+                F.col("q.b").alias("c"),
+            )
         )
-    )
-    cand = pq.join(
-        l2.select(F.col("a").alias("b"), F.col("b").alias("c")),
-        ["b", "c"],
-        "left_semi",
-    )
-    sup3 = (
-        cand.join(baskets.select("o", F.col("p").alias("a")), "a")
-        .join(baskets.select("o", F.col("p").alias("b")), ["o", "b"], "left_semi")
-        .join(baskets.select("o", F.col("p").alias("c")), ["o", "c"], "left_semi")
-        .groupBy("a", "b", "c")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRIPLE_MINSUP)
-    )
+        cand = pq.join(
+            l2.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+        sup3 = (
+            cand.join(baskets.select("o", F.col("p").alias("a")), "a")
+            .join(
+                baskets.select("o", F.col("p").alias("b")),
+                ["o", "b"],
+                "left_semi",
+            )
+            .join(
+                baskets.select("o", F.col("p").alias("c")),
+                ["o", "c"],
+                "left_semi",
+            )
+            .groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= _TRIPLE_MINSUP)
+        )
+    else:
+        # dense path: frequent basket-pair edges (AQE broadcast-
+        # converts the semi join — L2 is pair-vocabulary-bounded);
+        # wedges expand in-partition from each (basket, a) partner
+        # list and close into triangles iff (o, b, c) is itself a
+        # surviving edge — support(a,b,c) = #basket-triangles
+        bp = cache_tracked(bp0.join(l2, ["a", "b"], "left_semi"))
+        wedges = (
+            bp.groupBy("o", "a")
+            .agg(F.collect_list("b").alias("ns"))
+            .select(
+                "o",
+                "a",
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ns",
+                            lambda x: F.transform(
+                                F.filter("ns", lambda y: y > x),
+                                lambda y: F.struct(
+                                    x.alias("b"), y.alias("c")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("w"),
+            )
+            .select(
+                "o", "a", F.col("w.b").alias("b"), F.col("w.c").alias("c")
+            )
+        )
+        tri = wedges.join(
+            bp.select("o", F.col("a").alias("b"), F.col("b").alias("c")),
+            ["o", "b", "c"],
+            "left_semi",
+        )
+        sup3 = (
+            tri.groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= _TRIPLE_MINSUP)
+        )
     return (
         sup3.select(
             F.col("a").alias("part_a"),

@@ -449,9 +449,11 @@ def test_adamic_adar_no_cartesian_deg_joined_at_center(spark, qs):
 
 
 def test_triple_itemsets_apriori_prunes_before_support_count(spark, qs):
-    """Candidate triples come from the L2 self-join + semi-join prune;
-    support counting is joins against the basket frame — no 3-way
-    basket self-join, no Python, exact-integer supports."""
+    """At sf0.001 the cost statistic (1.2M) selects the sparse branch:
+    candidate triples from the L2 self-join + semi-join prune, support
+    counted by joins against the basket frame — no 3-way basket
+    self-join, no Python, exact-integer supports. (Branch agreement is
+    pinned in test_r7_ops.)"""
     plan = _plan(qs["parts_copurchase_triple_itemsets"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan

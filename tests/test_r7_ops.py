@@ -251,3 +251,26 @@ def test_adamic_adar_hub_cap_bounds_wedges_and_drops_only_hub_mass(spark):
     total_cn = sum(cn for _, cn in capped.values())
     n_centers = 3  # clique nodes; hub dropped, leaves have deg 1
     assert total_cn <= n_centers * (4 * 3 // 2)
+
+
+def test_triple_itemsets_both_plan_branches_agree(spark, monkeypatch):
+    """The r7b cost-based branch (candidate join vs basket-triangle
+    counting) must be a PHYSICAL choice only: forcing each branch via
+    the cap must return identical rows. sf0.001's statistic is 1.2M,
+    so cap=0 forces the triangle path and the default cap the
+    candidate path."""
+    from airline_dataset_hadoop_public_spark.plans import fixtures_graph as g
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(g, "_TRIPLE_CAND_CAP", 10**15)
+    sparse = [
+        tuple(r)
+        for r in g.parts_copurchase_triple_itemsets(spark, sf).collect()
+    ]
+    monkeypatch.setattr(g, "_TRIPLE_CAND_CAP", 0)
+    dense = [
+        tuple(r)
+        for r in g.parts_copurchase_triple_itemsets(spark, sf).collect()
+    ]
+    assert sparse == dense
+    assert len(sparse) == 20
