@@ -478,6 +478,7 @@ def _streamed_fold(
 
     def run(batches):
         cur_key = None
+        cur_null = False
         state = None
         base = 0
         have_key = False
@@ -485,23 +486,35 @@ def _streamed_fold(
             if len(pdf) == 0:
                 continue
             k = pdf[key_col].to_numpy()
+            # SQL GROUP BY puts every NULL key in ONE group (and the
+            # repartition/sort upstream co-locates them contiguously,
+            # NULLS FIRST), so key comparisons must be null-SAFE:
+            # NaN != NaN / None != None would restart the fold state
+            # on every null-key row (caught by the NULL-injection
+            # adversarial axis).
+            kn = pdf[key_col].isna().to_numpy()
             x = pdf[x_col].to_numpy(dtype=np.float64)
-            change = np.nonzero(k[1:] != k[:-1])[0] + 1
+            with np.errstate(invalid="ignore"):
+                neq = k[1:] != k[:-1]
+            neq = (neq & ~(kn[1:] & kn[:-1])) | (kn[1:] ^ kn[:-1])
+            change = np.nonzero(neq)[0] + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(k)]))
             outs = {name: np.empty(len(k)) for name in out_fields}
             steps = np.empty(len(k), dtype=np.int64) if with_step else None
             for s, e in zip(starts, ends):
-                if not have_key or k[s] != cur_key:
-                    st, b0 = None, 0
-                else:
-                    st, b0 = state, base
+                same = have_key and (
+                    (kn[s] and cur_null)
+                    or (not kn[s] and not cur_null and k[s] == cur_key)
+                )
+                st, b0 = (state, base) if same else (None, 0)
                 chunk_out, st = fold_chunk(x[s:e], st)
                 for name in out_fields:
                     outs[name][s:e] = chunk_out[name]
                 if with_step:
                     steps[s:e] = b0 + np.arange(e - s, dtype=np.int64)
-                cur_key, state, base, have_key = k[s], st, b0 + (e - s), True
+                cur_key, cur_null, state = k[s], bool(kn[s]), st
+                base, have_key = b0 + (e - s), True
             res = pdf[[key_col, ts_col, x_col]].copy()
             res[x_col] = x
             if with_step:

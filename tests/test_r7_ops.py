@@ -274,3 +274,43 @@ def test_triple_itemsets_both_plan_branches_agree(spark, monkeypatch):
     ]
     assert sparse == dense
     assert len(sparse) == 20
+
+
+def test_streamed_fold_null_keys_form_one_sql_group(spark):
+    """SQL GROUP BY collapses every NULL key into ONE group; the
+    streamed fold's run detection must be null-safe or each null-key
+    row restarts the accumulator (caught by the NULL-injection axis:
+    events.user_id goes NULL on every 11th row). Packed (groupBy) is
+    the SQL-semantics reference; streamed must be bit-equal on a
+    frame whose null-key rows interleave with live keys and straddle
+    tiny Arrow batches."""
+    rows = []
+    for i in range(60):
+        u = None if i % 3 == 0 else (i % 2 + 1)
+        rows.append((u, i, float((i * 7) % 23)))
+    df = spark.createDataFrame(rows, "u long, t long, x double")
+
+    def cmp(a_rows, b_rows, cols):
+        keyf = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        a = sorted((tuple(r[c] for c in cols) for r in a_rows), key=keyf)
+        b = sorted((tuple(r[c] for c in cols) for r in b_rows), key=keyf)
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra == rb, (ra, rb)  # bit equality on the floats
+
+    packed = ewma_per_key(df, "u", "t", "x", alpha=0.5, impl="packed").collect()
+    with _arrow_batch_cap(spark, 7):
+        streamed = ewma_per_key(
+            df, "u", "t", "x", alpha=0.5, impl="streamed"
+        ).collect()
+    assert sum(1 for r in packed if r["u"] is None) == 20
+    cmp(packed, streamed, ["u", "t", "x", "ewma"])
+
+    packed_b = clamped_running_balance(
+        df, "u", "t", "x", lo=0.0, hi=30.0, out="b", impl="packed"
+    ).collect()
+    with _arrow_batch_cap(spark, 7):
+        streamed_b = clamped_running_balance(
+            df, "u", "t", "x", lo=0.0, hi=30.0, out="b", impl="streamed"
+        ).collect()
+    cmp(packed_b, streamed_b, ["u", "step", "t", "x", "b"])
