@@ -303,37 +303,80 @@ def kcore_peel(
     every further round is a no-op — if the graph converges within the
     bound the result IS the k-core, and the caller can detect
     convergence by comparing the last two rounds (see the fixture's
-    `converged` flag).  Each round is one degree aggregate plus two
-    semi-joins against the (node-cardinality, broadcastable) keep
-    list; the edge frame is localCheckpoint-truncated per round, and
-    an empty survivor set short-circuits the remaining rounds.
+    `converged` flag).
+
+    Delta-maintained degrees (r7b — was: re-aggregate + re-filter +
+    re-checkpoint the FULL edge list every round, ~0.6s/round at
+    sf0.1): a surviving node's degree over surviving edges equals its
+    original degree minus its neighbors dropped so far (each neighbor
+    is dropped exactly once, so cumulative subtraction is exact), so
+    after the first full aggregate every round touches only
+    NODE-cardinality state — count edges into the newly-dropped set
+    (one map-side-broadcast scan of the cached edge frame, shuffling
+    only the matched rows), subtract, re-threshold.  The edge list is
+    materialized once and filtered once at the end against the final
+    keep set.  Per-round checkpoints truncate only node-sized frames.
+    The forced broadcasts are node-table-sized; at true scale a
+    billion-node graph would flip them to shuffled joins (same
+    caveat as the original shape — the knob, not the algorithm).
     """
-    surv = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    prev = None
-    for _ in range(rounds):
-        keep = (
-            surv.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("dg"))
-            .filter(F.col("dg") >= k)
-            .select(F.col("src").alias("__keep"))
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    if rounds <= 0:
+        return e
+    e = e.localCheckpoint(eager=True)
+    # node table (n, dg, fresh): dg = degree over surviving edges,
+    # fresh = crossed below k THIS round (= the next round's drop
+    # delta). Already-dropped nodes stay in the table — their dg only
+    # ever decreases, so dg >= k remains the exact keep predicate —
+    # which keeps each round to TWO jobs: one node-sized checkpoint
+    # (whose lineage holds the contrib scan) and one delta count.
+    nd = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .select(
+            F.col("src").alias("n"),
+            "dg",
+            (F.col("dg") < k).alias("fresh"),
         )
-        surv = (
-            surv.join(F.broadcast(keep), surv.src == F.col("__keep"))
-            .drop("__keep")
-            .join(
-                F.broadcast(keep.withColumnRenamed("__keep", "__keep2")),
-                F.col("dst") == F.col("__keep2"),
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds - 1):
+        if nd.filter(F.col("fresh")).isEmpty():
+            break  # monotone: every further round is a no-op
+        dropped = nd.filter(F.col("fresh")).select("n")
+        contrib = (
+            e.join(F.broadcast(dropped), e.dst == F.col("n"))
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("rm"))
+            .select(F.col("src").alias("m"), "rm")
+        )
+        new_dg = F.col("dg") - F.coalesce(F.col("rm"), F.lit(0))
+        nd = (
+            nd.join(F.broadcast(contrib), nd.n == F.col("m"), "left")
+            .select(
+                "n",
+                new_dg.alias("dg"),
+                # was live, now below k: the next round's delta
+                ((F.col("dg") >= k) & (new_dg < k)).alias("fresh"),
             )
-            .drop("__keep2")
             .localCheckpoint(eager=True)
         )
-        n = surv.count()
-        if prev is not None and n == prev:
-            break  # monotone: every further round is a no-op
-        prev = n
-        if n == 0:
-            break
-    return surv
+    keep = nd.filter(F.col("dg") >= k).select(F.col("n").alias("__keep"))
+    return (
+        e.join(F.broadcast(keep), e.src == F.col("__keep"))
+        .drop("__keep")
+        .join(
+            F.broadcast(keep.withColumnRenamed("__keep", "__keep2")),
+            F.col("dst") == F.col("__keep2"),
+        )
+        .drop("__keep2")
+        # materialized: callers consume the survivor frame more than
+        # once (the fixture's convergence probe + final report), and
+        # the pre-r7b contract returned a checkpointed frame
+        .localCheckpoint(eager=True)
+    )
 
 
 def adamic_adar_scores(

@@ -301,8 +301,28 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     core = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
-    probe = kcore_peel(core, _KCORE_K, 1)  # one extra round on survivors
-    n_probe = probe.select("src").distinct().count()
+    # convergence probe = one extra threshold round on the survivors,
+    # expressed directly (deg agg + broadcast keep filters + distinct
+    # count) rather than through kcore_peel, whose materialization
+    # contract would checkpoint the already-checkpointed core twice
+    # for a result consumed exactly once
+    probe_keep = (
+        core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .filter(F.col("dg") >= _KCORE_K)
+        .select(F.col("src").alias("__k"))
+    )
+    n_probe = (
+        core.join(F.broadcast(probe_keep), core.src == F.col("__k"))
+        .drop("__k")
+        .join(
+            F.broadcast(probe_keep.withColumnRenamed("__k", "__k2")),
+            F.col("dst") == F.col("__k2"),
+        )
+        .select("src")
+        .distinct()
+        .count()
+    )
     return core.agg(
         F.lit(_KCORE_K).alias("k"),
         F.countDistinct("src").alias("n_nodes"),

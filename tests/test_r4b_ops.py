@@ -459,7 +459,12 @@ def test_kcore_oracle_cte_depth_tracks_engine_rounds():
     # the reported core is round N; the convergence probe compares r{N+1}
     assert f"FROM r{fg._KCORE_ROUNDS}\n" in oracle
     assert f"FROM r{fg._KCORE_ROUNDS + 1})" in oracle
-    # engine side consumes the same constant with a 1-round probe
+    # engine side consumes the same constant, and the convergence
+    # probe (r7b: expressed directly — deg agg + keep filters over
+    # core — instead of a kcore_peel call whose materialization
+    # contract would double-checkpoint the survivors) thresholds on
+    # the same K
     src = open(fg.__file__).read()
     assert "kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)" in src
-    assert "kcore_peel(core, _KCORE_K, 1)" in src
+    assert src.count(">= _KCORE_K") >= 1  # the probe threshold
+    assert "n_probe" in src
