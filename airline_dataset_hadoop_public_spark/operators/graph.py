@@ -246,6 +246,7 @@ def bfs_hops(
     max_hops: int,
     src: str = "src",
     dst: str = "dst",
+    undirected: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from any seed, bounded
     by ``max_hops``.  ``seeds`` must expose one column ``n``.
@@ -255,35 +256,59 @@ def bfs_hops(
 
     Frontier-expansion shape (the Pregel BFS): each round joins the
     CURRENT frontier — never the visited set — against the edge list,
-    then anti-joins the visited set to keep only first discoveries.
-    Work per round is O(frontier out-edges), total O(m) across the
-    run, and the frontier/visited frames are node-cardinality.  Both
-    are localCheckpoint-truncated every round so plan depth stays
-    O(1) in hop count (same discipline as pagerank above).  At
-    cluster scale the visited set would be hash-partitioned on n and
-    the anti-join co-located with the expansion's shuffle; the bounded
-    depth is what callers use to keep straggler rounds finite on
-    high-diameter graphs.
+    then anti-joins first discoveries out.  Work per round is
+    O(frontier out-edges), total O(m) across the run, and the
+    frontier frames are node-cardinality, localCheckpoint-truncated
+    every round so plan depth stays O(1) in hop count.
+
+    r7b refinements:
+    - the anti-join runs BEFORE the distinct, as a forced-broadcast
+      map-side filter, so the dedup shuffle carries only genuinely
+      new nodes instead of the whole expansion (filter-then-dedup ≡
+      dedup-then-filter);
+    - ``undirected=True`` asserts the edge list is symmetric, in
+      which case a neighbor of frontier h−1 sits at distance h−2,
+      h−1 or h — the anti-join needs only the LAST TWO frontiers,
+      not the whole visited set, and the visited accumulation
+      becomes a lazy union of the already-checkpointed frontiers
+      (no per-round visited materialization);
+    - the forced broadcasts are frontier-sized; a graph whose
+      per-hop frontier outgrows broadcast would flip them to
+      shuffled joins (knob, not algorithm — same caveat as kcore).
     """
     frontier = (
         seeds.select("n").distinct().withColumn("hop", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    visited = frontier
+    frontiers = [frontier]
+    prev: DataFrame | None = None  # frontier at h-2 (undirected block)
     for h in range(1, max_hops + 1):
         if frontier.isEmpty():
             break
+        if undirected:
+            block = frontier.select("n")
+            if prev is not None:
+                block = block.unionByName(prev.select("n"))
+        else:
+            block = None
+            for f in frontiers:
+                fn = f.select("n")
+                block = fn if block is None else block.unionByName(fn)
         nxt = (
             frontier.join(edges, frontier.n == F.col(src))
             .select(F.col(dst).alias("n"))
+            .join(F.broadcast(block), "n", "left_anti")
             .distinct()
-            .join(visited, "n", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        prev = frontier
         frontier = nxt
-    return visited
+        frontiers.append(nxt)
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def kcore_peel(

@@ -234,7 +234,9 @@ def parts_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = edges.filter(F.col("src") % 199 == 0).select(
         F.col("src").alias("n")
     )
-    reached = bfs_hops(edges, seeds, max_hops=3)
+    # the co-purchase edge list is symmetric by construction, so the
+    # two-frontier anti-join block applies
+    reached = bfs_hops(edges, seeds, max_hops=3, undirected=True)
     return reached.groupBy(F.col("hop").cast("int").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("n").alias("node_sum"),
