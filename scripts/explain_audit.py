@@ -62,8 +62,8 @@ AUDIT = {
     "lineitem_join_size_estimate": "ReadSchema = l_partkey only; Catalyst pushes the hash-slice filter BELOW the estimate branch's aggregate (1/64 of rows shuffle — the production path); the exact Σc² branch re-scans, deliberately: it is the report's own check and would not run at 100 TB",
     # r4b/r4c additions
     "orders_cdc_log_apply": "partial_max_by below ONE hashpartitioning Exchange (map-side-combinable last-writer-wins); no Window, no sort of the log",
-    "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); per-round localCheckpoint truncation",
-    "parts_copurchase_kcore": "degree agg + two BroadcastHashJoin semi-joins per round over the checkpointed survivor frame",
+    "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); r7b: broadcast anti-join filters discoveries BEFORE the dedup shuffle, two-frontier block (undirected), visited = lazy union of checkpointed frontiers",
+    "parts_copurchase_kcore": "r7b delta peeling: one full degree agg, then node-sized rounds (broadcast scan for edges into the newly-dropped set, subtract, re-threshold); edge frame checkpointed once, survivor filter applied once at the end",
     "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
     "dedup_span_removal": "ArrowEvalPython k-gram hash kernel; ONE corpus-wide hash-keyed shuffle (duplicated-gram count); island-merge + stitch are doc-key windows; no CartesianProduct",
     # r5 additions
@@ -75,7 +75,7 @@ AUDIT = {
     "parts_value_skyline": "exactly two MapInPandas phases (local SFS, bounded refine via repartition(1) Exchange — not Coalesce(1), which would collapse the local phase); dominance inputs are order-independent aggregates",
     "events_cusum_changepoints": "tiny series frame: stats BroadcastHashJoin; running-sum + running-min windows share one k-partitioned Exchange; zero Python",
     "parts_copurchase_adamic_adar": "wedge equi-join on the center key with degree weight attached pre-expansion; one anti-join non-adjacency check; TakeOrderedAndProject top-20",
-    "parts_copurchase_triple_itemsets": "L2 support-pruned self-join + Apriori semi-join prune before any basket re-scan; exact integer supports; TakeOrderedAndProject",
+    "parts_copurchase_triple_itemsets": "r7b cost-based branch: sparse L2 -> candidate join + Apriori semi-join prune; dense L2 (sf0.01, statistic 27.3M) -> per-basket triangle counting; in-partition pair expansion from collect_set basket lists either way; exact integer supports; TakeOrderedAndProject",
     "events_xcorr_lead_lag": "one fact-sized hourly aggregate, then calendar-bounded series joins (broadcast lags); decimal(38,0) moment sums; no Python",
     "events_clamped_running_balance": "packed fold: one collect_list aggregate Exchange -> one ArrowEvalPython kernel -> posexplode; never FlatMapGroupsInPandas per group",
     "events_last_touch_attribution": "as-of tagged union + per-user window carry-forward; anti-join '(none)' bucket; exact-cents revenue",
