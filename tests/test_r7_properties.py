@@ -355,3 +355,77 @@ def test_waterfall_identity_random(spark, tmp_path_factory, rows):
             "churned_cents",
         ):
             assert r[col] >= 0, (mo, col)
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples: BOTH physical branches vs a brute-force Python
+# Apriori on random baskets (r7b — the cost-based branch must be a
+# physical choice only, and each branch must match the definition)
+# ---------------------------------------------------------------------------
+
+_basket_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # custkey
+        st.integers(0, 1),  # which of the customer's two orders
+        st.integers(10, 17),  # partkey
+    ),
+    min_size=3,
+    max_size=50,
+)
+
+
+@given(rows=_basket_rows)
+@settings(**_SETTINGS)
+def test_triple_itemsets_branches_match_bruteforce(
+    spark, tmp_path_factory, rows, monkeypatch
+):
+    from itertools import combinations
+
+    from airline_dataset_hadoop_public_spark.plans import fixtures_graph as g
+
+    lineitem = [
+        (c * 2 + o, p, 1, 1.0, 1.0, _BASE, c)
+        for c, o, p in rows
+    ]
+    orders = [
+        (c * 2 + o, c, 1.0, _BASE)
+        for c in range(6)
+        for o in (0, 1)
+    ]
+    sf = _fixture_dir(
+        spark,
+        tmp_path_factory,
+        {
+            "lineitem": (
+                lineitem,
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_quantity double, l_extendedprice double, "
+                "l_shipdate date, l_linenumber long",
+            ),
+            "orders": (
+                orders,
+                "o_orderkey long, o_custkey long, o_totalprice double, "
+                "o_orderdate date",
+            ),
+        },
+    )
+
+    baskets = defaultdict(set)
+    for c, _o, p in rows:
+        baskets[c].add(p)
+    sup3 = defaultdict(int)
+    for parts in baskets.values():
+        for t in combinations(sorted(parts), 3):
+            sup3[t] += 1
+    want = sorted(
+        ((a, b, c, s) for (a, b, c), s in sup3.items() if s >= 2),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )[:20]
+
+    for cap in (0, 10**15):  # dense branch, then sparse branch
+        monkeypatch.setattr(g, "_TRIPLE_CAND_CAP", cap)
+        got = [
+            (r["part_a"], r["part_b"], r["part_c"], r["support"])
+            for r in g.parts_copurchase_triple_itemsets(spark, sf).collect()
+        ]
+        assert got == want, (cap, got, want)
