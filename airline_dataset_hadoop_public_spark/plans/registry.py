@@ -77,16 +77,18 @@ def register(name: str, oracle: str | None):
 #      r1/r2 oracle row (r5 verdict item 1). Each round the ~50
 #      stalest rows refresh, so max staleness stays ≈ ceil(registry /
 #      window) rounds.
-# r7 pins: queries whose DEFINITION changed after their newest green
-# row (r6) — re-basketed triples, the value>=0 / integrality contract
-# filters, and the streamed-fold balance default. Their r6 evidence
-# verified the OLD semantics, so they jump the queue instead of
-# coasting at the window's back for ~4 rounds.
+# r8 pins: the four queries whose PHYSICAL SHAPE changed this round
+# (the r7 judge's single-partition-window findings — vocab's
+# window-then-filter → orderBy+limit, MWU/Gini/Pareto → the two-pass
+# range-partitioned rank/prefix pattern). Values are meant to be
+# bit-identical, which is exactly why they must re-verify through the
+# driver window now rather than coast on r7 rows that measured the
+# old plans.
 _PINNED_FIRST: list[str] = [
-    "parts_copurchase_triple_itemsets",
-    "events_clamped_running_balance",
-    "events_linear_touch_attribution",
-    "lineitem_fifo_lot_allocation",
+    "corpus_vocab_coverage",
+    "events_mann_whitney_weekend",
+    "orders_segment_revenue_gini",
+    "supplier_pareto_coverage",
 ]
 
 

@@ -41,6 +41,9 @@ def test_window_is_all_unverified_while_backlog_exceeds_window():
     # the remaining slots
     rest = [n for n, _ in items[len(pins) :]]
     unverified = [n for n in rest if n not in DRIVER_VERIFIED]
+    # a pinned tier at or beyond the window would make the slice below
+    # silently index from the end and check the wrong names (r7 advice)
+    assert len(pins) < WINDOW
     window = rest[: WINDOW - len(pins)]
     if len(unverified) >= len(window):
         assert all(n not in DRIVER_VERIFIED for n in window)
