@@ -357,16 +357,29 @@ def kcore_peel(
     # ever decreases, so dg >= k remains the exact keep predicate —
     # which keeps each round to TWO jobs: one node-sized checkpoint
     # (whose lineage holds the contrib scan) and one delta count.
+    # Degrees from BOTH endpoint columns in one map-side-combinable
+    # aggregate (r8, advisor finding): delta maintenance is only exact
+    # on a symmetric edge list — a dst-only node would never enter a
+    # src-keyed degree table, so its edges would never be subtracted
+    # from surviving neighbors. Counting each node's out-rows (dg) and
+    # total rows makes per-node in-degree == out-degree checkable for
+    # free (tot == 2*dg); that's a NECESSARY condition for symmetry
+    # (a directed cycle passes it), but it catches the realistic
+    # out-of-contract input — an unmirrored edge list — loudly
+    # instead of silently diverging.
     nd = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .select(
-            F.col("src").alias("n"),
-            "dg",
-            (F.col("dg") < k).alias("fresh"),
-        )
+        e.select(F.col("src").alias("n"), F.lit(1).alias("o"))
+        .unionByName(e.select(F.col("dst").alias("n"), F.lit(0).alias("o")))
+        .groupBy("n")
+        .agg(F.sum("o").alias("dg"), F.count(F.lit(1)).alias("tot"))
         .localCheckpoint(eager=True)
     )
+    if not nd.filter(F.col("tot") != 2 * F.col("dg")).isEmpty():
+        raise ValueError(
+            "kcore_peel requires a symmetric edge list: found node(s) "
+            "with in-degree != out-degree"
+        )
+    nd = nd.select("n", "dg", (F.col("dg") < k).alias("fresh"))
     for _ in range(rounds - 1):
         if nd.filter(F.col("fresh")).isEmpty():
             break  # monotone: every further round is a no-op

@@ -404,7 +404,8 @@ LIMIT 20
 @register("parts_copurchase_adamic_adar", _ADAMIC_ADAR_ORACLE)
 def parts_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # support-floored adjacency, both directions (src, dst): keep
-    # pairs co-purchased in >= _AA_MIN_SUPPORT orders (definition +
+    # pairs with co-purchase LINE-PAIR multiplicity >= _AA_MIN_SUPPORT
+    # (w counts lineitem pairs, not distinct orders — definition +
     # scale note above)
     adj = (
         _copurchase_edges(spark, sf_dir)

@@ -119,6 +119,46 @@ def test_bfs_hops_duplicate_seeds_and_early_exit(spark):
     assert sorted((r["n"], r["hop"]) for r in out.collect()) == [(1, 0), (2, 1)]
 
 
+def test_bfs_hops_undirected_matches_directed_on_symmetric_edges(spark):
+    """undirected=True's last-two-frontier anti-join block is an
+    optimization whose correctness rests on edge symmetry; on a
+    symmetric list it must be observably identical to the full
+    visited-set path (r7 advice: the undirected leg had no
+    operator-level unit test)."""
+    from airline_dataset_hadoop_public_spark.operators.graph import bfs_hops
+
+    for pairs in (
+        [(1, 2), (2, 3), (3, 4), (4, 5)],  # path
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)],  # cycle + tail
+    ):
+        edges = _sym_edges(spark, pairs)
+        seeds = spark.createDataFrame([Row(n=1), Row(n=3)])
+        full = sorted(
+            (r["n"], r["hop"])
+            for r in bfs_hops(edges, seeds, 4, undirected=False).collect()
+        )
+        fast = sorted(
+            (r["n"], r["hop"])
+            for r in bfs_hops(edges, seeds, 4, undirected=True).collect()
+        )
+        assert fast == full
+
+
+def test_kcore_peel_rejects_asymmetric_edge_list(spark):
+    """Delta-maintained degrees are exact only on a symmetric list; an
+    unmirrored edge list (dst-only node) must fail loudly, not
+    silently diverge (r7 advice)."""
+    import pytest as _pytest
+
+    from airline_dataset_hadoop_public_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=1), Row(src=1, dst=3)]
+    )
+    with _pytest.raises(ValueError, match="symmetric"):
+        kcore_peel(edges, 2, 3)
+
+
 # ---------------------------------------------------------------------------
 # merge-on-read position deletes
 # ---------------------------------------------------------------------------
@@ -466,5 +506,8 @@ def test_kcore_oracle_cte_depth_tracks_engine_rounds():
     # the same K
     src = open(fg.__file__).read()
     assert "kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)" in src
-    assert src.count(">= _KCORE_K") >= 1  # the probe threshold
-    assert "n_probe" in src
+    # the probe must exist AND threshold on the same K as the engine
+    # round (r7 advice: a bare '>= _KCORE_K' count was satisfied by
+    # kcore_peel's own call site, pinning nothing about the probe)
+    assert "probe_keep" in src and "n_probe" in src
+    assert '.filter(F.col("dg") >= _KCORE_K)' in src
