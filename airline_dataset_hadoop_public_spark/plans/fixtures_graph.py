@@ -592,6 +592,12 @@ def parts_copurchase_triple_itemsets(
     # counting, whose work is wedge-bounded instead of
     # candidate-bounded. The same decision an optimizer would make
     # from table stats, made here from the exact statistic.
+    # NOTE (r7 advice): this collect makes FIXTURE CONSTRUCTION eager —
+    # building the DataFrame runs the basket-pair shuffle + L2
+    # aggregate before any action on the result, so explain-only
+    # consumers and plan-shape tests pay a real Spark job here. The
+    # deliberate price of exact cost-based branching; l2 is cached, so
+    # the chosen branch reuses the materialized frame.
     cand_est = (
         l2.groupBy("a")
         .agg(F.count(F.lit(1)).alias("d"))
