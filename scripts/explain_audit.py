@@ -63,7 +63,8 @@ AUDIT = {
     # r4b/r4c additions
     "orders_cdc_log_apply": "partial_max_by below ONE hashpartitioning Exchange (map-side-combinable last-writer-wins); no Window, no sort of the log",
     "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); r7b: broadcast anti-join filters discoveries BEFORE the dedup shuffle, two-frontier block (undirected), visited = lazy union of checkpointed frontiers",
-    "parts_copurchase_kcore": "r7b delta peeling: one full degree agg, then node-sized rounds (broadcast scan for edges into the newly-dropped set, subtract, re-threshold); edge frame checkpointed once, survivor filter applied once at the end",
+    "parts_copurchase_kcore": "r7b delta peeling: one full degree agg (r8: over BOTH endpoint columns, with an in==out degree guard rejecting unmirrored lists), then node-sized rounds (broadcast scan for edges into the newly-dropped set, subtract, re-threshold); edge frame checkpointed once, survivor filter applied once at the end",
+    "corpus_vocab_coverage": "r8: orderBy+limit (TakeOrderedAndProject per-partition heaps) BEFORE ranking — the term-frequency frame never sorts in one task; rank + cumulative windows run on <= 100 post-limit rows",
     "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
     "dedup_span_removal": "ArrowEvalPython k-gram hash kernel; ONE corpus-wide hash-keyed shuffle (duplicated-gram count); island-merge + stitch are doc-key windows; no CartesianProduct",
     # r5 additions
@@ -87,10 +88,10 @@ AUDIT = {
     "events_winsorized_stats": "exact percentile via the VALUE-HISTOGRAM cumulative walk (tiny type x distinct-value frame) — no per-type fact sort; boundaries broadcast back for the clip",
     "docs_ngram_novelty": "distinct (doc, gram) explode -> min-per-gram partial agg -> gram-key join back; every stage hash-partitioned on the gram; exact basis points",
     "orders_repeat_kaplan_meier": "one custkey window picks (first, second) order dates; per-duration aggregate; suffix-sum risk set + prefix sum-of-logs on the calendar-bounded duration frame (single-task window is domain-bounded, <= span days)",
-    "events_mann_whitney_weekend": "facts collapse to ONE value histogram Exchange; exact-rational tied ranks from prefix counts; single-row output — no row-level sort of the combined sample",
-    "orders_segment_revenue_gini": "custkey-join + per-customer aggregate (one fact shuffle); per-SEGMENT rank window on customer-level rows; decimal(38,0) rank-weighted sum, one rounded division",
+    "events_mann_whitney_weekend": "facts collapse to ONE value histogram Exchange; prefix counts via the two-pass range-partitioned pattern (r8 — the histogram scales with the data, so no global window); exact-rational tied ranks; single-row output",
+    "orders_segment_revenue_gini": "custkey-join + per-customer aggregate (one fact shuffle); per-segment ranks via ordered_prefix_distributed (r8 — 5 segments must not mean 5 single-task sorts); decimal(38,0) rank-weighted sum, one rounded division",
     "nation_budget_largest_remainder": "fact aggregate -> <=|nations| frame; exact div/% quotas; remainder ranking window on the tiny frame; broadcast total",
-    "supplier_pareto_coverage": "suppkey join + per-supplier aggregate (one fact shuffle); per-nation rank/cumsum windows on supplier-level rows; integer 5*cum >= 4*total crossing test",
+    "supplier_pareto_coverage": "suppkey join + per-supplier aggregate (one fact shuffle); per-nation rank + running revenue via ordered_prefix_distributed, totals read off the prefix (r8); integer 5*cum >= 4*total crossing test",
     "parts_copurchase_npmi": "in-partition basket pair expansion (same as lift) -> one pair-key shuffle; two support joins; broadcast N; ln only in the final rounded score",
     "events_time_decay_attribution": "per-user lookback equi-join; milli-quantized dyadic weights; exact floored bp shares (div) — no float boundary in the hash",
     "orders_revenue_bridge_waterfall": "one (custkey, month) fact aggregate; full-outer self-join on the shifted composite key (both sides share the partitioning); month-key final aggregate",
