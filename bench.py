@@ -262,6 +262,8 @@ def main() -> None:
         "parts_copurchase_npmi",
         "events_time_decay_attribution",
         "orders_revenue_bridge_waterfall",
+        # r8 addition
+        "embeddings_cluster_curation_report",
     ):
         if extra in qs and extra not in names:
             names.append(extra)

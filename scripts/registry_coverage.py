@@ -190,14 +190,22 @@ def main() -> int:
             "value-histogram INTERMEDIATE. A red on one localizes a "
             "different defect than a red on the other; both retained.\n"
             "\n### Adjudication (r8)\n\n"
-            "Registry held flat at 240 (r7 judge item 7: growth is the "
-            "sweep-cost driver; the r8 window arithmetic — 4 pinned "
-            "reshapes + the 46-query r3-stale tier — left room for at "
-            "most one new registration, and none was needed). The r8 "
-            "reshapes moved three statistics queries onto "
-            "`topk.ordered_prefix_distributed` without changing any "
-            "oracle; no new subsumption candidates appeared — the table "
-            "above is byte-identical to r7's adjudicated set.\n"
+            "Registry 240 → 241: the r8 window arithmetic (4 pinned "
+            "reshapes + the 46-query r3-stale tier) left room for "
+            "EXACTLY one new registration without breaking the "
+            "max-staleness ≤ r4 bar, and it went to the judge-suggested "
+            "cluster-curation family: "
+            "`embeddings_cluster_curation_report` (mutual-kNN edges → "
+            "connected components → per-cluster size/edges/cosine/"
+            "density decision table). It COMPOSES "
+            "`embeddings_mutual_knn_graph` rather than subsuming it — "
+            "the pair report is the diagnostic unit when the cluster "
+            "report goes red (same retention logic as the r5 "
+            "recall-eval adjudication). The r8 reshapes moved three "
+            "statistics queries onto `topk.ordered_prefix_distributed` "
+            "without changing any oracle; no new mechanical subsumption "
+            "candidates appeared — the table above is byte-identical "
+            "to r7's adjudicated set.\n"
         )
         fh.write("\n## Per-query operator sets\n\n")
         fh.write("| query | operators |\n|---|---|\n")

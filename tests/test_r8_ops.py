@@ -126,3 +126,51 @@ def test_rank_spans_partition_boundaries(spark):
         .collect()
     ]
     assert sorted(ranks) == list(range(1, 301))
+
+
+# ---------------------------------------------------------------------------
+# embeddings_cluster_curation_report (r8 capability addition)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cluster_curation_report_invariants(spark):
+    """Structural contract: cluster_id = min member id never exceeds
+    other ids, density in (0, 1], edges <= C(n_members, 2), and every
+    cluster has >= 2 members (components come from edges)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["embeddings_cluster_curation_report"](
+        spark, SF
+    ).collect()
+    assert rows, "toy scale should still produce clusters"
+    for r in rows:
+        n, m = r["n_members"], r["n_edges"]
+        assert n >= 2 and m >= 1
+        assert m <= n * (n - 1) // 2
+        assert 0.0 < r["density"] <= 1.0
+        assert -1.0 <= r["avg_cosine"] <= r["max_cosine"] <= 1.0
+    ids = [r["cluster_id"] for r in rows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_cluster_curation_members_sum_to_graph_nodes(spark):
+    """Σ n_members over clusters == node count of the mutual-kNN
+    graph: the report partitions the graph exactly (no node lost or
+    double-counted by the CC labeling)."""
+    import __spark_entry__ as e
+
+    from pyspark.sql import functions as F2
+
+    qs = e.queries()
+    rep = qs["embeddings_cluster_curation_report"](spark, SF)
+    graph = qs["embeddings_mutual_knn_graph"](spark, SF)
+    n_nodes = (
+        graph.select(F2.col("id_a").alias("n"))
+        .unionByName(graph.select(F2.col("id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    total = rep.agg(F2.sum("n_members")).collect()[0][0]
+    assert total == n_nodes
