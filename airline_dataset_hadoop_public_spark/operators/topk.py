@@ -142,10 +142,12 @@ def ordered_prefix_distributed(
     rows through the driver (scalars, not data), broadcast back as
     cumulative offsets, composed with per-(partition, group) windows.
 
-    Contract: `order` must be a total order within each group, and the
-    `partition_by` / equi-join key values must be non-NULL (the offset
-    join is an equi-join; NULL group keys would drop rows — filter
-    upstream, as every caller in fixtures_statistics.py does).
+    Contract: `order` must be a total order within each group. NULL
+    group-key values are a group of their own (the offset join is
+    null-safe), matching `Window.partitionBy` semantics. Running sums
+    reproduce SQL window-SUM null semantics exactly: NULL inputs are
+    skipped, and the running value is NULL only while the group's
+    prefix has seen no non-NULL input at all.
     """
     from pyspark.sql import types as T
 
@@ -179,32 +181,89 @@ def ordered_prefix_distributed(
     out_rows = []
     for grp, grp_rows in by_group.items():
         rk_off = 0
+        # (accumulated offset, any non-NULL input seen in PRIOR
+        # partitions) per sum column — the seen flag reproduces the
+        # SQL rule that a window SUM is NULL until the first non-NULL
         sum_off = {src: 0 for src in sums}
+        seen = {src: False for src in sums}
         for row in sorted(grp_rows, key=lambda r: r["__pid"]):
             out_rows.append(
                 (row["__pid"], *grp, rk_off)
                 + tuple(_as(sum_types[s], sum_off[s]) for s in sums)
+                + tuple(seen[s] for s in sums)
             )
             rk_off += row["__cnt"]
             for src in sums:
-                sum_off[src] += row[f"__s_{src}"] or 0
+                part = row[f"__s_{src}"]
+                if part is not None:
+                    sum_off[src] += part
+                    seen[src] = True
     fields = [sizes_df.schema["__pid"]]
     fields += [sizes_df.schema[c] for c in pb]
     fields.append(T.StructField("__rk_off", T.LongType(), False))
     fields += [
         T.StructField(f"__off_{src}", sum_types[src]) for src in sums
     ]
-    off_df = df.sparkSession.createDataFrame(out_rows, T.StructType(fields))
+    fields += [
+        T.StructField(f"__seen_{src}", T.BooleanType(), False)
+        for src in sums
+    ]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(out_rows, T.StructType(fields))
+    )
     w = Window.partitionBy("__pid", *pb).orderBy(*_cols(order))
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = ordered.join(F.broadcast(off_df), ["__pid", *pb])
+    # null-safe on the group keys: a NULL group is still a group
+    cond = ordered["__pid"] == off_df["__pid"]
+    for c in pb:
+        cond = cond & ordered[c].eqNullSafe(off_df[c])
+    out = ordered.join(off_df, cond).drop(off_df["__pid"])
+    for c in pb:
+        out = out.drop(off_df[c])
     if rank:
         out = out.withColumn(
             rank, (F.row_number().over(w) + F.col("__rk_off")).cast("long")
         )
     for src, dst in sums.items():
-        out = out.withColumn(dst, F.sum(src).over(w_run) + F.col(f"__off_{src}"))
-    return out.drop("__pid", "__rk_off", *[f"__off_{src}" for src in sums])
+        local = F.sum(src).over(w_run)
+        out = out.withColumn(
+            dst,
+            F.when(
+                local.isNull() & ~F.col(f"__seen_{src}"), F.lit(None)
+            ).otherwise(
+                F.coalesce(local, F.lit(0)) + F.col(f"__off_{src}")
+            ),
+        )
+    return out.drop(
+        "__pid",
+        "__rk_off",
+        *[f"__off_{src}" for src in sums],
+        *[f"__seen_{src}" for src in sums],
+    )
+
+
+def ntile_bucket(rank_col: Column, n_col: Column, k: int) -> Column:
+    """SQL NTILE(k) as a closed form of (1-based rank, group size N):
+    with q = N div k and r = N % k, the first r buckets hold q+1 rows.
+    Integer arithmetic end to end (the exact-ceil trick below), so the
+    assignment is bit-identical to any engine's NTILE given the same
+    total order. Shared by `ntile_distributed`,
+    `ntile_distributed_grouped`, and the window-profile fixture."""
+    q = (n_col - n_col % k) / k  # exact: N - (N % k) is divisible by k
+    q = q.cast("long")
+    r = n_col % k
+    big = r * (q + 1)
+
+    def ceil_div(a, b):
+        # subtract the remainder first so the double division is of an
+        # exactly-divisible pair (a `/` of non-divisible longs near
+        # 2^53 could round across the ceil boundary — r5 review)
+        m = a + b - F.lit(1)
+        return ((m - m % b) / b).cast("long")
+
+    return F.when(rank_col <= big, ceil_div(rank_col, q + 1)).otherwise(
+        r + ceil_div(rank_col - big, q)
+    )
 
 
 def ntile_distributed(
@@ -229,27 +288,43 @@ def ntile_distributed(
     """
     ranked = rank_table_distributed(df, order, rank="__rk")
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    # integer `div`, NOT `/`: double division of longs near 2^53 can
-    # round across the floor boundary (same hazard ceil_div below
-    # works around), and a misrounded q shifts every bucket boundary
-    q = F.expr(f"__n div {int(k)}")
-    r = F.col("__n") % k
-    big = r * (q + 1)  # rows living in the size-(q+1) buckets
-    rk = F.col("__rk")
-
-    def ceil_div(a, b):
-        # exact for any long: subtract the remainder first so the
-        # double division is of an exactly-divisible pair (a `/` of
-        # non-divisible longs near 2^53 could round across the ceil
-        # boundary — r5 review finding)
-        m = a + b - F.lit(1)
-        return ((m - m % b) / b).cast("long")
-
-    bucket = F.when(rk <= big, ceil_div(rk, q + 1)).otherwise(
-        r + ceil_div(rk - big, q)
-    )
     return (
         ranked.join(F.broadcast(n), how="cross")
-        .withColumn(out, bucket)
+        .withColumn(out, ntile_bucket(F.col("__rk"), F.col("__n"), int(k)))
         .drop("__rk", "__n")
     )
+
+
+def ntile_distributed_grouped(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    k: int,
+    partition_by: Sequence[str],
+    out: str = "ntile",
+) -> DataFrame:
+    """Exact per-group NTILE(k) without whole-group window tasks (r8
+    self-audit: `ntile(k).over(partitionBy(low-card key))` over a
+    fact-scaled frame sorts N/|groups| rows per task — the Gini-class
+    hazard). Per-group ranks come from `ordered_prefix_distributed`;
+    group sizes broadcast back (null-safe: a NULL group key is a
+    group, matching window semantics); the bucket is the same closed
+    form of (rank, N) `ntile_distributed` documents, so assignment is
+    bit-identical to any engine's NTILE given the same total order.
+    """
+    pb = list(partition_by)
+    ranked = ordered_prefix_distributed(
+        df, order, partition_by=pb, rank="__rk"
+    )
+    n = F.broadcast(
+        ranked.groupBy(*pb).agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cond = None
+    for c in pb:
+        e = ranked[c].eqNullSafe(n[c])
+        cond = e if cond is None else cond & e
+    joined = ranked.join(n, cond)
+    for c in pb:
+        joined = joined.drop(n[c])
+    return joined.withColumn(
+        out, ntile_bucket(F.col("__rk"), F.col("__n"), int(k))
+    ).drop("__rk", "__n")

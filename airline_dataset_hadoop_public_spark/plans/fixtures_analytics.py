@@ -397,13 +397,21 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id")
-    )
+    # r8 self-audit: a handful of event types over a fact-scaled
+    # frame — ntile(10).over(partitionBy(event_type)) sorts N/|types|
+    # rows in one task each. Grouped distributed NTILE instead (same
+    # closed-form bucket, bit-identical assignment).
+    from ..operators.topk import ntile_distributed_grouped
+
     return (
-        ev.select(
-            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        ntile_distributed_grouped(
+            ev.select("event_type", "value", "event_id"),
+            order=[F.asc("value"), F.asc("event_id")],
+            k=10,
+            partition_by=["event_type"],
+            out="decile",
         )
+        .select("event_type", "value", "decile")
         .groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -918,22 +926,55 @@ FROM w GROUP BY 1, 2
 
 @register("orders_window_rank_profile", _WINDOW_PROFILE_ORACLE)
 def orders_window_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # r8 self-audit: 5 priorities over the whole orders table — the
+    # one-window-pass form sorted N/5 facts per task. All four rank
+    # statistics are CLOSED FORMS of the per-group (row_number, N)
+    # because (price, orderkey) is tie-free: rank() == row_number, so
+    # percent_rank = (rk-1)/(N-1) (0.0 for N=1, the SQL definition),
+    # cume_dist = rk/N, ntile = the shared ntile_bucket arithmetic,
+    # and nth_value(price, 2) is the rk=2 row broadcast back. Same
+    # IEEE divisions as the window engines compute → bit-identical.
+    from ..operators.topk import ntile_bucket, ordered_prefix_distributed
 
     orders = load_table(spark, sf_dir, "orders")
-    win = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    ranked = ordered_prefix_distributed(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+            "o_orderkey",
+        ),
+        order=["price", "o_orderkey"],
+        partition_by=["priority"],
+        rank="__rk",
     )
-    whole = win.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    n = F.broadcast(
+        ranked.groupBy("priority").agg(F.count(F.lit(1)).alias("__n"))
     )
-    w = orders.select(
-        F.col("o_orderpriority").alias("priority"),
-        F.ntile(4).over(win).alias("quartile"),
-        F.percent_rank().over(win).alias("pr"),
-        F.cume_dist().over(win).alias("cd"),
-        F.nth_value("o_totalprice", 2).over(whole).alias("second_lowest"),
-        F.col("o_totalprice").alias("price"),
+    second = F.broadcast(
+        ranked.filter(F.col("__rk") == 2).select(
+            F.col("priority").alias("__p2"),
+            F.col("price").alias("__second"),
+        )
+    )
+    j = (
+        ranked.join(n, ranked["priority"].eqNullSafe(n["priority"]))
+        .drop(n["priority"])
+        .join(
+            second, F.col("priority").eqNullSafe(F.col("__p2")), "left"
+        )
+        .drop("__p2")
+    )
+    rk, nn = F.col("__rk"), F.col("__n")
+    pr = F.when(nn == 1, F.lit(0.0)).otherwise(
+        (rk - F.lit(1)).cast("double") / (nn - F.lit(1)).cast("double")
+    )
+    w = j.select(
+        "priority",
+        ntile_bucket(rk, nn, 4).alias("quartile"),
+        pr.alias("pr"),
+        (rk.cast("double") / nn.cast("double")).alias("cd"),
+        F.col("__second").alias("second_lowest"),
+        "price",
     )
     return w.groupBy("priority", "quartile").agg(
         F.count(F.lit(1)).alias("n"),

@@ -635,3 +635,48 @@ def test_kcore_rounds_touch_only_node_sized_state():
     # the only full-edge-list aggregate is the setup one, outside the loop
     assert "e.groupBy" not in body
     assert body.count("groupBy") == 1  # just the contrib delta count
+
+
+# --- r8 self-audit reshapes: the six additional Gini-class sites ----------
+# (low-cardinality partitionBy over fact/corpus-scaled frames found by
+# the r8 window audit — per-source packing, per-lang rebalance,
+# per-shard positions, per-bucket budget select, per-type deciles, the
+# per-priority rank profile). Each must ride the two-pass pattern.
+
+
+def _all_windows_pid_partitioned(plan: str) -> bool:
+    lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    return bool(lines) and all("__pid" in ln for ln in lines)
+
+
+def test_lang_rebalance_ranks_are_pid_partitioned(spark, qs):
+    assert _all_windows_pid_partitioned(
+        _plan(qs["docs_lang_rebalance"](spark, SF))
+    )
+
+
+def test_epoch_reshuffle_positions_are_pid_partitioned(spark, qs):
+    assert _all_windows_pid_partitioned(
+        _plan(qs["docs_epoch_reshuffle_shards"](spark, SF))
+    )
+
+
+def test_token_budget_running_sum_is_pid_partitioned(spark, qs):
+    assert _all_windows_pid_partitioned(
+        _plan(qs["corpus_token_budget_select"](spark, SF))
+    )
+
+
+def test_value_deciles_ntile_is_pid_partitioned(spark, qs):
+    assert _all_windows_pid_partitioned(
+        _plan(qs["events_value_deciles"](spark, SF))
+    )
+
+
+def test_window_rank_profile_is_pid_partitioned_closed_forms(spark, qs):
+    plan = _plan(qs["orders_window_rank_profile"](spark, SF))
+    assert _all_windows_pid_partitioned(plan)
+    # the rank statistics are closed forms — no ntile/percent_rank/
+    # cume_dist/nth_value window primitives anywhere in the plan
+    for fn in ("ntile(", "percent_rank(", "cume_dist(", "nth_value("):
+        assert fn not in plan

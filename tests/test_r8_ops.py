@@ -174,3 +174,49 @@ def test_cluster_curation_members_sum_to_graph_nodes(spark):
     )
     total = rep.agg(F2.sum("n_members")).collect()[0][0]
     assert total == n_nodes
+
+
+def test_null_group_key_is_its_own_group(spark):
+    """Window.partitionBy treats NULL as a group; the offset join is
+    null-safe so NULL-group rows must survive with correct ranks."""
+    rows = [Row(g=None if i % 3 == 0 else "a", v=i % 4, k=i) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, v long, k long").repartition(7)
+    got = (
+        ordered_prefix_distributed(
+            df, order=["v", "k"], partition_by=["g"], rank="r"
+        )
+        .select("g", "k", "r")
+        .collect()
+    )
+    assert len(got) == 60
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = df.select(
+        "g", "k", F.row_number().over(w).cast("long").alias("r")
+    ).collect()
+    key = lambda r: (r["g"] or "", r["k"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_running_sum_null_until_first_nonnull_across_partitions(spark):
+    """SQL window SUM stays NULL until the group's first non-NULL
+    input — including when the all-NULL prefix spans several range
+    partitions (the offset must not coerce it to 0)."""
+    rows = [Row(k=i, d=(None if i < 37 else i * 2)) for i in range(80)]
+    df = spark.createDataFrame(rows, "k long, d long").repartition(11)
+    got = (
+        ordered_prefix_distributed(
+            df, order=["k"], rank=None, running_sums={"d": "run"}
+        )
+        .select("k", "run")
+        .collect()
+    )
+    wr = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("k", F.sum("d").over(wr).alias("run")).collect()
+    assert sorted(got, key=lambda r: r["k"]) == sorted(
+        want, key=lambda r: r["k"]
+    )
+    # and the NULL prefix really is NULL, not 0
+    by_k = {r["k"]: r["run"] for r in got}
+    assert by_k[0] is None and by_k[36] is None and by_k[37] == 74

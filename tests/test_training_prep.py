@@ -52,11 +52,16 @@ def test_pack_sequences_offsets_contiguous_per_source(spark, qs):
             offset += r.tokens
 
 
-def test_pack_sequences_single_window_exchange(spark, qs):
+def test_pack_sequences_windows_are_pid_partitioned(spark, qs):
+    """r8 reshape: the per-source running offset rides the two-pass
+    range-partitioned prefix — every window is (__pid, source)-keyed,
+    never one whole-source window task."""
     plan = _plan(qs["docs_pack_sequences"](spark, SF))
-    # one hash exchange for the per-source window, nothing else
-    assert plan.count("Exchange") == 1
-    assert "Window" in plan
+    lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert lines
+    assert all("__pid" in ln for ln in lines)
 
 
 def test_train_split_is_shuffle_free_and_partitioned(spark, qs):
