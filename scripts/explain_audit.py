@@ -46,8 +46,8 @@ AUDIT = {
     "corpus_pipeline_funnel": "staged funnel sharing the exact-dedup window exchange",
     # r3 additions
     "dedup_semantic_keeplist": "broadcast centroid assignment; in-cell hash join; left-anti keep flag",
-    "docs_epoch_reshuffle_shards": "doc_id-only ReadSchema; ONE Exchange (the shard window)",
-    "corpus_token_budget_select": "BroadcastHashJoin on the quality-bucket dim; corpus window partitioned by q_bp (never global)",
+    "docs_epoch_reshuffle_shards": "doc_id-only ReadSchema; per-shard positions via the two-pass prefix (r8: every window (__pid, shard)-keyed)",
+    "corpus_token_budget_select": "BroadcastHashJoin on the quality-bucket dim; in-bucket running sum via the two-pass prefix (r8: (__pid, q_bp)-keyed windows, never one task per bucket)",
     # r3b curation wave
     "events_kmv_distinct_users": "distinct as partial-agg pair; rank window keyed by event_type; ReadSchema pruned to 2 cols",
     "storage_compaction_bin_pack": "SinglePartition window over the MANIFEST aggregate only (post-agg ~80 rows), never over facts",
@@ -65,6 +65,8 @@ AUDIT = {
     "parts_copurchase_bfs_hops": "frontier-expansion rounds join the checkpointed edge RDD scan (no lineitem self-join re-run per round); r7b: broadcast anti-join filters discoveries BEFORE the dedup shuffle, two-frontier block (undirected), visited = lazy union of checkpointed frontiers",
     "parts_copurchase_kcore": "r7b delta peeling: one full degree agg (r8: over BOTH endpoint columns, with an in==out degree guard rejecting unmirrored lists), then node-sized rounds (broadcast scan for edges into the newly-dropped set, subtract, re-threshold); edge frame checkpointed once, survivor filter applied once at the end",
     "corpus_vocab_coverage": "r8: orderBy+limit (TakeOrderedAndProject per-partition heaps) BEFORE ranking — the term-frequency frame never sorts in one task; rank + cumulative windows run on <= 100 post-limit rows",
+    "orders_window_rank_profile": "r8: ntile/percent_rank/cume_dist/nth_value reproduced as closed forms of the distributed per-group (row_number, N) — no window rank primitives in the plan, all windows (__pid, priority)-keyed",
+    "embeddings_cluster_curation_report": "r8: celled mutual-kNN edges (cached) -> two-level CC (local union-find under the gate) -> component-keyed report aggregates; integer ten-thousandth cosine sums",
     "events_weighted_median_udaf": "AggregateInPandas planned as a real aggregate: partial-less single exchange on (type, day); finite-measure filter pushed into the scan",
     "dedup_span_removal": "ArrowEvalPython k-gram hash kernel; ONE corpus-wide hash-keyed shuffle (duplicated-gram count); island-merge + stitch are doc-key windows; no CartesianProduct",
     # r5 additions
