@@ -220,3 +220,32 @@ def test_running_sum_null_until_first_nonnull_across_partitions(spark):
     # and the NULL prefix really is NULL, not 0
     by_k = {r["k"]: r["run"] for r in got}
     assert by_k[0] is None and by_k[36] is None and by_k[37] == 74
+
+
+def test_grouped_ntile_matches_window_ntile_across_k(spark):
+    """ntile_distributed_grouped's closed-form bucket must equal
+    Spark's NTILE for every k, including k > group size and the
+    uneven-remainder cases (first r buckets get q+1 rows)."""
+    from airline_dataset_hadoop_public_spark.operators.topk import (
+        ntile_distributed_grouped,
+    )
+
+    rows = [
+        Row(g=["a", "b", "c"][i % 3], v=(i * 7) % 13, k=i) for i in range(97)
+    ]
+    df = spark.createDataFrame(rows).repartition(9)
+    for k in (1, 2, 3, 4, 7, 10, 200):
+        got = {
+            (r["g"], r["k"]): r["nt"]
+            for r in ntile_distributed_grouped(
+                df, order=["v", "k"], k=k, partition_by=["g"], out="nt"
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "k")
+        want = {
+            (r["g"], r["k"]): r["nt"]
+            for r in df.select(
+                "g", "k", F.ntile(k).over(w).cast("long").alias("nt")
+            ).collect()
+        }
+        assert got == want, f"k={k}"
