@@ -36,6 +36,12 @@ def _cols(order: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order]
 
 
+# ordered_prefix_distributed offset-table bound: numPartitions +
+# |groups| rows cross the driver; past this the group key is
+# fact-scaled and the helper is the wrong tool (see the guard below).
+_OFFSET_ROWS_CAP = 1_000_000
+
+
 def global_top_k(df: DataFrame, order: Sequence[str | Column], k: int) -> DataFrame:
     """T1/T2: distributed top-k. `order` must be a total order."""
     return df.orderBy(*_cols(order)).limit(k)
@@ -165,9 +171,24 @@ def ordered_prefix_distributed(
     sizes_df = ordered.groupBy("__pid", *pb).agg(*aggs)
     # pid order == global sort order (range exchange emits partitions
     # in boundary order), so a per-group walk in pid order yields each
-    # group's exclusive prefix totals
+    # group's exclusive prefix totals.
+    # The collect is numPartitions + |groups| rows — scalars, not data
+    # — ONLY under the helper's low-cardinality-group contract. A
+    # caller passing a fact-scale partition_by would silently pull the
+    # key domain through the driver; cap the pull and fail loudly
+    # instead (the right tool for per-entity ordered state at that
+    # cardinality is a plain keyed window — one shuffle, bounded
+    # frames — not this helper).
+    size_rows = sizes_df.limit(_OFFSET_ROWS_CAP + 1).collect()
+    if len(size_rows) > _OFFSET_ROWS_CAP:
+        raise ValueError(
+            "ordered_prefix_distributed: partition_by cardinality x "
+            f"partitions exceeds {_OFFSET_ROWS_CAP} offset rows — the "
+            "group key is fact-scaled; use Window.partitionBy directly "
+            "(per-key frames are already bounded at that cardinality)"
+        )
     by_group: dict[tuple, list] = {}
-    for row in sizes_df.collect():
+    for row in size_rows:
         by_group.setdefault(tuple(row[c] for c in pb), []).append(row)
 
     def _as(dtype, v):

@@ -249,3 +249,19 @@ def test_grouped_ntile_matches_window_ntile_across_k(spark):
             ).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_offset_table_cap_fails_loudly_on_fact_scale_groups(spark, monkeypatch):
+    """A fact-scaled partition_by must raise, not silently pull the
+    key domain through the driver (cap monkeypatched down so the test
+    stays tiny)."""
+    from airline_dataset_hadoop_public_spark.operators import topk as T
+
+    monkeypatch.setattr(T, "_OFFSET_ROWS_CAP", 10)
+    df = spark.createDataFrame(
+        [Row(g=i, v=i) for i in range(200)]
+    ).repartition(5)
+    with pytest.raises(ValueError, match="fact-scaled"):
+        T.ordered_prefix_distributed(
+            df, order=["v"], partition_by=["g"], rank="r"
+        ).collect()
