@@ -64,6 +64,12 @@ _DRAIN_WITH_COUNT = {
     "lineitem_fifo_lot_allocation",
     # r6: per-document novelty report is corpus-sized
     "docs_ngram_novelty",
+    # r8: per-document outputs (drained for the scale-curve runs;
+    # only token_budget/epoch are in the bench set itself)
+    "docs_pack_sequences",
+    "docs_lang_rebalance",
+    "docs_epoch_reshuffle_shards",
+    "corpus_token_budget_select",
 }
 
 def _tree_cpu_snapshot() -> dict[tuple[int, int], int]:
