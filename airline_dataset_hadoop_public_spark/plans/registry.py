@@ -77,18 +77,23 @@ def register(name: str, oracle: str | None):
 #      r1/r2 oracle row (r5 verdict item 1). Each round the ~50
 #      stalest rows refresh, so max staleness stays ≈ ceil(registry /
 #      window) rounds.
-# r8 pins: the four queries whose PHYSICAL SHAPE changed this round
-# (the r7 judge's single-partition-window findings — vocab's
-# window-then-filter → orderBy+limit, MWU/Gini/Pareto → the two-pass
-# range-partitioned rank/prefix pattern). Values are meant to be
-# bit-identical, which is exactly why they must re-verify through the
-# driver window now rather than coast on r7 rows that measured the
-# old plans.
+# r9 pins: the four queries whose PHYSICAL SHAPE changed this round
+# (the r8 judge's remaining Gini-class window sites — KMV sketch
+# builds x2 and the weighted reservoir → the two-level heap
+# top_k_per_group_distributed, the winsorized histogram walk →
+# ordered_prefix_distributed), plus the two r7-green self-audit
+# reshapes whose plans changed in r8 AFTER their newest driver rows
+# (r8 judge item 2; the other four of the six rotate naturally with
+# the r4/r6 stale tier). Values are meant to be bit-identical, which
+# is exactly why they must re-verify through the driver window now
+# rather than coast on rows that measured the old plans.
 _PINNED_FIRST: list[str] = [
-    "corpus_vocab_coverage",
-    "events_mann_whitney_weekend",
-    "orders_segment_revenue_gini",
-    "supplier_pareto_coverage",
+    "events_kmv_distinct_users",
+    "events_kmv_type_overlap",
+    "events_winsorized_stats",
+    "docs_weighted_reservoir",
+    "docs_pack_sequences",
+    "docs_lang_rebalance",
 ]
 
 

@@ -49,7 +49,7 @@ AUDIT = {
     "docs_epoch_reshuffle_shards": "doc_id-only ReadSchema; per-shard positions via the two-pass prefix (r8: every window (__pid, shard)-keyed)",
     "corpus_token_budget_select": "BroadcastHashJoin on the quality-bucket dim; in-bucket running sum via the two-pass prefix (r8: (__pid, q_bp)-keyed windows, never one task per bucket)",
     # r3b curation wave
-    "events_kmv_distinct_users": "distinct as partial-agg pair; rank window keyed by event_type; ReadSchema pruned to 2 cols",
+    "events_kmv_distinct_users": "r9: sketch build = two-level heap ((__tkpid, type)-keyed local top-k, then <= k*P survivors); n_exact groupBy broadcast back; ReadSchema pruned to 2 cols",
     "storage_compaction_bin_pack": "SinglePartition window over the MANIFEST aggregate only (post-agg ~80 rows), never over facts",
     "docs_dsir_importance_weights": "256-bucket ratio table BroadcastHashJoin onto doc-features; one tokenize/explode/hash pass into cached (doc,bucket) counts; distributions and weights all aggregate that frame (InMemoryTableScan)",
     "embeddings_mutual_knn_graph": "broadcast centroid assignment; in-cell join + src-keyed rank window; directed edges cached for the reciprocity self-join",
@@ -58,7 +58,7 @@ AUDIT = {
     "lineitem_bloom_prune_revenue": "bloom bitmap literal filters the lineitem scan (xxhash64 codegen, no Python) BELOW the semi-join exchange; exact join absorbs false positives",
     # r4 additions
     "dedup_containment_neardup": "one-sided prefix x full-posting equi-join (never all-pairs); broadcast anti-join hot-token cap; hashed-set verify joins keyed on rep ids",
-    "events_kmv_type_overlap": "per-type rank window on one (type,value) distinct frame; 5x5 pair grid broadcast; membership tags collapse via partial agg before the pair rank window",
+    "events_kmv_type_overlap": "r9: per-type sketch build = two-level heap; 5x5 pair grid broadcast; membership tags collapse via partial agg before the (bounded, <=2k-per-pair) merge rank window",
     "lineitem_join_size_estimate": "ReadSchema = l_partkey only; Catalyst pushes the hash-slice filter BELOW the estimate branch's aggregate (1/64 of rows shuffle — the production path); the exact Σc² branch re-scans, deliberately: it is the report's own check and would not run at 100 TB",
     # r4b/r4c additions
     "orders_cdc_log_apply": "partial_max_by below ONE hashpartitioning Exchange (map-side-combinable last-writer-wins); no Window, no sort of the log",
@@ -87,7 +87,7 @@ AUDIT = {
     "events_value_woe_iv": "ntile_distributed equal-frequency binning (range sort + broadcast __pid/__off offsets); integer pos/neg counts; broadcast totals",
     "orders_mom_revenue_growth": "one fact aggregate to the month frame; lag window over ~tens of rows; exact-cents revenue",
     "events_linear_touch_attribution": "per-user lookback equi-join; exact floored basis-point shares (div) — no float boundary in the hash",
-    "events_winsorized_stats": "exact percentile via the VALUE-HISTOGRAM cumulative walk (tiny type x distinct-value frame) — no per-type fact sort; boundaries broadcast back for the clip",
+    "events_winsorized_stats": "r9: histogram cumulative walk via the two-pass prefix ((__pid, k)-keyed windows — the histogram scales with facts); per-type n groupBy broadcast; boundaries broadcast back for the clip",
     "docs_ngram_novelty": "distinct (doc, gram) explode -> min-per-gram partial agg -> gram-key join back; every stage hash-partitioned on the gram; exact basis points",
     "orders_repeat_kaplan_meier": "one custkey window picks (first, second) order dates; per-duration aggregate; suffix-sum risk set + prefix sum-of-logs on the calendar-bounded duration frame (single-task window is domain-bounded, <= span days)",
     "events_mann_whitney_weekend": "facts collapse to ONE value histogram Exchange; prefix counts via the two-pass range-partitioned pattern (r8 — the histogram scales with the data, so no global window); exact-rational tied ranks; single-row output",
