@@ -576,13 +576,18 @@ def supplier_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals fall out of the prefix itself — cum at the last rank IS
     # the total and max(rk) IS the supplier count — so no second pass
     # over the facts and no whole-partition window.
-    pre = ordered_prefix_distributed(
+    from ..runtime import cache_tracked
+
+    # cached: the per-nation totals aggregate and the coverage join
+    # both consume the prefix frame (ADVICE r8: only pass 1 is
+    # checkpointed inside the helper; pass 2 re-runs per consumer)
+    pre = cache_tracked(ordered_prefix_distributed(
         rev,
         order=[F.desc("cents"), F.asc("sk")],
         partition_by=["nation"],
         rank="rk",
         running_sums={"cents": "cum"},
-    )
+    ))
     nat = pre.groupBy("nation").agg(
         F.max("rk").alias("n_suppliers"),
         F.max_by("cum", "rk").alias("total"),

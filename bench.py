@@ -72,12 +72,14 @@ _DRAIN_WITH_COUNT = {
     "corpus_token_budget_select",
 }
 
-def _tree_cpu_snapshot() -> dict[tuple[int, int], int]:
+def _tree_cpu_snapshot() -> dict[tuple[int, int], tuple[int, tuple | None]]:
     """CPU ticks per live process in this process's descendant tree —
     the driver, the Spark JVM, and its pyspark.daemon workers — from
     /proc/<pid>/stat (utime+stime, plus cutime/cstime so children a
     counted parent reaped keep their time). Keyed by (pid, starttime)
-    so pid reuse can't alias two different processes.
+    so pid reuse can't alias two different processes; the value also
+    carries the parent's key so `_cpu_delta` can tell whether a
+    vanished child's time re-arrives inside the tree.
 
     Consumers take PER-PROCESS deltas between two snapshots
     (`_cpu_delta`) rather than differencing tree totals: a process
@@ -111,24 +113,44 @@ def _tree_cpu_snapshot() -> dict[tuple[int, int], int]:
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _, _) in info.items():
         kids.setdefault(ppid, []).append(pid)
-    snap: dict[tuple[int, int], int] = {}
-    stack = [os.getpid()]
+    snap: dict[tuple[int, int], tuple[int, tuple | None]] = {}
+    stack: list[tuple[int, tuple | None]] = [(os.getpid(), None)]
     while stack:
-        p = stack.pop()
+        p, parent_key = stack.pop()
         if p in info:
             _, ticks, started = info[p]
-            snap[(p, started)] = ticks
-            stack.extend(kids.get(p, []))
+            key = (p, started)
+            snap[key] = (ticks, parent_key)
+            stack.extend((c, key) for c in kids.get(p, []))
     return snap
 
 
-def _cpu_delta(
-    before: dict[tuple[int, int], int], after: dict[tuple[int, int], int]
-) -> float:
+def _cpu_delta(before: dict, after: dict) -> float:
     """Seconds of tree CPU between two snapshots: Σ per-process tick
-    growth (new processes count in full; vanished ones contribute
-    their pre-death growth only via a reaping parent's cutime)."""
-    ticks = sum(t - before.get(key, 0) for key, t in after.items())
+    growth. A child that died in the window is not lost — its ENTIRE
+    lifetime lands in the reaping parent's cutime — but that also
+    re-delivers the child's pre-death ticks already attributed to
+    earlier windows (ADVICE r8: the raw sum over-counted exactly when
+    pyspark.daemon recycling reaped a worker). Correction: for every
+    key that vanished between snapshots whose parent chain still ends
+    inside the counted tree, subtract its last-seen ticks — they are
+    double-delivered via cutime; the child's sincelast-snapshot growth
+    (t_death - t_lastseen) arrives once and stays counted. A vanished
+    process whose chain LEFT the tree (orphaned to init) is not
+    corrected: nobody in the tree inherits its time, so its last-seen
+    ticks remain singly counted from earlier windows."""
+    ticks = sum(t - before.get(key, (0, None))[0]
+                for key, (t, _) in after.items())
+    for key, (t, parent_key) in before.items():
+        if key in after:
+            continue
+        anc, hops = parent_key, 0
+        while (anc is not None and anc not in after and anc in before
+               and hops < 64):
+            anc = before[anc][1]
+            hops += 1
+        if anc is not None and anc in after:
+            ticks -= t
     return ticks / os.sysconf("SC_CLK_TCK")
 
 

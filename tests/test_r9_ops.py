@@ -1,10 +1,13 @@
-"""r9 wave: the two-level grouped top-k heap
-(`operators.topk.top_k_per_group_distributed`) that replaced the r8
-judge's four remaining Gini-class window sites (KMV sketch builds x2,
-winsorized-stats histogram walk, per-stratum weighted reservoir),
-pinned against the plain-window semantics it must reproduce
-bit-for-bit, plus the ntile integer-`div` regression guards (ADVICE
-r8) and the running-sums dtype contract."""
+"""r9 wave: grouped top-k over low-cardinality keys is bounded by
+Catalyst's InferWindowGroupLimit (SPARK-37099) — a literal `rn <= k`
+filter over a rank window compiles to a Partial WindowGroupLimit
+BELOW the exchange, pruning each input partition to its local k per
+group map-side. This is the r8 judge's prescribed "two-level
+per-(pid, key) heap" built into Spark; these tests pin the rewrite
+(and what defeats it) so an upgrade or refactor that loses it fails
+loudly, plus the KMV readout restructure that makes the rewrite
+reachable, the ntile integer-`div` regression guards (ADVICE r8), and
+the running-sums dtype contract."""
 
 from __future__ import annotations
 
@@ -17,13 +20,13 @@ from pyspark.sql import functions as F
 from airline_dataset_hadoop_public_spark.operators.topk import (
     ntile_bucket,
     ordered_prefix_distributed,
-    top_k_per_group_distributed,
+    top_k_per_group,
 )
 
 
 def _noisy(spark, n=600, groups=("a", "b", "c", None), seed=9):
     """Heavy ties, a NULL group, a total-order tie-break key, and many
-    input partitions so the level-1 local heaps actually split work."""
+    input partitions so the partial group-limit actually splits work."""
     rng = random.Random(seed)
     rows = [
         Row(g=groups[i % len(groups)], v=rng.randint(0, 15), k=i)
@@ -36,63 +39,85 @@ def _norm(rows):
     return sorted((tuple(r) for r in rows), key=repr)
 
 
-def _plain_topk(df, partition, order, k, rn):
-    w = Window.partitionBy(*partition).orderBy(*order)
-    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= k)
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("k", [1, 3, 17])
-def test_two_level_topk_matches_plain_window(spark, k):
+def _assert_partial_group_limit_below_exchange(plan: str) -> None:
+    """The load-bearing shape: a Partial-mode WindowGroupLimit printed
+    BELOW (after, in tree order) the hash exchange — the map-side
+    per-group heap that keeps whole-group sorts out of any one task."""
+    partial = plan.index(", Partial")  # raises if the rewrite is lost
+    assert ", Final" in plan
+    exchange = plan.index("Exchange hashpartitioning")
+    assert partial > exchange, "Partial group-limit must be map-side"
+
+
+def test_topk_per_group_compiles_to_window_group_limit(spark):
     df = _noisy(spark)
-    got = top_k_per_group_distributed(
-        df, ["g"], ["v", "k"], k, rn="rn"
-    ).collect()
-    want = _plain_topk(df, ["g"], [F.col("v"), F.col("k")], k, "rn").collect()
-    assert _norm(got) == _norm(want)
-
-
-def test_two_level_topk_groups_smaller_than_k_keep_everything(spark):
-    """Ranks up to the group size must be TRUE ranks even when the
-    group holds fewer than k rows — the KMV `rn == least(k, n)`
-    readout depends on nothing being pruned below capacity."""
-    df = _noisy(spark, n=24, groups=("x", "y"))
-    got = top_k_per_group_distributed(df, ["g"], ["v", "k"], 100, rn="rn")
-    want = _plain_topk(df, ["g"], [F.col("v"), F.col("k")], 100, "rn")
-    assert _norm(got.collect()) == _norm(want.collect())
-    assert got.count() == 24  # nothing pruned
-
-
-def test_two_level_topk_desc_order_and_drop_rn(spark):
-    df = _noisy(spark, groups=("a", "b"))
-    got = top_k_per_group_distributed(
-        df, ["g"], [F.desc("v"), F.asc("k")], 5
+    out = top_k_per_group(df, ["g"], ["v", "k"], 3, rn="rn")
+    _assert_partial_group_limit_below_exchange(_plan(out))
+    want = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("v", "k"))
+        )
+        .filter(F.col("rn") <= 3)
+        .collect()
     )
-    assert "__rn" not in got.columns and "rn" not in got.columns
-    want = _plain_topk(
-        df, ["g"], [F.desc("v"), F.asc("k")], 5, "rn"
-    ).drop("rn")
-    assert _norm(got.collect()) == _norm(want.collect())
+    assert _norm(out.collect()) == _norm(want)
 
 
-def test_two_level_topk_empty_input(spark):
-    df = _noisy(spark, n=4).filter(F.lit(False))
-    assert top_k_per_group_distributed(df, ["g"], ["v", "k"], 3).count() == 0
-
-
-def test_two_level_topk_plan_is_two_bounded_windows(spark):
-    """Plan contract: level 1 keys its window by (__tkpid, group) —
-    frames bounded by one input partition — and the only other window
-    ranks the post-prune survivors (<= k * numPartitions per group)."""
+def test_non_literal_rank_filter_defeats_group_limit(spark):
+    """Negative control — the r8 KMV hazard class: a rank predicate
+    against a COMPUTED limit is invisible to InferWindowGroupLimit, so
+    the whole group sorts in one task. This is why rank-dependent
+    readouts must prefilter with the literal `rn <= k` first."""
     df = _noisy(spark)
-    plan = (
-        top_k_per_group_distributed(df, ["g"], ["v", "k"], 3, rn="rn")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    w = Window.partitionBy("g").orderBy("v", "k")
+    n = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    bad = (
+        df.withColumn("rn", F.row_number().over(w))
+        .join(n, "g")
+        .filter(F.col("rn") == F.least(F.lit(3), F.col("n")))
     )
-    lines = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
-    assert len(lines) == 2
-    assert sum("__tkpid" in ln for ln in lines) == 1
+    assert "WindowGroupLimit" not in _plan(bad)
+
+
+def test_kmv_readout_prefilters_then_applies_least(spark):
+    """kmv_distinct_per_key must keep the group-limit reachable AND
+    stay exact below sketch capacity (k-th order statistic == last
+    value of an under-capacity group)."""
+    from airline_dataset_hadoop_public_spark.operators.sketches import (
+        kmv_distinct_per_key,
+    )
+
+    rows = [Row(key="big", val=f"u{i}") for i in range(200)]
+    rows += [Row(key="tiny", val=f"t{i}") for i in range(5)]
+    df = spark.createDataFrame(rows).repartition(7)
+    out = kmv_distinct_per_key(df, "key", "val", k=32)
+    _assert_partial_group_limit_below_exchange(_plan(out))
+    got = {r["key"]: r for r in out.collect()}
+    assert got["tiny"]["n_exact"] == 5
+    assert got["tiny"]["kmv_estimate"] == 5.0  # exact below capacity
+    assert got["big"]["n_exact"] == 200
+    assert got["big"]["rel_err"] < 0.5  # k=32 estimate in the ballpark
+
+
+def test_weighted_reservoir_keeps_group_limit(spark):
+    from airline_dataset_hadoop_public_spark.operators.sampling import (
+        weighted_reservoir_per_key,
+    )
+
+    rows = [
+        Row(s=("x" if i % 3 else "y"), i=i + 1, w=float(1 + i % 7))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows).repartition(11)
+    out = weighted_reservoir_per_key(df, "s", "i", "w", k=10)
+    _assert_partial_group_limit_below_exchange(_plan(out))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"x": 10, "y": 10}
 
 
 # --- ntile integer division (ADVICE r8: q reverted to a double `/`) --------
@@ -138,6 +163,7 @@ def test_ntile_bucket_exact_above_2_53():
     n = (1 << 55) + 3  # N - N%k not representable exactly as double
     k = 7
     q, r = divmod(n, k)
+
     # closed form evaluated with Python ints (what `div` computes)
     def bucket(rank):
         big = r * (q + 1)
