@@ -49,7 +49,7 @@ AUDIT = {
     "docs_epoch_reshuffle_shards": "doc_id-only ReadSchema; per-shard positions via the two-pass prefix (r8: every window (__pid, shard)-keyed)",
     "corpus_token_budget_select": "BroadcastHashJoin on the quality-bucket dim; in-bucket running sum via the two-pass prefix (r8: (__pid, q_bp)-keyed windows, never one task per bucket)",
     # r3b curation wave
-    "events_kmv_distinct_users": "r9: sketch build = two-level heap ((__tkpid, type)-keyed local top-k, then <= k*P survivors); n_exact groupBy broadcast back; ReadSchema pruned to 2 cols",
+    "events_kmv_distinct_users": "r9: literal rn <= k prefilter -> WindowGroupLimit Partial BELOW the exchange (map-side per-type heap); n_exact groupBy broadcast back (the old non-literal least() readout + whole-key count window defeated the rewrite); ReadSchema pruned to 2 cols",
     "storage_compaction_bin_pack": "SinglePartition window over the MANIFEST aggregate only (post-agg ~80 rows), never over facts",
     "docs_dsir_importance_weights": "256-bucket ratio table BroadcastHashJoin onto doc-features; one tokenize/explode/hash pass into cached (doc,bucket) counts; distributions and weights all aggregate that frame (InMemoryTableScan)",
     "embeddings_mutual_knn_graph": "broadcast centroid assignment; in-cell join + src-keyed rank window; directed edges cached for the reciprocity self-join",
@@ -58,7 +58,7 @@ AUDIT = {
     "lineitem_bloom_prune_revenue": "bloom bitmap literal filters the lineitem scan (xxhash64 codegen, no Python) BELOW the semi-join exchange; exact join absorbs false positives",
     # r4 additions
     "dedup_containment_neardup": "one-sided prefix x full-posting equi-join (never all-pairs); broadcast anti-join hot-token cap; hashed-set verify joins keyed on rep ids",
-    "events_kmv_type_overlap": "r9: per-type sketch build = two-level heap; 5x5 pair grid broadcast; membership tags collapse via partial agg before the (bounded, <=2k-per-pair) merge rank window",
+    "events_kmv_type_overlap": "r9: both rank windows (sketch build, <=2k-per-pair merge) filter on literal k -> WindowGroupLimit Partial below their exchanges; 5x5 pair grid broadcast; membership tags collapse via partial agg",
     "lineitem_join_size_estimate": "ReadSchema = l_partkey only; Catalyst pushes the hash-slice filter BELOW the estimate branch's aggregate (1/64 of rows shuffle — the production path); the exact Σc² branch re-scans, deliberately: it is the report's own check and would not run at 100 TB",
     # r4b/r4c additions
     "orders_cdc_log_apply": "partial_max_by below ONE hashpartitioning Exchange (map-side-combinable last-writer-wins); no Window, no sort of the log",
