@@ -1042,7 +1042,11 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cache_tracked(
         ev.select(F.col("event_type").alias("k"), "value")
     )
-    h = base.groupBy("k", "value").agg(F.count(F.lit(1)).alias("c"))
+    # cached: the histogram feeds BOTH the per-type total and the
+    # (eagerly constructed) distributed prefix walk
+    h = cache_tracked(
+        base.groupBy("k", "value").agg(F.count(F.lit(1)).alias("c"))
+    )
     # r9 (judge item 1c): `value` is a continuous double, so the
     # (type, value) histogram scales ~linearly with the facts — the
     # identical argument the r8 MWU reshape makes, applied per type.
