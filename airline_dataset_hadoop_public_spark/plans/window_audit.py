@@ -17,10 +17,10 @@ keys. A window passes only if
   keys — Catalyst's InferWindowGroupLimit (SPARK-37099) compiled a
   literal ``rank <= k`` filter into a Partial group-limit below the
   exchange, so no task sorts more than k rows per (group, input
-  partition). Known imprecision, accepted: if one query had TWO
-  windows over the same key set and only one were group-limited, both
-  would be blessed — the named heavies are additionally pinned
-  one-by-one in tests/test_plan_shapes.py, or
+  partition). Blessing is COUNTED, not set-membership: each
+  WindowGroupLimit node vouches for exactly one window, so a query
+  with two same-keyed windows of which only one is group-limited has
+  the other fall through to the remaining classifiers, or
 - some key is in ``ENTITY_KEYS`` — adjudicated as scaling WITH the
   data (per-user, per-doc, per-order...): more rows means more
   groups, not bigger frames (partitioning by additional keys only
@@ -154,12 +154,16 @@ _SORT_SPEC = re.compile(r"\s(ASC|DESC)\s+NULLS\s+(FIRST|LAST)\s*$")
 _GROUP_LIMIT = re.compile(r"WindowGroupLimit \[([^\]]*)\]")
 
 
-def group_limit_key_sets(plan: str) -> set[frozenset[str]]:
-    """Partition-key sets of every WindowGroupLimit node in the plan."""
-    out = set()
+def group_limit_key_sets(plan: str) -> dict[frozenset[str], int]:
+    """Partition-key sets of every WindowGroupLimit node in the plan,
+    with multiplicity: each node vouches for exactly ONE window, so
+    the classifier consumes one count per blessed window instead of
+    treating the set as a blanket permission."""
+    out: dict[frozenset[str], int] = {}
     for m in _GROUP_LIMIT.finditer(plan):
         keys = _split_top_level(m.group(1))
-        out.add(frozenset(_EXPR_ID.sub("", k) for k in keys))
+        ks = frozenset(_EXPR_ID.sub("", k) for k in keys)
+        out[ks] = out.get(ks, 0) + 1
     return out
 
 
@@ -200,7 +204,7 @@ class WindowFinding:
 def classify(
     query: str,
     keys: frozenset[str],
-    limited: set[frozenset[str]] = frozenset(),
+    limited: dict[frozenset[str], int] | None = None,
 ) -> WindowFinding:
     if any(k.startswith("__pid") for k in keys):
         return WindowFinding(
@@ -208,7 +212,8 @@ def classify(
             "bounded-frame primitive: window keyed by the range "
             "partition id",
         )
-    if keys in limited:
+    if limited and limited.get(keys, 0) > 0:
+        limited[keys] -= 1  # one WindowGroupLimit vouches for one window
         return WindowFinding(
             query, keys, "group-limit",
             "literal rank filter compiled to WindowGroupLimit: Partial "
@@ -242,7 +247,7 @@ def plan_string(df: DataFrame) -> str:
 
 def audit_query(name: str, df: DataFrame) -> list[WindowFinding]:
     plan = plan_string(df)
-    limited = group_limit_key_sets(plan)
+    limited = dict(group_limit_key_sets(plan))
     return [classify(name, ks, limited) for ks in partition_key_sets(plan)]
 
 

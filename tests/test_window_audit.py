@@ -51,7 +51,7 @@ def test_partition_keys_handle_nested_expression_keys():
 
 def test_group_limit_key_sets_parsed():
     plan = "WindowGroupLimit [g#1L, h#2], [v#3 ASC NULLS FIRST], row_number(), 5"
-    assert wa.group_limit_key_sets(plan) == {frozenset({"g", "h"})}
+    assert wa.group_limit_key_sets(plan) == {frozenset({"g", "h"}): 1}
 
 
 # --- classifier --------------------------------------------------------------
@@ -60,9 +60,13 @@ def test_group_limit_key_sets_parsed():
 def test_classifier_precedence_and_failure():
     assert wa.classify("q", frozenset({"__pid", "seg"})).status == "pid"
     assert (
-        wa.classify("q", frozenset({"seg"}), {frozenset({"seg"})}).status
+        wa.classify("q", frozenset({"seg"}), {frozenset({"seg"}): 1}).status
         == "group-limit"
     )
+    # counted: a second same-keyed window must NOT reuse the voucher
+    lim = {frozenset({"seg"}): 1}
+    assert wa.classify("q", frozenset({"seg"}), lim).status == "group-limit"
+    assert wa.classify("q", frozenset({"seg"}), lim).status == "UNADJUDICATED"
     assert wa.classify("q", frozenset({"user_id", "seg"})).status == "entity"
     bad = wa.classify("unknown_query", frozenset({"seg"}))
     assert bad.status == "UNADJUDICATED"
