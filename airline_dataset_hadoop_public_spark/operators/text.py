@@ -339,9 +339,17 @@ def tfidf_top_terms(
     Scale shape: one explode + two hash aggregations (doc-term counts,
     then per-term document frequency over the already-aggregated
     doc-term frame — strictly smaller than the token stream), a
-    broadcast join of the term→df side, and a per-document ranking
+    term-keyed join of the term→df side, and a per-document ranking
     window. N is a broadcast scalar, not a driver collect. No token
     list ever materializes per row beyond the explode.
+
+    The df side carries NO broadcast hint (r9 self-audit): `dfreq` is
+    VOCABULARY-scaled, and a hard hint would pin a broadcast that
+    stops fitting at corpus scale. AQE picks the strategy from runtime
+    sizes instead — broadcast while the dictionary is small, term-key
+    shuffle when it is not; results are join-strategy-invariant (the
+    planshift adversarial axis runs this exact query with
+    auto-broadcast disabled).
     """
     from pyspark.sql import Window
 
@@ -354,7 +362,9 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # no broadcast hint on the vocabulary-scaled df side — AQE
+        # decides from runtime sizes (see docstring)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
             id_col,
@@ -489,7 +499,9 @@ def tfidf_cosine_pairs(
         .drop("n_docs")
     )
     w = (
-        tf.join(F.broadcast(dfreq), "term")
+        # vocabulary-scaled df side: no broadcast hint, AQE decides
+        # (same r9 self-audit rationale as tfidf_top_terms)
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
             F.col(id_col),
@@ -506,7 +518,7 @@ def tfidf_cosine_pairs(
     # ':'/'\n' are safe separators: terms come from a \s+ split (no
     # whitespace) and the trailing field is numeric, so the rightmost
     # ':' always delimits tf — the serialization is injective
-    kept = tf.join(F.broadcast(dfreq.select("term")), "term")
+    kept = tf.join(dfreq.select("term"), "term")  # vocab-scaled: no hint
     grp = cache_tracked(
         kept.groupBy(id_col)
         .agg(
