@@ -206,6 +206,16 @@ def main() -> int:
             "without changing any oracle; no new mechanical subsumption "
             "candidates appeared — the table above is byte-identical "
             "to r7's adjudicated set.\n"
+            "\n### Adjudication (r9)\n\n"
+            "Registry unchanged at 241 (zero free window slots: 6 pins "
+            "+ 44 of the 48-name r4 stale tier fill the driver window; "
+            "BASELINE.md r9 records the arithmetic and explicitly "
+            "defers the next capability with a staged design note). "
+            "The r9 reshapes (KMV readout restructure, winsorized "
+            "prefix walk, tfidf broadcast-hint removal) changed plans "
+            "only — no oracle changed, no new mechanical candidates "
+            "appeared; the flagged set is byte-identical to the "
+            "r7/r8-adjudicated one.\n"
         )
         fh.write("\n## Per-query operator sets\n\n")
         fh.write("| query | operators |\n|---|---|\n")
