@@ -77,23 +77,21 @@ def register(name: str, oracle: str | None):
 #      r1/r2 oracle row (r5 verdict item 1). Each round the ~50
 #      stalest rows refresh, so max staleness stays ≈ ceil(registry /
 #      window) rounds.
-# r9 pins: the four queries whose PHYSICAL SHAPE changed this round
-# (the r8 judge's remaining Gini-class window sites — KMV sketch
-# builds x2 and the weighted reservoir → the two-level heap
-# top_k_per_group_distributed, the winsorized histogram walk →
-# ordered_prefix_distributed), plus the two r7-green self-audit
-# reshapes whose plans changed in r8 AFTER their newest driver rows
-# (r8 judge item 2; the other four of the six rotate naturally with
-# the r4/r6 stale tier). Values are meant to be bit-identical, which
-# is exactly why they must re-verify through the driver window now
-# rather than coast on rows that measured the old plans.
+# r10 pins (r9 verdict task 2): the four r4-stale leftovers — the
+# oldest evidence registry-wide, all independently re-run green by the
+# r9 judge — plus events_value_deciles, whose plan changed in the r8
+# self-audit reshape (ntile closed forms) but whose newest driver row
+# is still r6 (the r8 item-2 miss the r9 judge flagged). Window
+# arithmetic (recorded in BASELINE.md r10 handoff): 50 slots = these 5
+# pins + corpus_mixing_weights (new registration → never-verified
+# tier 2) + the 44 stalest r5 names; 3 r5 names roll to r11, so max
+# staleness registry-wide stays ≤ r5.
 _PINNED_FIRST: list[str] = [
-    "events_kmv_distinct_users",
-    "events_kmv_type_overlap",
-    "events_winsorized_stats",
-    "docs_weighted_reservoir",
-    "docs_pack_sequences",
-    "docs_lang_rebalance",
+    "text_langid_confusion",
+    "warehouse_write_audit_publish",
+    "storage_compaction_bin_pack",
+    "orders_mor_position_deletes",
+    "events_value_deciles",
 ]
 
 
