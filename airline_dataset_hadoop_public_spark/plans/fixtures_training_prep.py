@@ -1029,3 +1029,184 @@ def events_value_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("iv_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus mixing-weights solver (r9 verdict lead item; the
+# design note staged in BASELINE.md r9). Public canon: temperature-
+# scaled multilingual sampling (Lample & Conneau, arXiv:1901.07291
+# §3.1) followed by standard cap-and-redistribute water-filling.
+#
+# Semantics: from per-source token counts n_i (ONE fact-sized groupBy
+# over ``documents``), compute q_i = n_i^alpha / sum_j n_j^alpha with
+# alpha = 0.5, then w_i = min(c, lambda*q_i) with lambda chosen so
+# sum w_i = 1, cap c = 1.02 / N (scale-free: c*N = 1.02 > 1 keeps the
+# solve feasible at ANY source count, and the cap binds whenever a
+# source exceeds 1.02x the uniform share — it binds at every test
+# scale: k* = 9 / 7 / 4 at sf0.001 / 0.01 / 0.1). Emit per source:
+# raw share, solved weight, cap flag, token allocation and epoch
+# count for a fixed budget T = 1,000,000 tokens.
+#
+# Cross-engine bit-equality discipline (FIXTURES.md; the EWMA pow
+# caveat): alpha = 0.5 means the power is sqrt — correctly rounded
+# per IEEE-754 in every engine, unlike pow with arbitrary exponents.
+# The solver then QUANTIZES: s_i = floor(sqrt(n_i) * 1e6) as BIGINT,
+# so every sum, prefix sum and the cap-boundary selection run in
+# EXACT integer arithmetic, order-independent and engine-independent.
+# With c = 51/(50N), "lambda_k*q_k >= c" cross-multiplies to
+#     (50N - 51k) * s_k >= 51 * R_k      (R_k = suffix sum after k)
+# — a pure BIGINT comparison (no float anywhere in k-selection; worst
+# case ~N * s_max * 51 ~ 1e3 * 4e9 * 51 ~ 2e14 at sf1-per-source
+# scale, far inside int64; at true 100 TB per-source counts drop the
+# quantum to 1e4). The water-filling k* is unique (the standard
+# bisection lemma: sum_i min(c, lambda*q_i) is strictly increasing in
+# lambda where it is below 1), and an exact-integer tie S_k = S_{k+1}
+# can never straddle the boundary (the two conditions contradict), so
+# MAX over the single valid row is well-defined. Downstream floats
+# (lambda, weights, epochs) are short fixed-shape expression trees —
+# each IEEE op correctly rounded, so Spark and DuckDB produce
+# bit-identical doubles from the identical integer inputs.
+#
+# 100 TB shape: the only fact-sized stage is the partial-agg groupBy
+# (map-side combine; the shuffle carries |sources| rows per input
+# partition). The solver runs on the N-row source dimension: its
+# global windows are dimension-sized (window-audit allowlist entry),
+# and the one-row solution frame broadcast-joins back (scalar
+# provenance). Completes the curation substrate next to DSIR weights,
+# temperature resample and the token budget, which consume a mixture
+# but had no solver producing one.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_T = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+quant AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS s_q
+  FROM per_src
+),
+ranked AS (
+  SELECT source, n_tokens, s_q,
+         CAST(ROW_NUMBER() OVER (ORDER BY s_q DESC, source ASC) AS BIGINT)
+           AS rn,
+         CAST(SUM(s_q) OVER (ORDER BY s_q DESC, source ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS prefix,
+         CAST(SUM(s_q) OVER () AS BIGINT) AS s_total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+         CAST(COALESCE(LEAD(s_q) OVER (ORDER BY s_q DESC, source ASC), 0)
+              AS BIGINT) AS s_next
+  FROM quant
+),
+cond AS (
+  SELECT *,
+         s_total - prefix AS suffix,
+         ((50 * n_src - 51 * rn) * s_q >= 51 * (s_total - prefix)
+          AND (50 * n_src - 51 * rn) * s_next < 51 * (s_total - prefix))
+           AS valid
+  FROM ranked
+),
+sol AS (
+  SELECT COALESCE(MAX(CASE WHEN valid THEN rn END), 0) AS kstar,
+         COALESCE(MAX(CASE WHEN valid THEN suffix END), MAX(s_total))
+           AS rstar
+  FROM cond
+),
+w AS (
+  SELECT c.*, sol.kstar,
+         CASE WHEN c.rn <= sol.kstar THEN 51.0 / (50 * c.n_src)
+              ELSE ((1 - sol.kstar * (51.0 / (50 * c.n_src))) * c.s_q)
+                   / sol.rstar
+         END AS w_full
+  FROM cond c, sol
+)
+SELECT source, n_tokens,
+       ROUND(CAST(s_q AS DOUBLE) / s_total, 6) AS q_raw,
+       ROUND(w_full, 6) AS weight,
+       CAST(rn <= kstar AS INT) AS capped,
+       CAST(floor(w_full * {_MIX_BUDGET_T}) AS BIGINT) AS tokens_alloc,
+       ROUND((w_full * {_MIX_BUDGET_T}) / n_tokens, 6) AS epochs
+FROM w
+"""
+
+
+@register("corpus_mixing_weights", _MIX_ORACLE)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "n_tokens"
+        )
+    )
+    quant = per_src.withColumn(
+        "s_q", F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
+    )
+    # Solver frame is the source dimension (~|sources| rows): global
+    # windows here are dimension-sized by construction (allowlisted in
+    # plans/window_audit.py with that reason).
+    w_ord = Window.orderBy(F.desc("s_q"), F.asc("source"))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = quant.select(
+        "source",
+        "n_tokens",
+        "s_q",
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.sum("s_q").over(w_run).alias("prefix"),
+        F.sum("s_q").over(w_all).alias("s_total"),
+        F.count(F.lit(1)).over(w_all).alias("n_src"),
+        F.lead("s_q", 1, 0).over(w_ord).alias("s_next"),
+    )
+    cond = ranked.withColumn(
+        "suffix", F.col("s_total") - F.col("prefix")
+    ).withColumn(
+        "valid",
+        (
+            (50 * F.col("n_src") - 51 * F.col("rn")) * F.col("s_q")
+            >= 51 * F.col("suffix")
+        )
+        & (
+            (50 * F.col("n_src") - 51 * F.col("rn")) * F.col("s_next")
+            < 51 * F.col("suffix")
+        ),
+    )
+    sol = cond.agg(
+        F.coalesce(
+            F.max(F.when(F.col("valid"), F.col("rn"))), F.lit(0).cast("long")
+        ).alias("kstar"),
+        F.coalesce(
+            F.max(F.when(F.col("valid"), F.col("suffix"))),
+            F.max("s_total"),
+        ).alias("rstar"),
+    )
+    cap = F.lit(51.0) / (50 * F.col("n_src"))
+    w_full = F.when(F.col("rn") <= F.col("kstar"), cap).otherwise(
+        ((F.lit(1) - F.col("kstar") * cap) * F.col("s_q")) / F.col("rstar")
+    )
+    return (
+        cond.join(F.broadcast(sol), how="cross")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("s_q").cast("double") / F.col("s_total"), 6).alias(
+                "q_raw"
+            ),
+            F.round(w_full, 6).alias("weight"),
+            (F.col("rn") <= F.col("kstar")).cast("int").alias("capped"),
+            F.floor(w_full * _MIX_BUDGET_T).cast("long").alias(
+                "tokens_alloc"
+            ),
+            F.round((w_full * _MIX_BUDGET_T) / F.col("n_tokens"), 6).alias(
+                "epochs"
+            ),
+        )
+    )

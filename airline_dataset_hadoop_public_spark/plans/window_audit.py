@@ -287,6 +287,11 @@ allow("x1_popularity_rank", (),
 allow("x1_zipf_loglog_fit", (),
       "rank + fit windows over the same per-airport aggregate: "
       "|airports| rows (dimension-sized)")
+allow("corpus_mixing_weights", (),
+      "water-filling solver windows (rank, prefix/total sums, lead) "
+      "run on the post-aggregate source dimension: <= |sources| rows "
+      "(one row per corpus source; the only fact-sized stage is the "
+      "partial-agg groupBy upstream)")
 
 # calendar-bounded series frames: facts pre-aggregate to one row per
 # (key, time-bucket); the calendar span bounds the frame
