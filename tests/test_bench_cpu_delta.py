@@ -77,3 +77,51 @@ def test_pid_reuse_is_new_process():
     after = {ROOT: (_t(6) + _t(1), None), (4, 401): (_t(2), ROOT)}
     # root grew 7 (6 reaped + 1 own) + new process 2 - 6 attributed = 3
     assert _cpu_delta(before, after) == 3.0
+
+
+def test_overshoot_clamps_to_zero_with_residual():
+    """r9 judge item 1 (text_winnowing_overlap = −100.3 cpu_sec in the
+    committed r9 BENCH_DETAIL.json): a worker accumulates ticks across
+    EARLIER query windows, then is reparented outside the tree before
+    dying, yet its snapshot-time parent chain still reaches a live
+    tree member — the walk subtracts its 10 already-attributed ticks
+    while the parent's cutime never grew (nobody in the tree inherited
+    the time). The window must clamp at 0 and surface the 10 as
+    reap_residual instead of cancelling other queries' real CPU."""
+    from bench import _cpu_delta_detail
+
+    before = {ROOT: (0, None), DAEMON: (0, ROOT), WORKER: (_t(10), DAEMON)}
+    # worker vanished; daemon (its snapshot-time parent) is alive but
+    # its cutime did NOT grow — the worker died as init's orphan
+    after = {ROOT: (0, None), DAEMON: (0, ROOT)}
+    assert _cpu_delta(before, after) == 0.0
+    assert _cpu_delta_detail(before, after) == (0.0, 10.0)
+
+
+def test_multiwindow_child_partial_cover_clamps():
+    """Child banked 10 ticks across earlier windows, burns 2 more in
+    this window, is reaped by the daemon — but the daemon itself had
+    already banked 3 of the child's ticks via an earlier partial
+    accounting quirk, so observed growth (9) < subtracted history
+    (10). Raw arithmetic gives 9 + 2 − 10 − ... a negative composite;
+    the clamp keeps the window at the non-negative part and reports
+    the shortfall as residual, so the sum of (cpu_sec, residual)
+    stays decomposable."""
+    from bench import _cpu_delta_detail
+
+    before = {ROOT: (0, None), DAEMON: (0, ROOT), WORKER: (_t(10), DAEMON)}
+    # daemon reaped the worker but only 7 of the worker's ticks show
+    # up (subreaper stole the rest): growth 7 − subtracted 10 = −3
+    after = {ROOT: (0, None), DAEMON: (_t(7), ROOT)}
+    cpu, resid = _cpu_delta_detail(before, after)
+    assert cpu == 0.0
+    assert resid == 3.0
+    assert _cpu_delta(before, after) == 0.0
+
+
+def test_detail_matches_scalar_on_positive_windows():
+    before = {ROOT: (_t(1), None), JVM: (_t(10), ROOT)}
+    after = {ROOT: (_t(2), None), JVM: (_t(14), ROOT)}
+    from bench import _cpu_delta_detail
+
+    assert _cpu_delta_detail(before, after) == (5.0, 0.0)
