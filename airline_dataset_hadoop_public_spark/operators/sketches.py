@@ -101,8 +101,13 @@ def kmv_distinct_per_key(
     )
     # survivor ranks are true ranks up to min(k, group size) — below
     # capacity nothing is pruned (the k-th order statistic IS the
-    # key's last value) — so the exact readout is safe on survivors
-    kth = kept.join(F.broadcast(n_ex), key_col).filter(
+    # key's last value) — so the exact readout is safe on survivors.
+    # No broadcast hint on n_ex (ADVICE r9): its size is the KEY
+    # CARDINALITY, which this generic operator does not bound — a
+    # fact-scaled key domain would force an unbounded broadcast. AQE
+    # picks the strategy from runtime sizes (same fix as the
+    # vocabulary-scaled tfidf hints in text.py, which got FASTER).
+    kth = kept.join(n_ex, key_col).filter(
         F.col("__rn") == F.least(F.lit(k), F.col("n_exact"))
     )
     # greatest(hv, 1): an all-zero md5 prefix (probability 2^-60 per

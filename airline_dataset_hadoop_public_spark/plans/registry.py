@@ -81,17 +81,21 @@ def register(name: str, oracle: str | None):
 # oldest evidence registry-wide, all independently re-run green by the
 # r9 judge — plus events_value_deciles, whose plan changed in the r8
 # self-audit reshape (ntile closed forms) but whose newest driver row
-# is still r6 (the r8 item-2 miss the r9 judge flagged). Window
-# arithmetic (recorded in BASELINE.md r10 handoff): 50 slots = these 5
-# pins + corpus_mixing_weights (new registration → never-verified
-# tier 2) + the 44 stalest r5 names; 3 r5 names roll to r11, so max
-# staleness registry-wide stays ≤ r5.
+# is still r6 (the r8 item-2 miss the r9 judge flagged), plus
+# events_kmv_distinct_users, whose PHYSICAL SHAPE changed this round
+# after its r9 row (ADVICE r9: the key-cardinality-scaled
+# F.broadcast(n_ex) hint dropped from kmv_distinct_per_key — AQE now
+# picks the join strategy). Window arithmetic (recorded in BASELINE.md
+# r10 handoff): 50 slots = these 6 pins + corpus_mixing_weights (new
+# registration → never-verified tier 2) + the 43 stalest r5 names;
+# 4 r5 names roll to r11, so max staleness registry-wide stays ≤ r5.
 _PINNED_FIRST: list[str] = [
     "text_langid_confusion",
     "warehouse_write_audit_publish",
     "storage_compaction_bin_pack",
     "orders_mor_position_deletes",
     "events_value_deciles",
+    "events_kmv_distinct_users",
 ]
 
 
