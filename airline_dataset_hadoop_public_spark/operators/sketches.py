@@ -341,8 +341,11 @@ def ddsketch_quantiles(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
     ).withColumn("__rk", F.ceil(F.col("q") * F.col("n")))
     # smallest bucket whose cumulative count reaches the target rank
+    # no broadcast hint on the rank-target frame (ADVICE r9 hazard
+    # class): |keys| x |quantiles| rows scale with the key domain,
+    # which this generic operator does not bound — AQE decides
     pick = (
-        cum.join(F.broadcast(ranks), "__k")
+        cum.join(ranks, "__k")
         .filter(F.col("__cum") >= F.col("__rk"))
         .groupBy("__k", "q", "n", "__rk")
         .agg(F.min("__b").alias("bucket"))

@@ -393,9 +393,11 @@ def ntile_distributed_grouped(
     ranked = cache_tracked(
         ordered_prefix_distributed(df, order, partition_by=pb, rank="__rk")
     )
-    n = F.broadcast(
-        ranked.groupBy(*pb).agg(F.count(F.lit(1)).alias("__n"))
-    )
+    # no broadcast hint on the group-size frame (ADVICE r9 hazard
+    # class, as in kmv_distinct_per_key): its size is the GROUP
+    # cardinality, which this generic operator does not bound — AQE
+    # picks the join strategy from runtime sizes
+    n = ranked.groupBy(*pb).agg(F.count(F.lit(1)).alias("__n"))
     cond = None
     for c in pb:
         e = ranked[c].eqNullSafe(n[c])

@@ -801,7 +801,9 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = one(
         "orphan_custkeys",
         orders.join(
-            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            # customer-scaled anti-join side: no broadcast hint (r10
+            # broadcast audit) — AQE decides
+            customer.select(F.col("c_custkey").alias("o_custkey")),
             "o_custkey",
             "left_anti",
         ).agg(F.count(F.lit(1)).alias("v")),

@@ -1098,7 +1098,7 @@ GROUP BY c_mktsegment, o_orderpriority
 def serving_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     result = avg_by_key(
         joined, ["c_mktsegment", "o_orderpriority"], "o_totalprice", "avg_price"
     )

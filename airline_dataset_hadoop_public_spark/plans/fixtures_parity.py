@@ -97,8 +97,10 @@ SELECT c_mktsegment, o_custkey, avg_price FROM (
 def g2q1_top10_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # no broadcast hint: customer scales with the data (r10 broadcast
+    # audit) — AQE broadcasts it at small sf, shuffles at 100 TB
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     )
     avg = avg_by_key(joined, ["c_mktsegment", "o_custkey"], "o_totalprice", "avg_price")
     return top_k_per_group(
@@ -129,7 +131,7 @@ SELECT p_brand, l_partkey, avg_price FROM (
 def g2q2_top10_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     avg = avg_by_key(joined, ["p_brand", "l_partkey"], "l_extendedprice", "avg_price")
     return top_k_per_group(
         avg, ["p_brand"], [F.asc("avg_price"), F.asc("l_partkey")], 10
@@ -711,7 +713,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ).join(cust, orders.o_custkey == cust.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4

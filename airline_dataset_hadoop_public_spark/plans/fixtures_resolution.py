@@ -108,8 +108,11 @@ def orders_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFra
             .drop(bcol, wcol, mcol, wordcol)
         )
 
+    # the exact confirm join's build side is customer-scaled: no
+    # broadcast hint (r10 broadcast audit) — the bloom prefilter above
+    # already shrank the probe side, which is the operator's point
     exact = probe.join(
-        F.broadcast(rich), probe.o_custkey == rich.c_custkey, "semi"
+        rich, probe.o_custkey == rich.c_custkey, "semi"
     )
     return exact.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

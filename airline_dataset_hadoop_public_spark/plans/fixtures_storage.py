@@ -725,8 +725,11 @@ def orders_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     deletes = spark.read.schema(del_schema).parquet(del_dir)
+    # no broadcast hint: the position-delete set scales with delete
+    # churn between compactions (r10 broadcast audit) — AQE broadcasts
+    # small delete manifests and shuffles pathological ones
     live = base.join(
-        F.broadcast(deletes), ["file_path", "row_index"], "left_anti"
+        deletes, ["file_path", "row_index"], "left_anti"
     )
     return live.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_live"),

@@ -200,7 +200,7 @@ def tpch_q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(
-            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+            part, F.col("l_partkey") == F.col("p_partkey")
         )
         .agg(
             F.round(
@@ -244,8 +244,11 @@ def tpch_q17_small_quantity_avg_revenue(
         .filter(F.col("p_brand") == "Brand#23")
         .select("p_partkey")
     )
+    # no broadcast hints in this query (r10 broadcast audit): the
+    # brand slice and its per-part thresholds are part-scaled — AQE
+    # picks the join strategy from runtime sizes
     li_brand = lineitem.join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
     thresholds = li_brand.groupBy("l_partkey").agg(
         # quantized-sum average: ROUND(SUM,2)/COUNT is summation-order
@@ -256,7 +259,7 @@ def tpch_q17_small_quantity_avg_revenue(
         )
     )
     return (
-        li_brand.join(F.broadcast(thresholds), "l_partkey")
+        li_brand.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -354,7 +357,7 @@ def tpch_q19_disjunctive_brand_revenue(
     )
     return (
         lineitem.join(
-            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+            part, F.col("p_partkey") == F.col("l_partkey")
         )
         .filter(cond)
         .agg(

@@ -161,10 +161,12 @@ def tpch_q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        # part/supplier-scaled sides carry no broadcast hints (r10
+        # broadcast audit); the nation/region dims above keep theirs
+        .join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(europe_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -216,8 +218,8 @@ def tpch_q9_part_pattern_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
         .agg(
             F.round(
@@ -348,9 +350,11 @@ def tpch_q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        # no broadcast hints: the part slice and the supplier denylist
+        # both scale with the data (r10 broadcast audit) — AQE decides
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(denylist),
+            denylist,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -429,7 +433,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            load_table(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

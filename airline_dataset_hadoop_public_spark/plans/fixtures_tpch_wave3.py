@@ -104,8 +104,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     costs = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(target_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier-scaled sides carry no broadcast hints (r10
+        # broadcast audit); the nation/region dims above keep theirs
+        .join(target_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
             F.min(
@@ -222,7 +224,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
@@ -279,7 +281,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(large_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(large_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)

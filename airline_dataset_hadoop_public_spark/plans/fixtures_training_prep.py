@@ -28,10 +28,11 @@ Scale notes (local[32] tests, 1000-executor design):
   documented alternative when exact counts aren't required. The
   fixture pins the exact-rank semantics so the oracle can verify
   every kept row.
-- decontamination: the benchmark side (test-split 8-gram set) is
-  tiny and fixed, so it broadcasts; the 100 TB train side is
-  explode → broadcast-hash semi-side join → partial-agg count, with
-  no corpus-wide shuffle except the per-doc hit count.
+- decontamination: production benchmark sides are tiny and fixed,
+  but THIS fixture derives the set from the 10% test split, so it is
+  corpus-scaled — no broadcast hint (r10 broadcast audit); AQE
+  broadcasts it at small sf and falls back to a shuffled join at
+  scale. The train side is explode → equi-join → partial-agg count.
 - int8 quantization: pure per-row higher-order-function kernels
   (transform/zip_with/aggregate) — scan-stage codegen, no shuffle.
 - temperature resample: the per-lang rate table is a 5-row
@@ -306,7 +307,12 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.filter(F.col("bucket") < 800)
-        .join(F.broadcast(test_ngrams), "ng")
+        # no broadcast hint: the test-split n-gram set is CORPUS-
+        # scaled as built here (10% of distinct 8-grams), not the
+        # tiny fixed benchmark side of production decontamination —
+        # AQE broadcasts it at small sf, shuffles at scale (r10
+        # broadcast audit)
+        .join(test_ngrams, "ng")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

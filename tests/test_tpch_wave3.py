@@ -22,10 +22,16 @@ def qs():
 
 
 def test_q2_no_fact_sort_merge_join(spark, qs):
-    # part filter and EUROPE-supplier dim both ride broadcasts; the
-    # window min runs on the aggregated (part, supplier) frame only
-    plan = _plan(qs["tpch_q2_min_cost_supplier"](spark, SF))
-    assert "SortMergeJoin" not in plan
+    # part filter and EUROPE-supplier side both ride broadcasts at
+    # this scale; the window min runs on the aggregated (part,
+    # supplier) frame only. r10: their hard hints are gone (part- and
+    # supplier-scaled frames — broadcast audit), so the static plan
+    # may stage a sort-merge; the contract moves to the AQE-FINAL
+    # plan, which re-plans the tiny runtime sides as broadcasts.
+    df = qs["tpch_q2_min_cost_supplier"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 2
 
 
