@@ -374,6 +374,131 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Checkpointed ingest RESUME (r10 stretch, r9 verdict item 7): the
+# restart story next to streaming_corpus_ingest. The same bucketed
+# corpus arrives in two phases: phase 1 streams buckets 0-1 through
+# the quality-gate + dedup foreachBatch loop with a CHECKPOINT, then
+# the query stops (a planned restart); buckets 2-3 land while the
+# pipeline is down; phase 2 starts a NEW query on the SAME checkpoint
+# and sink. Structured Streaming's file-source offset log makes the
+# new query resume past the already-committed buckets — it processes
+# exactly the two new files.
+#
+# The resume semantics are pinned BY THE VALUE ORACLE, not by timing
+# assertions: every appended row is tagged with the ingest phase, and
+# a kept doc's phase is a closed form of its bucket (doc_id % 4 < 2 →
+# phase 1). If the phase-2 query reprocessed buckets 0-1, phase-1
+# fingerprints would re-append (the anti-join absorbs same-hash
+# re-delivery, but any quality-gated NEW survivor would double) and
+# row counts shift; if it restarted from scratch (fresh checkpoint),
+# buckets 0-1 would re-arrive tagged phase 2 and every phase flips.
+# Either failure breaks the hash. tests/test_streaming.py additionally
+# pins the offset-log continuity (4 committed batches, 2 per phase).
+# 100 TB shape: identical to streaming_corpus_ingest — the checkpoint
+# adds O(files) offset bookkeeping, no new data-scaled state.
+# ---------------------------------------------------------------------------
+
+_RESUME_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_W} AS ws FROM documents),
+q AS (SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' '))
+                 AS content_hash
+      FROM t WHERE len(ws) >= 15),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                                   ORDER BY doc_id % 4, doc_id) AS rn
+      FROM q)
+SELECT CAST(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END AS INT) AS phase,
+       lang,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM k WHERE rn = 1
+GROUP BY phase, lang
+"""
+
+
+@register("streaming_ingest_resume", _RESUME_ORACLE)
+def streaming_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..runtime import scratch_dir
+
+    src_all, schema = _docs_bucket_stream_dir(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    parent = scratch_dir("ingest_resume", tag)
+    shutil.rmtree(parent, ignore_errors=True)
+    run = os.path.join(parent, uuid.uuid4().hex[:8])
+    src = os.path.join(run, "src")
+    ckpt = os.path.join(run, "ckpt")
+    sink = os.path.join(run, "sink")
+    os.makedirs(src, exist_ok=True)
+
+    phase = {"n": 1}
+
+    def ingest(batch_df, batch_id: int) -> None:
+        toks = tokens("text")
+        batch = (
+            batch_df.filter(F.size(toks) >= 15)
+            .withColumn("content_hash", _bow_fingerprint(toks))
+            .groupBy("content_hash")
+            .agg(
+                F.min_by(F.struct("doc_id", "lang"), "doc_id").alias("__r")
+            )
+            .select(F.col("__r.doc_id").alias("doc_id"), "content_hash",
+                    F.col("__r.lang").alias("lang"))
+        )
+        if os.path.exists(sink):
+            seen = batch_df.sparkSession.read.parquet(sink).select(
+                "content_hash"
+            )
+            batch = batch.join(seen, "content_hash", "left_anti")
+        batch.withColumn("phase", F.lit(phase["n"])).select(
+            "doc_id", "content_hash", "lang", "phase"
+        ).write.mode("append").parquet(sink)
+
+    def run_query() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: only buckets 0-1 exist; copy2 preserves the staged
+    # mtimes so FileStreamSource keeps the arrival order
+    for b in (0, 1):
+        shutil.copy2(os.path.join(src_all, f"bucket{b}.parquet"), src)
+    run_query()
+
+    # pipeline "down": buckets 2-3 arrive, then a NEW query resumes
+    # from the same checkpoint
+    phase["n"] = 2
+    for b in (2, 3):
+        shutil.copy2(os.path.join(src_all, f"bucket{b}.parquet"), src)
+    run_query()
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy(F.col("phase").cast("int").alias("phase"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contrastive triplet generation (anchor, positive, negative) — the
 # pair-construction step of embedding/retrieval training. Positives =
 # nearest same-fingerprint neighbor (bag-of-words collision, the same

@@ -99,10 +99,11 @@ def register(name: str, oracle: str | None):
 # (group 1 + a removed hint).
 #
 # Window arithmetic (recorded in BASELINE.md r10 handoff): 50 slots =
-# these 24 pins + corpus_mixing_weights (new registration →
-# never-verified tier 2) + the 25 stalest r5 names; 3 of the pins
-# (g2q1, g2q2, events_ddsketch_quantiles) are themselves r5, so 19 r5
-# names roll to r11 and max staleness registry-wide stays ≤ r5.
+# these 24 pins + corpus_mixing_weights and streaming_ingest_resume
+# (new registrations → never-verified tier 2) + the 24 stalest r5
+# names; 3 of the pins (g2q1, g2q2, events_ddsketch_quantiles) are
+# themselves r5, so 20 r5 names roll to r11 and max staleness
+# registry-wide stays ≤ r5.
 _PINNED_FIRST: list[str] = [
     "text_langid_confusion",
     "warehouse_write_audit_publish",

@@ -341,3 +341,55 @@ def test_bpe_50_round_plan_depth_constant(spark):
     rows = out.filter(F.col("rank") == 1).collect()
     assert 10 <= len(rows) <= 50
     assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# checkpointed ingest resume (r10): the phase-2 query must RESUME the
+# file-source offset log (batches 2-3), not reprocess or restart —
+# the value oracle pins the semantics, this pins the mechanism
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_resume_offset_log_continuity(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_dataset_hadoop_public_spark.plans.fixtures_corpus_model import (
+        streaming_ingest_resume,
+    )
+    from airline_dataset_hadoop_public_spark.runtime import scratch_dir
+
+    out = streaming_ingest_resume(spark, SF).collect()
+
+    # locate this run's checkpoint (the fixture clears its parent and
+    # writes exactly one uuid run dir)
+    parent = scratch_dir("ingest_resume", os.path.basename(SF))
+    runs = [d for d in os.listdir(parent) if not d.startswith("_")]
+    assert len(runs) == 1
+    ckpt = os.path.join(parent, runs[0], "ckpt")
+    offsets = {
+        n for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if n.isdigit()
+    }
+    commits = {
+        n for n in os.listdir(os.path.join(ckpt, "commits"))
+        if n.isdigit()
+    }
+    # ONE continuous batch sequence across both queries: 2 batches per
+    # phase (maxFilesPerTrigger=1, 2 files each). A restart-from-
+    # scratch would reset to {0,1}; a reprocess would exceed 4.
+    assert offsets == {"0", "1", "2", "3"}, offsets
+    assert commits == {"0", "1", "2", "3"}, commits
+
+    # every sink row's phase matches the closed-form bucket rule the
+    # oracle states: bucket < 2 → phase 1, else phase 2
+    sink = os.path.join(parent, runs[0], "sink")
+    rows = spark.read.parquet(sink).select(
+        "phase", (F.col("doc_id") % 4).alias("b")
+    ).collect()
+    assert rows and all(
+        r["phase"] == (1 if r["b"] < 2 else 2) for r in rows
+    )
+    # and the aggregate the driver sees covers both phases
+    assert {r["phase"] for r in out} == {1, 2}
