@@ -310,6 +310,9 @@ def main() -> None:
         "orders_revenue_bridge_waterfall",
         # r8 addition
         "embeddings_cluster_curation_report",
+        # r10 additions
+        "corpus_mixing_weights",
+        "streaming_ingest_resume",
     ):
         if extra in qs and extra not in names:
             names.append(extra)
