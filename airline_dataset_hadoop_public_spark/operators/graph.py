@@ -446,11 +446,26 @@ def adamic_adar_scores(
     (table in BASELINE.md §r7): each surviving pair loses at most
     the dropped centers' Σ 1/ln(deg) — a bias, not noise, and
     monotone in the cap. ``None`` = exact (no drop).
+
+    r10 (cell audit): with a cap set, hubs are dropped BEFORE the
+    neighbor-list collect via a degree pre-filter (partial-agg count
+    + semi join), not after — the old shape materialized a hub's full
+    adjacency in ONE array cell first, which is the OOM at 10^8-degree
+    hubs that the cap exists to prevent. Kept centers retain all
+    their edges, so size(ns) is still the true degree and values are
+    bit-identical. Exact mode (None) necessarily materializes true
+    cells — that full-cell cost is the documented price of exactness
+    and the capped path is the 100 TB configuration.
     """
+    if hub_cap is not None:
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        adj = adj.join(
+            deg.filter(F.col("__d") <= hub_cap).select("src"),
+            "src",
+            "left_semi",
+        )
     nbrs = adj.groupBy("src").agg(F.collect_list("dst").alias("ns"))
     centers = nbrs.filter(F.size("ns") >= 2)
-    if hub_cap is not None:
-        centers = centers.filter(F.size("ns") <= hub_cap)
     wedges = centers.select(
         (F.lit(1.0) / F.log(F.size("ns"))).alias("w"),
         F.explode(

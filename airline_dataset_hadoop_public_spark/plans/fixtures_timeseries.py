@@ -205,16 +205,32 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .distinct()
     )
-    postings = tok.groupBy("term").agg(
-        F.count("*").alias("doc_freq"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("posting_sample"),
+    # r10 cell audit: the old shape collected each term's FULL
+    # posting set into one cell and sliced afterwards — corpus-scaled
+    # for stopword terms (the exact OOM the sample exists to avoid).
+    # The 100-doc sample is now bounded BEFORE the collect: a literal
+    # `rn <= 100` rank filter compiles to a map-side WindowGroupLimit
+    # (the window-hazard playbook), so no cell ever holds more than
+    # 100 ids; doc_freq stays a full partial-agg count with no cell.
+    # Values identical: rows are distinct, so the first 100 by doc_id
+    # ARE slice(sort(full_set), 1, 100).
+    doc_freq = tok.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    by_term = Window.partitionBy("term").orderBy("doc_id")
+    sample = (
+        tok.withColumn("__rn", F.row_number().over(by_term))
+        .filter(F.col("__rn") <= 100)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_sample")
+        )
     )
+    postings = doc_freq.join(sample, "term")
     return postings.orderBy(F.desc("doc_freq"), "term").limit(50)
 
 

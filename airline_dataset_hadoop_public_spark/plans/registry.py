@@ -99,10 +99,10 @@ def register(name: str, oracle: str | None):
 # (group 1 + a removed hint).
 #
 # Window arithmetic (recorded in BASELINE.md r10 handoff): 50 slots =
-# these 24 pins + corpus_mixing_weights and streaming_ingest_resume
-# (new registrations → never-verified tier 2) + the 24 stalest r5
+# these 25 pins + corpus_mixing_weights and streaming_ingest_resume
+# (new registrations → never-verified tier 2) + the 23 stalest r5
 # names; 3 of the pins (g2q1, g2q2, events_ddsketch_quantiles) are
-# themselves r5, so 20 r5 names roll to r11 and max staleness
+# themselves r5, so 21 r5 names roll to r11 and max staleness
 # registry-wide stays ≤ r5.
 _PINNED_FIRST: list[str] = [
     "text_langid_confusion",
@@ -129,6 +129,9 @@ _PINNED_FIRST: list[str] = [
     "docs_decontaminate",
     "orders_bloom_semijoin_reduction",
     "events_ddsketch_quantiles",
+    # r10b (cell audit): posting sample now bounded BEFORE the collect
+    # via a map-side WindowGroupLimit — plan changed after its r9 row
+    "docs_inverted_index",
 ]
 
 
