@@ -135,6 +135,133 @@ def dot_product(a_col: str, b_col: str, arrow: bool = True):
     )
 
 
+# Pair workspace bound for the in-cell kernels: gathered row-pair
+# blocks are capped at this many pairs, so per-task scratch is
+# O(_CELL_PAIR_CHUNK x d) doubles regardless of cell size.
+_CELL_PAIR_CHUNK = 1 << 16
+
+
+def _cell_pair_scores(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float | None = None,
+    topk: int | None = None,
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """In-cell pairwise cosine scoring with ONE boundary crossing per
+    vector (optimization guide §4.1/§8): the per-cell self-join used
+    to materialize every (vec_a, vec_b) pair ROW and ship both
+    64-double payloads through ArrowEvalPython per pair — ~2·d·8
+    bytes x O(n_c²) pairs of pure serialization (measured 11.7s of
+    embeddings_cluster_curation_report's 22s at sf0.1). Here each
+    cell's vectors cross the JVM→Python boundary once
+    (``applyInPandas`` keyed by the cell id) and the pair expansion
+    happens on the numpy side.
+
+    Bit-exactness contract: the kernel stacks the SAME float64 arrays
+    Arrow already delivered to ``_dot_arrow`` and evaluates the SAME
+    ``np.einsum("ij,ij->i", va, vb)`` on row-gathered pair blocks —
+    identical op, dtype and shape class, so every cosine is
+    bit-identical to the join formulation, and downstream
+    threshold/rank/ROUND decisions cannot flip. Rounding stays
+    Spark-side (``F.round`` is HALF_UP; numpy's is half-even).
+
+    Modes (exactly one):
+    - ``threshold``: emit (id_a < id_b, __cos) with __cos >= threshold
+      — the ``cosine_pairs_within_cells`` body.
+    - ``topk``: emit directed (src, dst, __cos), per-src top-k by
+      (__cos desc, dst asc) over the cell, self excluded — the
+      ``mutual_knn_graph`` directed stage, replicating the
+      row_number ordering via a stable lexsort on the identical
+      doubles.
+
+    Memory contract: one task holds one cell's id+vector block
+    (O(n_c·d) — the same frame the oracle's in-cell window already
+    implies) plus an O(_CELL_PAIR_CHUNK·d) gather workspace; the n_c²
+    pair stream itself is never materialized at once. Parallelism is
+    bounded by the number of cells — the operator's scale contract
+    (cells >> cores) already requires that of the centroid set.
+    """
+    if (threshold is None) == (topk is None):
+        raise ValueError("exactly one of threshold/topk must be set")
+    import numpy as np
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in assigned.schema.fields
+    )[id_col]
+    if threshold is not None:
+        out_schema = f"id_a {id_type}, id_b {id_type}, __cos double"
+    else:
+        out_schema = f"src {id_type}, dst {id_type}, __cos double"
+
+    thr = threshold
+    k = topk
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {c.split()[0]: [] for c in out_schema.split(", ")}
+            )
+        # sort by id so the i<j pair expansion and tie-breaks are
+        # deterministic regardless of Arrow batch arrival order
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy())  # (n, d) float64
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # block of source rows per iteration: bounds the gathered
+        # pair workspace at block*n <= _CELL_PAIR_CHUNK pairs
+        step = max(1, _CELL_PAIR_CHUNK // n)
+        for i0 in range(0, n, step):
+            i1 = min(i0 + step, n)
+            ia = np.repeat(np.arange(i0, i1), n)
+            ib = np.tile(np.arange(n), i1 - i0)
+            mask = ia < ib if thr is not None else ia != ib
+            ia, ib = ia[mask], ib[mask]
+            if len(ia) == 0:
+                continue
+            cos = np.einsum("ij,ij->i", V[ia], V[ib])
+            if thr is not None:
+                keep = cos >= thr
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_c.append(cos[keep])
+            else:
+                # replicate row_number over (__cos desc, dst asc)
+                # per src: stable lexsort, last key is primary
+                order = np.lexsort((ids[ib], -cos, ia))
+                ia_s, ib_s, cos_s = ia[order], ib[order], cos[order]
+                # rank within each src run (ia_s is sorted)
+                starts = np.flatnonzero(
+                    np.r_[True, ia_s[1:] != ia_s[:-1]]
+                )
+                rank = np.arange(len(ia_s)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(ia_s)])
+                )
+                keep = rank < k
+                out_a.append(ids[ia_s[keep]])
+                out_b.append(ids[ib_s[keep]])
+                out_c.append(cos_s[keep])
+        cols = out_schema.split(", ")
+        return pd.DataFrame(
+            {
+                cols[0].split()[0]: np.concatenate(out_a) if out_a else [],
+                cols[1].split()[0]: np.concatenate(out_b) if out_b else [],
+                "__cos": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return (
+        assigned.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(score_cell, out_schema)
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -305,31 +432,17 @@ def cosine_pairs_within_cells(
     are missed); the oracle replicates the identical assignment +
     in-cell pairing, so the gate checks the algorithm.
     """
-    # both sides of the in-cell self-join read the assignment; without
-    # the cache the nearest-centroid scoring (a vectors x centroids
-    # broadcast loop) runs twice over the full corpus
-    assigned = cache_tracked(
-        unit_normalize(
-            assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
-        )
+    # r10 optimization-round reshape (guide §4.1/§8): the former
+    # in-cell self-join shipped BOTH vectors through ArrowEvalPython
+    # per pair (O(n_c²)·2d doubles of serialization); the per-cell
+    # kernel ships each vector once and computes the identical einsum
+    # per pair — see _cell_pair_scores for the bit-exactness contract.
+    assigned = unit_normalize(
+        assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
     )
-    a = assigned.select(
-        F.col("centroid_id"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-    )
-    b = assigned.select(
-        F.col("centroid_id"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", dot_product("vec_a", "vec_b"))
-        .filter(F.col("__cos") >= threshold)
-        .select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
-    )
+    return _cell_pair_scores(
+        assigned, id_col, vec_col, threshold=threshold
+    ).select("id_a", "id_b", F.round("__cos", ndigits).alias("cosine"))
 
 
 def semantic_dedup_flags(
@@ -651,29 +764,23 @@ def mutual_knn_graph(
     edge list with itself reversed — every stage is keyed, bounded,
     and shuffle-partitioned; nothing is all-pairs across cells.
     """
-    assigned = cache_tracked(
-        unit_normalize(
-            assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
-        )
+    # r10 optimization-round reshape (guide §4.1/§8): the in-cell
+    # self-join + row_number window used to ship both 64-double
+    # payloads through ArrowEvalPython per candidate pair and then
+    # shuffle the n_c²-row scored stream into a rank window; the
+    # per-cell kernel ships each vector once, evaluates the identical
+    # einsum per pair, and replicates the (cos desc, dst asc)
+    # row_number ordering with a stable lexsort on the identical
+    # doubles (see _cell_pair_scores) — so the surviving directed
+    # edge set is bit-identical while the boundary traffic drops from
+    # O(pairs·d) to O(vectors·d) and the window exchange disappears.
+    assigned = unit_normalize(
+        assign_to_centroids(vectors, centroids, id_col, vec_col), vec_col
     )
-    a = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("dst"),
-        F.col(vec_col).alias("__vb"),
-    )
-    by_src = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
     directed = cache_tracked(
-        a.join(b, "centroid_id")
-        .filter(F.col("src") != F.col("dst"))
-        .withColumn("__cos", dot_product("__va", "__vb"))
-        .withColumn("__rn", F.row_number().over(by_src))
-        .filter(F.col("__rn") <= k)
-        .select("src", "dst", "__cos")
+        _cell_pair_scores(assigned, id_col, vec_col, topk=k).select(
+            F.col("src"), F.col("dst"), "__cos"
+        )
     )
     reverse = directed.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
