@@ -328,18 +328,12 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # Stream-stream joins instantiate 4 state stores PER shuffle
-    # partition; at local scale the store init dominates runtime, so
-    # scope the partition count down for this one query. Safe to
-    # restore immediately: the streaming query executes synchronously
-    # inside run_file_stream_batch (unlike lazy batch plans).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return run_file_stream_batch(
-            spark, src, schema, plan, output_mode="append"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # partition; run_file_stream_batch now sizes the partition count
+    # from the input mirror (scoped_stream_shuffle_partitions), which
+    # subsumes the former hand-pinned 8 for this one query.
+    return run_file_stream_batch(
+        spark, src, schema, plan, output_mode="append"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -125,22 +125,33 @@ def _drained_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     )
     stream = spark.readStream.schema(schema).parquet(src)
     name = f"stateintro_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    # input-sized state partitioning (see streaming.windows) — on a
+    # RESUMED checkpoint Spark pins the count recorded at first start,
+    # so this only shapes newly-created checkpoints
+    from ..streaming.windows import scoped_stream_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(scoped_stream_shuffle_partitions(spark, src)))
     try:
-        q.processAllAvailable()
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # the memory sink is never read (state is read from the
+            # checkpoint) — drop it or each invocation leaks a temp view
+            spark.catalog.dropTempView(name)
     finally:
-        q.stop()
-        # the memory sink is never read (state is read from the
-        # checkpoint) — drop it or each invocation leaks a temp view
-        spark.catalog.dropTempView(name)
+        spark.conf.set(key, prev)
     return ckpt
 
 
