@@ -282,29 +282,51 @@ def bfs_hops(
     )
     frontiers = [frontier]
     prev: DataFrame | None = None  # frontier at h-2 (undirected block)
-    for h in range(1, max_hops + 1):
-        if frontier.isEmpty():
-            break
-        if undirected:
-            block = frontier.select("n")
-            if prev is not None:
-                block = block.unionByName(prev.select("n"))
-        else:
-            block = None
-            for f in frontiers:
-                fn = f.select("n")
-                block = fn if block is None else block.unionByName(fn)
-        nxt = (
-            frontier.join(edges, frontier.n == F.col(src))
-            .select(F.col(dst).alias("n"))
-            .join(F.broadcast(block), "n", "left_anti")
-            .distinct()
-            .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
-        )
-        prev = frontier
-        frontier = nxt
-        frontiers.append(nxt)
+    # Per-round scale-adaptive dedup shuffle (optimization guide §2):
+    # the round's only shuffle is the `.distinct()` over the frontier
+    # expansion, whose size tracks the CURRENT frontier — at the
+    # session default (cores-sized locally) a few-thousand-node
+    # frontier pays 32 task launches per round for near-empty
+    # partitions. The emptiness probe already scans the materialized
+    # frontier, so the count is free context; the target assumes ≤ ~8x
+    # expansion per 100k-row partition and is clamped to the session
+    # default, so a frontier that grows toward graph scale restores
+    # full parallelism. Each round's result is localCheckpoint-
+    # materialized before the conf can change again.
+    spark = frontier.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev_conf = spark.conf.get(key)
+    try:
+        for h in range(1, max_hops + 1):
+            n_f = frontier.count()
+            if n_f == 0:
+                break
+            spark.conf.set(
+                key,
+                str(max(2, min(int(prev_conf), 8 * n_f // 100_000 + 2))),
+            )
+            if undirected:
+                block = frontier.select("n")
+                if prev is not None:
+                    block = block.unionByName(prev.select("n"))
+            else:
+                block = None
+                for f in frontiers:
+                    fn = f.select("n")
+                    block = fn if block is None else block.unionByName(fn)
+            nxt = (
+                frontier.join(edges, frontier.n == F.col(src))
+                .select(F.col(dst).alias("n"))
+                .join(F.broadcast(block), "n", "left_anti")
+                .distinct()
+                .withColumn("hop", F.lit(h))
+                .localCheckpoint(eager=True)
+            )
+            prev = frontier
+            frontier = nxt
+            frontiers.append(nxt)
+    finally:
+        spark.conf.set(key, prev_conf)
     out = frontiers[0]
     for f in frontiers[1:]:
         out = out.unionByName(f)
@@ -345,12 +367,28 @@ def kcore_peel(
     billion-node graph would flip them to shuffled joins (same
     caveat as the original shape — the knob, not the algorithm).
     """
+    from ..runtime import scoped_shuffle_partitions
+
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     )
     if rounds <= 0:
         return e
     e = e.localCheckpoint(eager=True)
+    # scope the loop's shuffles to the (now known) graph size: every
+    # round below shuffles NODE-cardinality state, and at the session
+    # default (cores-sized locally) per-round task launch dominates —
+    # the same discipline connected_components applies. Everything
+    # built inside is localCheckpoint-materialized, so restoring the
+    # conf on exit cannot affect the returned frame. n_edges is a
+    # near-free count of the materialized edge RDD.
+    with scoped_shuffle_partitions(e.sparkSession, e.count()):
+        return _kcore_peel_rounds(e, k, rounds)
+
+
+def _kcore_peel_rounds(e: DataFrame, k: int, rounds: int) -> DataFrame:
+    """The peel loop of ``kcore_peel`` (split out so the shuffle scope
+    wraps it cleanly)."""
     # node table (n, dg, fresh): dg = degree over surviving edges,
     # fresh = crossed below k THIS round (= the next round's drop
     # delta). Already-dropped nodes stay in the table — their dg only

@@ -52,6 +52,36 @@ def release_caches() -> int:
     return released
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def scoped_shuffle_partitions(spark, n_rows: int, per_partition: int = 100_000):
+    """Scale-adaptive shuffle-partition scope for iterative loops
+    (optimization guide §2): a hook/peel/frontier round shuffles
+    node-cardinality state, and when the session default (sized to
+    the corpus / core count) exceeds what that state needs, per-round
+    task-launch overhead dominates the loop (the measured 2x the CC
+    label loop documented before growing its own inline version of
+    this). Target = ceil(n_rows / per_partition), clamped to
+    [2, session default] — a big graph keeps the session default, so
+    cluster deployments are unaffected.
+
+    The caller must materialize (localCheckpoint) every frame built
+    inside the scope that escapes it; restoring the conf cannot
+    affect already-checkpointed RDDs. Session-global for the scope's
+    duration — same sequential-queries caveat as connected_components.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = max(2, min(int(prev), n_rows // per_partition + 2))
+    spark.conf.set(key, str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set(key, prev)
+
+
 # ---------------------------------------------------------------------------
 # Shared scratch-mirror conventions (stream mirrors, persisted indexes,
 # sink roots). One definition so every fixture invalidates the same way.
