@@ -105,7 +105,10 @@ def rank_table(
 
 
 def rank_table_distributed(
-    df: DataFrame, order: Sequence[str | Column], rank: str = "rank"
+    df: DataFrame,
+    order: Sequence[str | Column],
+    rank: str = "rank",
+    total: str | None = None,
 ) -> DataFrame:
     """Fact-scale global 1..N ranking without a single-partition window.
 
@@ -114,6 +117,11 @@ def rank_table_distributed(
     through the driver — a scalar per task, not data); (2) per-partition
     row_number + offset. Every stage is partition-parallel; `order`
     must be a total order so ranks are deterministic.
+
+    ``total``: optionally attach the total row count N as a literal
+    column of that name — pass 1's size collect already knows it, so
+    consumers (NTILE's closed form) skip a separate count job over the
+    ranked frame (r10 optimization round).
     """
     # pin the range partitioning: both passes must see the SAME
     # partition assignment (a recompute could re-sample boundaries)
@@ -134,11 +142,14 @@ def rank_table_distributed(
         [(p, o) for p, o in offsets.items()], "__pid int, __off long"
     )
     w = Window.partitionBy("__pid").orderBy(*_cols(order))
-    return (
+    out = (
         ordered.join(F.broadcast(off_df), "__pid")
         .withColumn(rank, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+    if total:
+        out = out.withColumn(total, F.lit(int(acc)).cast("long"))
+    return out
 
 
 def ordered_prefix_distributed(
@@ -147,9 +158,15 @@ def ordered_prefix_distributed(
     partition_by: Sequence[str] = (),
     rank: str | None = "rank",
     running_sums: dict[str, str] | None = None,
+    group_total: str | None = None,
 ) -> DataFrame:
     """Per-group (or global) 1..N rank AND inclusive running sums over
     a total order WITHOUT a single-partition window.
+
+    ``group_total``: optionally attach each group's total row count as
+    a column of that name — the pass-2 size collect already has it, so
+    consumers (per-group NTILE) skip a separate group-count aggregate
+    and its re-join (r10 optimization round).
 
     Generalizes `rank_table_distributed` two ways the statistics wave
     needs (r7 judge item 1): an optional `partition_by` group key whose
@@ -249,6 +266,7 @@ def ordered_prefix_distributed(
     out_rows = []
     for grp, grp_rows in by_group.items():
         rk_off = 0
+        n_grp = sum(row["__cnt"] for row in grp_rows)
         # (accumulated offset, any non-NULL input seen in PRIOR
         # partitions) per sum column — the seen flag reproduces the
         # SQL rule that a window SUM is NULL until the first non-NULL
@@ -259,6 +277,7 @@ def ordered_prefix_distributed(
                 (row["__pid"], *grp, rk_off)
                 + tuple(_as(sum_types[s], sum_off[s]) for s in sums)
                 + tuple(seen[s] for s in sums)
+                + ((n_grp,) if group_total else ())
             )
             rk_off += row["__cnt"]
             for src in sums:
@@ -276,6 +295,8 @@ def ordered_prefix_distributed(
         T.StructField(f"__seen_{src}", T.BooleanType(), False)
         for src in sums
     ]
+    if group_total:
+        fields.append(T.StructField(group_total, T.LongType(), False))
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(out_rows, T.StructType(fields))
     )
@@ -355,18 +376,14 @@ def ntile_distributed(
     assignment is bit-identical to any engine's NTILE given the same
     total order (`order` must be total — include a key tie-break).
     """
-    from ..runtime import cache_tracked
-
-    # cached: the count aggregate and the bucket projection both
-    # consume the ranked frame (pass 2 would otherwise re-run per
-    # consumer — see ordered_prefix_distributed's cost contract)
-    ranked = cache_tracked(rank_table_distributed(df, order, rank="__rk"))
-    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    return (
-        ranked.join(F.broadcast(n), how="cross")
-        .withColumn(out, ntile_bucket(F.col("__rk"), F.col("__n"), int(k)))
-        .drop("__rk", "__n")
-    )
+    # N rides out of pass 1's size collect as a literal column
+    # (r10 optimization round — was: cache the ranked frame, run a
+    # separate count aggregate, cross-join it back; one extra job,
+    # one cache and one join per call, ×3 in the RFM fixture)
+    ranked = rank_table_distributed(df, order, rank="__rk", total="__n")
+    return ranked.withColumn(
+        out, ntile_bucket(F.col("__rk"), F.col("__n"), int(k))
+    ).drop("__rk", "__n")
 
 
 def ntile_distributed_grouped(
@@ -385,26 +402,13 @@ def ntile_distributed_grouped(
     form of (rank, N) `ntile_distributed` documents, so assignment is
     bit-identical to any engine's NTILE given the same total order.
     """
-    from ..runtime import cache_tracked
-
     pb = list(partition_by)
-    # cached: the group-size aggregate and the bucket join both
-    # consume the ranked frame
-    ranked = cache_tracked(
-        ordered_prefix_distributed(df, order, partition_by=pb, rank="__rk")
+    # per-group N rides out of the offset walk's size collect
+    # (r10 optimization round — was: cache the ranked frame, run a
+    # separate group-count aggregate, null-safe-join it back)
+    ranked = ordered_prefix_distributed(
+        df, order, partition_by=pb, rank="__rk", group_total="__n"
     )
-    # no broadcast hint on the group-size frame (ADVICE r9 hazard
-    # class, as in kmv_distinct_per_key): its size is the GROUP
-    # cardinality, which this generic operator does not bound — AQE
-    # picks the join strategy from runtime sizes
-    n = ranked.groupBy(*pb).agg(F.count(F.lit(1)).alias("__n"))
-    cond = None
-    for c in pb:
-        e = ranked[c].eqNullSafe(n[c])
-        cond = e if cond is None else cond & e
-    joined = ranked.join(n, cond)
-    for c in pb:
-        joined = joined.drop(n[c])
-    return joined.withColumn(
+    return ranked.withColumn(
         out, ntile_bucket(F.col("__rk"), F.col("__n"), int(k))
     ).drop("__rk", "__n")

@@ -158,8 +158,6 @@ allow("operators/encoding.py", "target_encode_oof", "gmean", "scalar", _SC)
 allow("operators/lm.py", "bigram_lm_scores", "vocab", "scalar",
       "vocabulary SIZE as a 1-row aggregate (not the vocabulary)")
 allow("operators/lm.py", "dsir_importance_weights", "totals", "scalar", _SC)
-allow("operators/topk.py", "ntile_distributed", "n", "scalar",
-      "ungrouped NTILE total-count: one row")
 allow("plans/fixtures_analytics.py", "events_mad_outliers", "med", "dimension",
       "per-event-type medians: <= |event types| rows")
 allow("plans/fixtures_analytics.py", "events_mad_outliers", "dev", "dimension",
@@ -360,12 +358,12 @@ _NODE = ("graph node frame: node cardinality << edges; the operator "
 allow("operators/graph.py", "pagerank", "ranks", "node-table", _NODE)
 allow("operators/graph.py", "bfs_hops", "block", "node-table",
       "BFS frontier block: <= nodes, delta-maintained")
-allow("operators/graph.py", "kcore_peel", "dropped", "node-table",
+allow("operators/graph.py", "_kcore_peel_rounds", "dropped", "node-table",
       "newly-dropped node set of one peel round, delta-sized")
-allow("operators/graph.py", "kcore_peel", "contrib", "node-table",
+allow("operators/graph.py", "_kcore_peel_rounds", "contrib", "node-table",
       "degree corrections into the dropped set, delta-sized")
-allow("operators/graph.py", "kcore_peel", "keep", "node-table", _NODE)
-allow("operators/graph.py", "kcore_peel",
+allow("operators/graph.py", "_kcore_peel_rounds", "keep", "node-table", _NODE)
+allow("operators/graph.py", "_kcore_peel_rounds",
       "keep.withColumnRenamed('__keep', '__keep2')", "node-table", _NODE)
 allow("plans/fixtures_graph.py", "parts_copurchase_kcore", "probe_keep",
       "node-table", _NODE)
