@@ -483,6 +483,11 @@ def tfidf_cosine_pairs(
     from ..functions.scalar import tokens
 
     terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # NOT cached (r10 optimization round, measured): the (doc, term,
+    # tf) aggregate feeds five consumers, but AQE already reuses the
+    # identical exchange across them — a cache_tracked here measured
+    # 4.3s -> 8.3s at sf0.1 (InMemoryRelation materialization blocks
+    # the exchange reuse and adds a storage pass)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = (
