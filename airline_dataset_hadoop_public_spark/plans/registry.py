@@ -132,6 +132,21 @@ _PINNED_FIRST: list[str] = [
     # r10b (cell audit): posting sample now bounded BEFORE the collect
     # via a map-side WindowGroupLimit — plan changed after its r9 row
     "docs_inverted_index",
+    # r10 optimization round: plans/execution reshaped (per-cell Arrow
+    # pair kernel; input-sized streaming state partitions; scoped
+    # iterative-loop shuffles; NTILE totals fused into the rank
+    # walks) — re-witness first. All re-verified green at sf0.01 AND
+    # sf0.1 locally before landing (OPTIMIZATION_r10.md).
+    "dedup_embedding_cosine_ivf",
+    "dedup_semantic_keeplist",
+    "embeddings_mutual_knn_graph",
+    "embeddings_cluster_curation_report",
+    "orders_rfm_segmentation",
+    "parts_copurchase_kcore",
+    "parts_copurchase_bfs_hops",
+    "streaming_session_windows",
+    "streaming_stream_stream_join",
+    "streaming_state_introspection",
 ]
 
 
