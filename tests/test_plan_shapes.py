@@ -633,7 +633,9 @@ def test_kcore_rounds_touch_only_node_sized_state():
 
     from airline_dataset_hadoop_public_spark.operators import graph
 
-    src = inspect.getsource(graph.kcore_peel)
+    # r10 moved the peel loop into _kcore_peel_rounds so the shuffle
+    # scope wraps it cleanly; the loop-shape contract is unchanged.
+    src = inspect.getsource(graph._kcore_peel_rounds)
     body = src[src.index("for _ in range(rounds - 1):") : src.index("keep = ")]
     assert "e.join(F.broadcast(dropped)" in body  # delta scan
     assert "F.broadcast(contrib)" in body  # node-sized degree patch
