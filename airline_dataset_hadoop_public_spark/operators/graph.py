@@ -314,8 +314,16 @@ def bfs_hops(
                 for f in frontiers:
                     fn = f.select("n")
                     block = fn if block is None else block.unionByName(fn)
+            # the frontier side of the expansion join is force-
+            # broadcast (r11, ADVICE r10): the per-round clamp above
+            # sizes the shuffle count from the FRONTIER alone, and a
+            # localCheckpointed frontier carries no size stats — if
+            # the static planner picked a sort-merge join here, the
+            # FULL edge list would shuffle into ~2 partitions every
+            # round. Frontier-sized, consistent with the anti-join's
+            # F.broadcast(block); same scale caveat as documented.
             nxt = (
-                frontier.join(edges, frontier.n == F.col(src))
+                F.broadcast(frontier).join(edges, frontier.n == F.col(src))
                 .select(F.col(dst).alias("n"))
                 .join(F.broadcast(block), "n", "left_anti")
                 .distinct()

